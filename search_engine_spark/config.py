@@ -1,0 +1,37 @@
+"""Engine configuration.
+
+Defaults mirror the reference's ``application.properties``
+(/root/reference/src/main/resources/application.properties:7,19-20):
+BM25 k1=1.5 b=0.75, query stop-list of the 20 most-common lemmas.
+``BASELINE.json`` north_star quotes k1=1.2 — both are reachable via
+config; rank-identity tests run at the reference values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    k1: float = 1.5
+    b: float = 0.75
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    bm25: BM25Config = field(default_factory=BM25Config)
+    # Reference: search.most-popular-lemmas=20 (application.properties:7)
+    stoplist_size: int = 20
+    # Posting-block size for the compacted index (docs per block).
+    block_size: int = 128
+    # Terms with df above this threshold keep their build-time salt
+    # shards at rest (stop-term sharding, SURVEY N4).
+    shard_df_threshold: int = 1_000_000
+    # Number of term buckets the compacted index is partitioned by.
+    index_buckets: int = 64
+    # Default salt factor cap for head terms (SURVEY N1).
+    max_salt: int = 32
+
+
+DEFAULT = EngineConfig()

@@ -1,0 +1,188 @@
+"""Text-processing operators T1–T7 (SURVEY.md §2.2), Spark-first.
+
+Tokenization and document length are pure JVM column expressions
+(whole-stage codegen, no Python in the hot path).  Only HTML text
+extraction (T1/T2) and lemma counting (T5+T6+T7 fused) are Python —
+Arrow-vectorized pandas UDFs, never per-row.
+
+Reference semantics:
+- T3 tokenizer  — ``SentenceUtil.splitToWords``
+  (services/utils/SentenceUtil.java:73-80): lowercase, every char
+  outside ``[a-z\\s]`` (en) / ``[а-я\\s]`` (ru) becomes a space, trim,
+  split on whitespace.  Normative deviation: an empty/blank text yields
+  0 tokens here (the reference yields a single empty token — an
+  unobservable artifact of Java's ``String.split``).
+- T4 doc length — token count BEFORE particle filtering/lemmatization
+  (services/utils/RecursiveWebParser.java:146-150).
+- T5/T6/T7     — first-normal-form lemma, particle drop, silent drop of
+  un-analyzable words, per-doc term counts
+  (services/impl/LemmaServiceImpl.java:81-128).
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from search_engine_spark.functions.lemmatizer import lemmatize
+
+# ---------------------------------------------------------------------------
+# T3 tokenizer — JVM column expressions
+# ---------------------------------------------------------------------------
+
+_EN_NONLETTER = "[^a-z\\s]"
+_RU_NONLETTER = "[^а-я\\s]"
+
+
+def _nonletter_pattern(lang: str) -> str:
+    return _RU_NONLETTER if lang.startswith("ru") else _EN_NONLETTER
+
+
+def tokens_col(text: Column, lang: str | Column = "english") -> Column:
+    """``array<string>`` of tokens, SentenceUtil.splitToWords semantics.
+
+    ``lang`` may be a literal ("english"/"russian") or a per-row Column
+    carrying those values.
+    """
+    lowered = F.lower(text)
+    if isinstance(lang, str):
+        cleaned = F.regexp_replace(lowered, _nonletter_pattern(lang), " ")
+    else:
+        cleaned = F.when(
+            F.lower(lang).startswith("ru"),
+            F.regexp_replace(lowered, _RU_NONLETTER, " "),
+        ).otherwise(F.regexp_replace(lowered, _EN_NONLETTER, " "))
+    split = F.split(F.trim(cleaned), "\\s+")
+    return F.filter(split, lambda t: t != F.lit(""))
+
+
+def doc_len_col(tokens: Column) -> Column:
+    """T4: word count of the extracted text, pre-filtering."""
+    return F.size(tokens)
+
+
+# Pure-Python twin of tokens_col — used driver-side on query strings and
+# by the test oracle.  MUST stay semantically identical to tokens_col.
+def tokenize_py(text: str, lang: str = "english") -> list[str]:
+    if text is None:
+        return []
+    pattern = _nonletter_pattern(lang)
+    cleaned = re.sub(pattern, " ", text.lower())
+    return [t for t in cleaned.split() if t]
+
+
+def lemma_counts_py(text: str, lang: str = "english") -> dict[str, int]:
+    """T3→T6→T5→T7 on one string (driver-side query analysis).
+
+    Mirrors ``LemmaServiceImpl.collectLemmas``
+    (services/impl/LemmaServiceImpl.java:81-101).
+    """
+    counts: Counter[str] = Counter()
+    for word in tokenize_py(text, lang):
+        lemma = lemmatize(word, lang)
+        if lemma:
+            counts[lemma] += 1
+    return dict(counts)
+
+
+# ---------------------------------------------------------------------------
+# T5+T6+T7 fused — Arrow-vectorized lemma counting
+# ---------------------------------------------------------------------------
+
+_LEMMA_COUNTS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+        ]
+    )
+)
+
+
+@pandas_udf(_LEMMA_COUNTS_TYPE)
+def lemma_counts_udf(tokens: pd.Series, lang: pd.Series) -> pd.Series:
+    """tokens array + lang -> array<struct<term,tf>> per row."""
+    out = []
+    for toks, lg in zip(tokens, lang):
+        lg = lg or "english"
+        counts: Counter[str] = Counter()
+        if toks is not None:
+            for word in toks:
+                lemma = lemmatize(word, lg)
+                if lemma:
+                    counts[lemma] += 1
+        out.append([{"term": t, "tf": c} for t, c in counts.items()])
+    return pd.Series(out)
+
+
+# ---------------------------------------------------------------------------
+# T1/T2 — HTML -> text / title
+# ---------------------------------------------------------------------------
+
+_SCRIPT_RE = re.compile(r"(?is)<(script|style|noscript)\b.*?</\1\s*>")
+_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+_HEAD_RE = re.compile(r"(?is)<head\b.*?</head\s*>")
+_TAG_RE = re.compile(r"(?s)<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+_TITLE_RE = re.compile(r"(?is)<title[^>]*>(.*?)</title\s*>")
+
+
+def extract_text_py(html_bytes: bytes | str | None) -> str:
+    """Visible body text of an HTML document, whitespace-normalized.
+
+    The rebuild's normative spec for the reference's
+    ``Jsoup.parse(content).text()`` (services/impl/LemmaServiceImpl.java:36).
+    Deviation: head/title content is excluded (Jsoup includes title);
+    fixtures generate html text-first so extract_text(html) == text
+    byte-identically per url (BASELINE.json input_hint invariant).
+    """
+    if html_bytes is None:
+        return ""
+    raw = (
+        html_bytes.decode("utf-8", errors="replace")
+        if isinstance(html_bytes, (bytes, bytearray))
+        else html_bytes
+    )
+    raw = _COMMENT_RE.sub(" ", raw)
+    raw = _SCRIPT_RE.sub(" ", raw)
+    raw = _HEAD_RE.sub(" ", raw)
+    text = _TAG_RE.sub(" ", raw)
+    text = _htmlmod.unescape(text)
+    return _WS_RE.sub(" ", text).strip()
+
+
+def extract_title_py(html_bytes: bytes | str | None) -> str:
+    """T2: <title> content (``SearchServiceImpl.java:305-307``)."""
+    if html_bytes is None:
+        return ""
+    raw = (
+        html_bytes.decode("utf-8", errors="replace")
+        if isinstance(html_bytes, (bytes, bytearray))
+        else html_bytes
+    )
+    m = _TITLE_RE.search(raw)
+    return _WS_RE.sub(" ", _htmlmod.unescape(m.group(1))).strip() if m else ""
+
+
+@pandas_udf(T.StringType())
+def extract_text_udf(html_col: pd.Series) -> pd.Series:
+    return html_col.map(extract_text_py)
+
+
+@pandas_udf(T.StringType())
+def extract_title_udf(html_col: pd.Series) -> pd.Series:
+    return html_col.map(extract_title_py)
+
+
+def title_col(html_binary: Column) -> Column:
+    """JVM-side title extraction for well-formed fixtures (no UDF)."""
+    return F.regexp_extract(
+        F.decode(html_binary, "UTF-8"), "(?is)<title[^>]*>(.*?)</title>", 1
+    )

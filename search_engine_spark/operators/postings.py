@@ -1,0 +1,158 @@
+"""Posting-list construction + corpus statistics (SURVEY §2 R7–R10, N1).
+
+The reference materializes postings row-at-a-time into a relational
+``index`` table with an upsert per (page, lemma)
+(services/impl/LemmaServiceImpl.java:53-78); here the whole build is
+one declarative pass:
+
+    pages → tokens (JVM) → per-doc lemma counts (Arrow UDF, map-side —
+    no shuffle for tf counting) → explode → postings(term, doc, tf)
+
+Document frequency (reference ``lemma.frequency``,
+model/Lemma.java:30-34) and corpus stats (``AVG(p.length)``,
+repositories/PageRepository.java:26-27) are plain aggregates computed
+once at build and broadcast at query time.
+
+Skew note (N1): exploded postings are Zipf-skewed by term.  The only
+per-term shuffle in the *plain* layout is the df aggregate, which is a
+partial-aggregate (map-side combine) — safe under skew.  The compacted
+layout (operators/compact.py) is where explicit term-salting applies.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import DEFAULT, EngineConfig
+from search_engine_spark.functions.textproc import lemma_counts_udf
+
+
+def build_postings(
+    enriched: DataFrame,
+    id_col: str = "url",
+    analyzer: str = "lemma",
+) -> DataFrame:
+    """``postings(term, <id_col>, tf)`` — one row per (lemma, doc).
+
+    analyzer="lemma": reference semantics T5+T6+T7 (particle filter +
+    first normal form) fused in one Arrow UDF; tf counted per-doc
+    map-side, so the explode produces final postings with NO shuffle.
+
+    analyzer="tokens": raw-token postings (no lemmatization) — the
+    SQL-expressible twin used for DuckDB oracle parity; tf via
+    explode + partial-aggregating groupBy.
+    """
+    if analyzer == "lemma":
+        counts = enriched.select(
+            F.col(id_col),
+            F.explode(
+                lemma_counts_udf(F.col("tokens"), F.col("lang"))
+            ).alias("tc"),
+        )
+        return counts.select(
+            F.col("tc.term").alias("term"),
+            F.col(id_col),
+            F.col("tc.tf").alias("tf"),
+        )
+    if analyzer == "tokens":
+        exploded = enriched.select(
+            F.col(id_col), F.explode(F.col("tokens")).alias("term")
+        )
+        return exploded.groupBy("term", id_col).agg(
+            F.count(F.lit(1)).cast("int").alias("tf")
+        )
+    raise ValueError(f"unknown analyzer: {analyzer}")
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """``term_stats(term, df)`` — global document frequency (R9).
+
+    Reference quirk preserved: df is summed across ALL sites
+    (services/impl/SearchServiceImpl.java:244-255) regardless of any
+    site restriction at query time.
+    """
+    return postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def site_stats(doc_lens: DataFrame) -> DataFrame:
+    """``site_stats(site, pages)`` — page count per site (R8)."""
+    return doc_lens.groupBy("site").agg(F.count(F.lit(1)).alias("pages"))
+
+
+def doc_lens_table(enriched: DataFrame, id_col: str = "url") -> DataFrame:
+    cols = [F.col(id_col), F.col("site"), F.col("doc_len")]
+    if "title" in enriched.columns:
+        cols.append(F.col("title"))
+    return enriched.select(*cols)
+
+
+@dataclass
+class InvertedIndex:
+    """Logical index: the rebuild's counterpart of the reference's
+    page/lemma/index tables (SURVEY §1.2) as DataFrames + broadcast
+    scalars."""
+
+    postings: DataFrame          # (term, id, tf)
+    doc_lens: DataFrame          # (id, site, doc_len[, title])
+    term_stats: DataFrame        # (term, df)
+    site_stats: DataFrame        # (site, pages)
+    n_docs: int
+    avg_len: float
+    stoplist: tuple[str, ...]    # R14: the `stoplist_size` most common
+    id_col: str = "url"
+    config: EngineConfig = field(default_factory=lambda: DEFAULT)
+
+
+def compute_stoplist(
+    tstats: DataFrame, n_docs: int, size: int
+) -> tuple[str, ...]:
+    """R14: the ``size`` lowest-IDF (most common) lemmas.
+
+    Reference computes this from all lemma rows at first query
+    (services/impl/SearchServiceImpl.java:71-75, :228-235).  IDF is
+    monotone-decreasing in df, so lowest-IDF == highest-df; normative
+    tie-break: term asc (the reference's order is HashMap-iteration
+    nondeterministic).
+    """
+    rows = (
+        tstats.orderBy(F.desc("df"), F.asc("term")).limit(size).collect()
+    )
+    return tuple(r["term"] for r in rows)
+
+
+def build_index(
+    enriched: DataFrame,
+    id_col: str = "url",
+    analyzer: str = "lemma",
+    config: EngineConfig = DEFAULT,
+    cache: bool = True,
+) -> InvertedIndex:
+    """End-to-end logical index build from an enriched pages frame."""
+    dl = doc_lens_table(enriched, id_col)
+    post = build_postings(enriched, id_col, analyzer)
+    if cache:
+        dl = dl.cache()
+        post = post.cache()
+    agg = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg_len")
+    ).collect()[0]
+    n_docs = int(agg["n"])
+    avg_len = float(agg["avg_len"]) if agg["avg_len"] is not None else 0.0
+    tstats = term_stats(post)
+    if cache:
+        tstats = tstats.cache()
+    stop = compute_stoplist(tstats, n_docs, config.stoplist_size)
+    return InvertedIndex(
+        postings=post,
+        doc_lens=dl,
+        term_stats=tstats,
+        site_stats=site_stats(dl),
+        n_docs=n_docs,
+        avg_len=avg_len,
+        stoplist=stop,
+        id_col=id_col,
+        config=config,
+    )

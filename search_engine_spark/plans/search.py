@@ -1,0 +1,194 @@
+"""BM25 query path (SURVEY §3.1) — rank-identical to the reference.
+
+Reference lifecycle (services/impl/SearchServiceImpl.java:55-99):
+query lemmas → dictionary probe (R1) → IDF with the global-df /
+local-N quirk (R9/R11) → stop-lemma removal (R14/R19) → candidates =
+posting list of the single RAREST lemma only (R13, :164-174) → per
+(page, lemma) TF point-probe loop (R5) → BM25 with tf = rank/len
+(R12, :269-279) → sort desc (R15) → offset/limit (R17).
+
+Spark rebuild: the O(pages × lemmas) point-probe loop collapses into
+ONE join of candidate pages × query-term postings; BM25 is pure column
+arithmetic inside whole-stage codegen; top-k goes through
+``orderBy().limit()`` → TakeOrderedAndProject (true distributed
+top-k, no global sort); pagination windows only the ≤ offset+limit
+surviving rows.
+
+Semantics locked by tests (easy to "fix" accidentally — don't):
+- tf is PRE-normalized by doc length before entering the classic BM25
+  formula (SearchServiceImpl.java:274-279) — nonstandard, copied.
+- df is global across all sites, while N counts only the searched
+  sites (SearchServiceImpl.java:244-255).
+- avg page length is global (PageRepository.java:26-27), even under a
+  site restriction.
+- absent (page, lemma) → tf = 0 → the term contributes 0 (:269-272).
+- tie-break: (score desc, id asc) — normative; the reference's order
+  on ties is HashMap-nondeterministic (:207-216).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.textproc import lemma_counts_py, tokenize_py
+from search_engine_spark.operators.postings import InvertedIndex
+
+
+def analyze_query(query: str, lang: str = "english",
+                  analyzer: str = "lemma") -> list[str]:
+    """Query string → distinct terms (same pipeline as indexing)."""
+    if analyzer == "lemma":
+        return sorted(lemma_counts_py(query, lang))
+    return sorted(set(tokenize_py(query, lang)))
+
+
+def query_term_idf(
+    index: InvertedIndex,
+    terms: list[str],
+    sites: list[str] | None = None,
+) -> dict[str, float]:
+    """IDF per query term — R11 with the global-df/local-N quirk.
+
+    idf = ln((N − df + 0.5) / (df + 0.5))  [Robertson; may go negative]
+    """
+    if not terms:
+        return {}
+    if sites:
+        rows = (
+            index.site_stats.filter(F.col("site").isin(sites))
+            .agg(F.sum("pages").alias("n"))
+            .collect()
+        )
+        n = int(rows[0]["n"] or 0)
+    else:
+        n = index.n_docs
+    df_rows = (
+        index.term_stats.filter(F.col("term").isin(terms)).collect()
+    )
+    out = {}
+    for r in df_rows:
+        df = int(r["df"])
+        ratio = (n - df + 0.5) / (df + 0.5)
+        # Normative: global df may exceed local N under a site
+        # restriction (the quirk); the reference's Math.log(<=0) would
+        # be NaN, poisoning all scores — we drop such terms instead.
+        if ratio > 0:
+            out[r["term"]] = math.log(ratio)
+    return out  # terms absent from the dictionary are dropped (R1)
+
+
+def search(
+    index: InvertedIndex,
+    query: str,
+    sites: list[str] | None = None,
+    offset: int = 0,
+    limit: int = 20,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+) -> DataFrame:
+    """Top-(offset+limit) BM25 results: (id, site, score, rn).
+
+    Returns an EMPTY frame (same schema) when no query term survives
+    analysis/stop-removal — mirroring the reference's empty response.
+    """
+    spark = index.postings.sparkSession
+    id_col = index.id_col
+    k1, b = index.config.bm25.k1, index.config.bm25.b
+
+    terms = analyze_query(query, lang, analyzer)
+    if use_stoplist:
+        stop = set(index.stoplist)
+        terms = [t for t in terms if t not in stop]  # R14/R19
+    idf = query_term_idf(index, terms, sites)
+    terms = [t for t in terms if t in idf]
+
+    empty = spark.createDataFrame(
+        [], f"{id_col} string, site string, score double, rn int"
+    )
+    if not terms:
+        return empty
+
+    # R13: candidates = postings of the single rarest (max-IDF) lemma;
+    # normative tie-break on equal IDF: term asc.
+    rarest = sorted(terms, key=lambda t: (-idf[t], t))[0]
+
+    doc_lens = index.doc_lens
+    if sites:
+        doc_lens = doc_lens.filter(F.col("site").isin(sites))  # R2
+
+    candidates = (
+        index.postings.filter(F.col("term") == rarest)
+        .select(id_col)
+        .join(doc_lens.select(id_col, "site", "doc_len"), id_col)
+    )
+
+    # R5 collapsed: one join of candidates × all-query-term postings.
+    qpost = index.postings.filter(F.col("term").isin(terms))
+    idf_map = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(idf[t]))]
+    )
+    scored = (
+        candidates.join(qpost, id_col, "inner")
+        .withColumn("idf", idf_map[F.col("term")])
+        .withColumn("tf_norm",
+                    F.col("tf").cast("double") / F.col("doc_len"))
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf_norm") * F.lit(k1 + 1.0)
+            / (
+                F.col("tf_norm")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("doc_len") / F.lit(index.avg_len)
+                )
+            ),
+        )
+        .groupBy(id_col, "site")
+        .agg(F.sum("term_score").alias("score"))
+    )
+
+    # R15+R17+R18: distributed top-(offset+limit), then paginate the
+    # tiny surviving set.
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(
+        offset + limit
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        top.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > offset)
+        .select(id_col, "site", "score", "rn")
+    )
+
+
+def search_total(
+    index: InvertedIndex,
+    query: str,
+    sites: list[str] | None = None,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+) -> int:
+    """Pre-pagination candidate total (the reference's ``count``,
+    SearchServiceImpl.java:89-98)."""
+    terms = analyze_query(query, lang, analyzer)
+    if use_stoplist:
+        terms = [t for t in terms if t not in set(index.stoplist)]
+    idf = query_term_idf(index, terms, sites)
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return 0
+    rarest = sorted(terms, key=lambda t: (-idf[t], t))[0]
+    doc_lens = index.doc_lens
+    if sites:
+        doc_lens = doc_lens.filter(F.col("site").isin(sites))
+    return (
+        index.postings.filter(F.col("term") == rarest)
+        .join(doc_lens.select(index.id_col), index.id_col)
+        .count()
+    )

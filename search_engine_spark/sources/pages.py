@@ -1,0 +1,81 @@
+"""Input-corpus sources (SURVEY §2.1 S1–S3).
+
+The reference crawls the web itself (RecursiveWebParser fork/join,
+services/utils/RecursiveWebParser.java:56-92); per BASELINE.json
+input_hint, the rebuild's input is an already-crawled Common-Crawl-style
+table ``(url, warc_ts, html, text, lang)``.  Iceberg when the runtime
+has the iceberg catalog configured, hive-partitioned parquet otherwise —
+every table op used (append / overwrite / partition-pruned read) exists
+in both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.textproc import (
+    doc_len_col,
+    extract_text_udf,
+    title_col,
+    tokens_col,
+)
+
+PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def read_pages(spark: SparkSession, path_or_table: str) -> DataFrame:
+    """Read the input corpus (iceberg table name or parquet path)."""
+    if "/" not in path_or_table and "." in path_or_table:
+        try:
+            return spark.read.table(path_or_table)
+        except Exception:
+            pass
+    return spark.read.parquet(path_or_table)
+
+
+def enrich_pages(pages: DataFrame, use_html: bool = False) -> DataFrame:
+    """Derive site / text / title / tokens / doc_len.
+
+    - ``site`` = url host (reference ``PageIntrospect.getDomain``,
+      services/utils/PageIntrospect.java:22-40 → built-in ``parse_url``)
+    - ``text`` comes straight from the input column when populated
+      (input_hint provides both html and text); ``use_html=True`` forces
+      re-extraction through the T1 pandas UDF.
+    - crawl dedup (reference Redis visited-set,
+      RecursiveWebParser.java:164-169) → ``dropDuplicates(url)``.
+    """
+    df = pages.dropDuplicates(["url"])
+    text = (
+        extract_text_udf(F.col("html"))
+        if use_html
+        else F.coalesce(F.col("text"), extract_text_udf(F.col("html")))
+    )
+    df = df.withColumn("text", text)
+    df = df.withColumn("site", F.parse_url(F.col("url"), F.lit("HOST")))
+    if "html" in df.columns:
+        df = df.withColumn("title", title_col(F.col("html")))
+    df = df.withColumn("tokens", tokens_col(F.col("text"), F.col("lang")))
+    df = df.withColumn("doc_len", doc_len_col(F.col("tokens")))
+    return df
+
+
+def documents_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's ``documents`` table to the pages shape.
+
+    documents(doc_id, text, lang, source, n_chars) → url is synthesized
+    as ``doc://{source}/{doc_id}`` so `site` == source; used by the
+    DuckDB-checked queries in __spark_entry__.py.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = docs.select(
+        F.concat(F.lit("doc://"), F.col("source"), F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.col("doc_id"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("source").alias("site"),
+    )
+    df = df.withColumn("tokens", tokens_col(F.col("text"), F.col("lang")))
+    df = df.withColumn("doc_len", doc_len_col(F.col("tokens")))
+    return df

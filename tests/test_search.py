@@ -1,0 +1,133 @@
+"""End-to-end rank-identity: Spark engine vs pure-Python oracle.
+
+Covers the reference query set shapes (FIXTURES.md §2): single rare
+term, stop-listed head term (empty result), multi-term mixed rarity,
+absent term, inflected forms, site-restricted (global-df/local-N
+quirk), and offset/limit pagination.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from search_engine_spark.operators.postings import build_index
+from search_engine_spark.plans.search import search, search_total
+from search_engine_spark.sources.fixtures import generate_pages_pdf, pages_df
+from search_engine_spark.sources.pages import enrich_pages
+from tests.oracle import OracleDoc, OracleIndex
+
+QUERIES = [
+    "crystal meadow",              # two mid/rare terms
+    "falcon",                      # single rare term
+    "spark",                       # head term (likely stop-listed)
+    "zzzzunknownzzzz",             # absent from corpus
+    "queries indexing searched",   # inflected forms -> lemmas
+    "nebula orchid prairie quartz",  # multi-term
+    "the and of",                  # all particles -> empty
+    "glacier horizon the running",  # mixed: particles + content
+]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_pages_pdf(200, n_sites=4, seed=42)
+
+
+@pytest.fixture(scope="module")
+def spark_index(spark, corpus):
+    df = pages_df(spark, 200, n_sites=4, seed=42, n_partitions=8)
+    return build_index(enrich_pages(df))
+
+
+@pytest.fixture(scope="module")
+def oracle_index(corpus):
+    docs = [
+        OracleDoc(
+            doc_id=r["url"],
+            site=r["url"].split("/")[2],
+            text=r["text"],
+            lang=r["lang"],
+        )
+        for _, r in corpus.iterrows()
+    ]
+    return OracleIndex(docs)
+
+
+def _assert_rank_identical(got_rows, expect, id_col="url"):
+    got = [(r[id_col], r["score"]) for r in got_rows]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for (gid, gs), (eid, es) in zip(got, expect):
+        assert math.isclose(gs, es, rel_tol=1e-6), (gid, gs, es)
+
+
+def test_stoplist_matches(spark_index, oracle_index):
+    assert set(spark_index.stoplist) == set(oracle_index.stoplist)
+    assert tuple(sorted(spark_index.stoplist)) == tuple(
+        sorted(oracle_index.stoplist)
+    )
+
+
+def test_corpus_stats_match(spark_index, oracle_index):
+    assert spark_index.n_docs == oracle_index.n_docs
+    assert math.isclose(
+        spark_index.avg_len, oracle_index.avg_len, rel_tol=1e-9
+    )
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identity_top10(spark_index, oracle_index, query):
+    got = search(spark_index, query, limit=10).collect()
+    expect = oracle_index.search(query, limit=10)
+    _assert_rank_identical(got, expect)
+
+
+def test_site_restricted(spark_index, oracle_index):
+    sites = ["site00.example", "site02.example"]
+    q = "crystal meadow falcon"
+    got = search(spark_index, q, sites=sites, limit=10).collect()
+    expect = oracle_index.search(q, sites=sites, limit=10)
+    _assert_rank_identical(got, expect)
+    for r in got:
+        assert r["site"] in sites
+
+
+def test_pagination(spark_index, oracle_index):
+    q = "crystal meadow"
+    full = oracle_index.search(q, limit=50)
+    if len(full) < 7:
+        pytest.skip("corpus too small for pagination case")
+    got = search(spark_index, q, offset=3, limit=4).collect()
+    expect = oracle_index.search(q, offset=3, limit=4)
+    _assert_rank_identical(got, expect)
+    assert [r["rn"] for r in got] == [4, 5, 6, 7]
+
+
+def test_total_count(spark_index, oracle_index):
+    q = "crystal meadow"
+    assert search_total(spark_index, q) == oracle_index.total(q)
+
+
+def test_df_quirk_site_restriction_changes_scores(
+    spark_index, oracle_index
+):
+    """df stays global while N shrinks to the selected sites — scores
+    must shift exactly as the oracle says (the quirk is preserved)."""
+    q = "falcon glacier"
+    all_scores = {r[0]: r[1] for r in oracle_index.search(q, limit=50)}
+    one_site = oracle_index.search(q, sites=["site01.example"], limit=50)
+    got = search(
+        spark_index, q, sites=["site01.example"], limit=50
+    ).collect()
+    _assert_rank_identical(got, one_site)
+    # sanity: restricting sites changes N hence scores differ
+    if one_site and one_site[0][0] in all_scores:
+        assert not math.isclose(
+            one_site[0][1], all_scores[one_site[0][0]], rel_tol=1e-12
+        )
+
+
+def test_empty_query_returns_empty(spark_index):
+    assert search(spark_index, "").count() == 0
+    assert search(spark_index, "...!!!").count() == 0

@@ -1,0 +1,139 @@
+"""Unit tests for T1–T7 (SURVEY §2.2) + the byte-identical invariant."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.lemmatizer import (
+    is_particle,
+    lemma_en,
+    lemmatize,
+)
+from search_engine_spark.functions.textproc import (
+    doc_len_col,
+    extract_text_py,
+    extract_title_py,
+    lemma_counts_py,
+    lemma_counts_udf,
+    tokenize_py,
+    tokens_col,
+)
+from search_engine_spark.sources.fixtures import generate_pages_pdf
+from tests.oracle import oracle_lemma_counts, oracle_tokenize
+
+# ---- T3 tokenizer (SentenceUtil.java:73-80 semantics) -------------------
+
+TOKENIZER_GOLDEN = [
+    ("Hello, World! 42", ["hello", "world"]),
+    ("  spaced   out  ", ["spaced", "out"]),
+    ("digits123inside", ["digits", "inside"]),
+    ("", []),
+    ("...!!!", []),
+    ("UPPER lower MiXeD", ["upper", "lower", "mixed"]),
+    ("hyphen-ated words", ["hyphen", "ated", "words"]),
+]
+
+
+def test_tokenize_py_golden():
+    for text, expect in TOKENIZER_GOLDEN:
+        assert tokenize_py(text) == expect, text
+        assert oracle_tokenize(text) == expect, text
+
+
+def test_tokens_col_matches_python(spark):
+    texts = [t for t, _ in TOKENIZER_GOLDEN] + [
+        "The quick brown Fox; jumped over 2 lazy dogs!"
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        "text", tokens_col(F.col("text")).alias("toks"),
+        doc_len_col(tokens_col(F.col("text"))).alias("n"),
+    ).collect()
+    for r in rows:
+        assert list(r["toks"]) == tokenize_py(r["text"]), r["text"]
+        assert r["n"] == len(tokenize_py(r["text"]))
+
+
+def test_russian_tokenizer_excludes_yo():
+    # reference range [а-я] excludes ё (SentenceUtil.java:76)
+    assert tokenize_py("ёж идёт домой", "russian") == ["ж", "ид", "т", "домой"]
+
+
+# ---- T5/T6 lemmatizer ----------------------------------------------------
+
+LEMMA_GOLDEN = [
+    ("cats", "cat"),
+    ("running", "run"),
+    ("stopped", "stop"),
+    ("queries", "query"),
+    ("classes", "class"),
+    ("children", "child"),
+    ("went", "go"),
+    ("was", "be"),
+    ("making", "make"),
+    ("indices", "index"),
+    ("engines", "engine"),
+    ("searching", "search"),
+    ("crawled", "crawl"),
+    ("boxes", "box"),
+    ("class", "class"),
+    ("news", "news"),
+    ("status", "status"),
+]
+
+
+def test_lemma_golden():
+    for word, expect in LEMMA_GOLDEN:
+        assert lemma_en(word) == expect, word
+
+
+def test_particles_dropped():
+    for w in ["the", "a", "an", "and", "of", "in", "not", "oh"]:
+        assert is_particle(w)
+        assert lemmatize(w) == ""
+
+
+def test_single_letters_dropped():
+    # un-analyzable -> silent drop (LemmaServiceImpl.java:97)
+    assert lemmatize("x") == ""
+
+
+def test_lemma_counts_py():
+    counts = lemma_counts_py("the cats and the cat ran running")
+    assert counts == {"cat": 2, "run": 2}
+
+
+def test_lemma_counts_udf_matches_python(spark):
+    pdf = generate_pages_pdf(16, n_sites=2, seed=7)
+    df = spark.createDataFrame(pdf[["url", "text", "lang"]])
+    df = df.withColumn("tokens", tokens_col(F.col("text"), F.col("lang")))
+    rows = df.select(
+        "url", "text", "lang",
+        lemma_counts_udf(F.col("tokens"), F.col("lang")).alias("tc"),
+    ).collect()
+    for r in rows:
+        got = {x["term"]: x["tf"] for x in r["tc"]}
+        assert got == oracle_lemma_counts(r["text"], r["lang"]), r["url"]
+
+
+# ---- T1/T2 html extraction + byte-identical invariant --------------------
+
+def test_extract_text_byte_identical_on_fixtures():
+    pdf = generate_pages_pdf(64, n_sites=2, seed=42)
+    for _, row in pdf.iterrows():
+        assert extract_text_py(row["html"]) == row["text"], row["url"]
+
+
+def test_extract_text_strips_script_style():
+    html = (
+        b"<html><head><title>T</title><style>p{color:red}</style></head>"
+        b"<body><p>keep me</p><script>var x=1;</script></body></html>"
+    )
+    assert extract_text_py(html) == "keep me"
+
+
+def test_extract_title():
+    pdf = generate_pages_pdf(8, n_sites=2, seed=3)
+    for _, row in pdf.iterrows():
+        t = extract_title_py(row["html"])
+        assert t and t == " ".join(row["text"].split()[:4]).rstrip(".")
