@@ -1,38 +1,667 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-10 on the sf0.001 documents table.
+``queries()`` — one entry per implemented operator (SURVEY.md §2);
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible one.
+
+Both sides share EXACT semantics: the tokenizer is the reference's
+``SentenceUtil.splitToWords`` (lowercase, non-letters→space, split);
+BM25 uses the reference's tf = rank/len variant with k1=1.5 b=0.75
+(application.properties:19-20), the 20-term stop-list, rarest-lemma
+candidate generation, and the global-df/local-N site quirk.  Floating
+scores are rounded to 6 dp on both sides; averages are computed as
+exact-integer-SUM / COUNT so they are bit-deterministic.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+K1, B = 1.5, 0.75
+STOPLIST_SIZE = 20
+FLAGSHIP_TERMS = ["dup", "fast", "key"]
+FLAGSHIP_QUERY = " ".join(FLAGSHIP_TERMS)
+SITES_RESTRICTED = ["src1", "src2"]
+
+# ---------------------------------------------------------------------------
+# shared helpers (Spark side)
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE: dict = {}
+
+
+def _docs_index(spark: SparkSession, sf_dir: str):
+    """Tokens-analyzer inverted index over the documents table
+    (cached per sf_dir within the process)."""
+    from search_engine_spark.operators.postings import build_index
+    from search_engine_spark.sources.pages import documents_as_pages
+
+    key = (id(spark), sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = documents_as_pages(spark, sf_dir)
+        _INDEX_CACHE[key] = build_index(
+            docs, id_col="doc_id", analyzer="tokens"
+        )
+    return _INDEX_CACHE[key]
+
+
+def _docs_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_engine_spark.sources.pages import documents_as_pages
+
+    return documents_as_pages(spark, sf_dir)
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _search_docs(spark, sf_dir, query, sites=None, offset=0, limit=10):
+    from search_engine_spark.plans.search import search
+
+    idx = _docs_index(spark, sf_dir)
+    res = search(idx, query, sites=sites, offset=offset, limit=limit,
+                 analyzer="tokens")
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB side) — mirror the engine exactly
+# ---------------------------------------------------------------------------
+
+_TOKS = r"""
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(
+             trim(regexp_replace(lower(text), '[^a-z\s]', ' ', 'g')),
+             '\s+'),
+           t -> t <> '')) AS term
+  FROM documents
+)
+"""
+
+_POSTINGS = "postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)"
+
+_LENS = """
+lens AS (
+  SELECT d.doc_id, d.source AS site, coalesce(t.c, 0) AS doc_len
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t
+  USING (doc_id)
+)
+"""
+
+_TSTATS = "tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1)"
+
+_STOP = f"stop AS (SELECT term FROM tstats ORDER BY df DESC, term ASC LIMIT {STOPLIST_SIZE})"
+
+
+def _bm25_sql(terms: list[str], sites: list[str] | None = None,
+              offset: int = 0, limit: int = 10) -> str:
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    if sites:
+        site_list = ", ".join(f"'{s}'" for s in sites)
+        n_expr = f"(SELECT count(*) FROM documents WHERE source IN ({site_list}))"
+        cand_site = f"JOIN lens lc ON lc.doc_id = p.doc_id AND lc.site IN ({site_list})"
+    else:
+        n_expr = "(SELECT count(*) FROM documents)"
+        cand_site = ""
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+nn AS (SELECT {n_expr} AS n,
+              (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*) FROM lens) AS avg_len),
+qt AS (
+  SELECT ts.term, ts.df,
+         ln((nn.n - ts.df + 0.5) / (ts.df + 0.5)) AS idf
+  FROM tstats ts CROSS JOIN nn
+  WHERE ts.term IN ({term_list})
+    AND ts.term NOT IN (SELECT term FROM stop)
+    AND (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0
+),
+rarest AS (SELECT term FROM qt ORDER BY df ASC, term ASC LIMIT 1),
+cand AS (
+  SELECT p.doc_id FROM postings p
+  JOIN rarest r ON p.term = r.term
+  {cand_site}
+),
+scored AS (
+  SELECT c.doc_id,
+         sum(qt.idf * (p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+             / ((p.tf::DOUBLE / l.doc_len)
+                + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len))) AS score
+  FROM cand c
+  JOIN postings p ON p.doc_id = c.doc_id
+  JOIN qt ON qt.term = p.term
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nn
+  GROUP BY c.doc_id
+),
+ranked AS (
+  SELECT doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+  FROM scored
+)
+SELECT doc_id, score, rn FROM ranked
+WHERE rn > {offset} AND rn <= {offset + limit}
+"""
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 over sf0.001 documents (rank semantics of
+    the reference search endpoint)."""
+    return _search_docs(spark, "/root/testdata/sf0.001", FLAGSHIP_QUERY)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from search_engine_spark.functions.analysis import (
+        alpha_ratio,
+        bpe_token_count,
+        fingerprint,
+        lang_id,
+        quality_score,
+        stopword_ratio,
+        ws_token_count,
+    )
+    from search_engine_spark.operators.dedup import (
+        exact_dedup_groups,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_table,
+    )
+    from search_engine_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def tokenize_doclen(spark, sf):
+        return _docs_enriched(spark, sf).select(
+            "doc_id", F.col("doc_len").cast("long").alias("doc_len")
+        )
+
+    def postings_q(spark, sf):
+        idx = _docs_index(spark, sf)
+        return idx.postings.select(
+            "term", "doc_id", F.col("tf").cast("long").alias("tf")
+        )
+
+    def term_stats_q(spark, sf):
+        return _docs_index(spark, sf).term_stats.select("term", "df")
+
+    def doc_stats_q(spark, sf):
+        idx = _docs_index(spark, sf)
+        return spark.createDataFrame(
+            [(idx.n_docs, idx.avg_len)], "n_docs long, avg_len double"
+        )
+
+    def stoplist_q(spark, sf):
+        idx = _docs_index(spark, sf)
+        return spark.createDataFrame(
+            [(t,) for t in idx.stoplist], "term string"
+        )
+
+    def idf_q(spark, sf):
+        from search_engine_spark.plans.search import query_term_idf
+
+        idx = _docs_index(spark, sf)
+        idf = query_term_idf(idx, FLAGSHIP_TERMS)
+        rows = [(t, float(round(v, 6))) for t, v in sorted(idf.items())]
+        return spark.createDataFrame(rows, "term string, idf double")
+
+    def bm25_topk(spark, sf):
+        return _search_docs(spark, sf, FLAGSHIP_QUERY, limit=10)
+
+    def bm25_site_restricted(spark, sf):
+        return _search_docs(
+            spark, sf, FLAGSHIP_QUERY, sites=SITES_RESTRICTED, limit=10
+        )
+
+    def bm25_pagination(spark, sf):
+        return _search_docs(spark, sf, FLAGSHIP_QUERY, offset=3, limit=5)
+
+    def dedup_exact(spark, sf):
+        return exact_dedup_groups(
+            _read(spark, sf, "documents"), "text", "doc_id"
+        )
+
+    def dedup_exact_normalized(spark, sf):
+        # near-dups in the testdata differ only by an injected 'dup'
+        # token; normalizing it away makes them exact dups.
+        docs = _read(spark, sf, "documents").withColumn(
+            "ntext",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), r"\bdup\b", " "),
+                    r"\s+", " ",
+                )
+            ),
+        )
+        return exact_dedup_groups(docs, "ntext", "doc_id").filter(
+            F.col("n_dups") > 1
+        )
+
+    def ngram_jaccard(spark, sf):
+        return ngram_jaccard_pairs(
+            _docs_enriched(spark, sf), "doc_id", "tokens",
+            n=3, threshold=0.5,
+        )
+
+    def minhash_pairs(spark, sf):  # rows-only check (hash not in SQL)
+        return minhash_lsh_pairs(
+            _docs_enriched(spark, sf), "doc_id", "tokens",
+            n=3, k=32, bands=8, threshold=0.5,
+        )
+
+    def simhash(spark, sf):  # rows-only check
+        return simhash_table(_docs_enriched(spark, sf), "doc_id", "tokens")
+
+    def ann_cosine_topk(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 3)
+        return cosine_topk_bruteforce(emb, qs, k=5).select(
+            "query_id", "neighbor_id", "sim",
+            F.col("rank").cast("int").alias("rank"),
+        )
+
+    def ann_cosine_lsh(spark, sf):  # rows-only check (approximate)
+        emb = _read(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 3)
+        return cosine_topk_lsh(emb, qs, k=5)
+
+    def text_quality(spark, sf):
+        docs = _docs_enriched(spark, sf)
+        return docs.select(
+            "doc_id",
+            ws_token_count(F.col("text")).alias("n_ws_tokens"),
+            bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+            F.round(alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
+            F.round(stopword_ratio(F.col("tokens")), 6).alias("stop_ratio"),
+            quality_score(F.col("text"), F.col("tokens")).alias("quality"),
+        )
+
+    def lang_id_q(spark, sf):
+        return _read(spark, sf, "documents").select(
+            "doc_id", lang_id(F.col("text")).alias("lang_guess")
+        )
+
+    def fingerprint_q(spark, sf):
+        return _read(spark, sf, "documents").select(
+            "doc_id", fingerprint(F.col("text")).alias("fp")
+        )
+
+    # ---- relational operator checks over the TPC-H-ish tables ----
+
+    def agg_sum_by_key(spark, sf):  # R9: sum-by-key (TPC-H Q1 shape)
+        li = _read(spark, sf, "lineitem")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                .cast("double").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                .cast("double").alias("sum_price"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+        )
+
+    def join_revenue_topk(spark, sf):  # R3 + R18
+        orders = _read(spark, sf, "orders")
+        cust = _read(spark, sf, "customer")
+        return (
+            orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey)
+            .groupBy("c_name")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+            .orderBy(F.desc("revenue"), F.asc("c_name"))
+            .limit(10)
+        )
+
+    def anti_join_no_orders(spark, sf):  # R19
+        cust = _read(spark, sf, "customer")
+        orders = _read(spark, sf, "orders")
+        return (
+            cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_anti")
+            .select("c_custkey", "c_name")
+        )
+
+    def semi_join_segments(spark, sf):  # R20
+        cust = _read(spark, sf, "customer")
+        orders = _read(spark, sf, "orders")
+        return (
+            cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_semi")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+        )
+
+    def topk_orders(spark, sf):  # R15 + R18
+        return (
+            _read(spark, sf, "orders")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(10)
+            .select("o_orderkey", "o_totalprice")
+        )
+
+    def window_pagination(spark, sf):  # R17
+        orders = _read(spark, sf, "orders")
+        w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        return (
+            orders.withColumn("rn", F.row_number().over(w).cast("int"))
+            .filter((F.col("rn") > 10) & (F.col("rn") <= 20))
+            .select("o_orderkey", "o_totalprice", "rn")
+        )
+
+    def grouped_statistics(spark, sf):  # R22
+        cust = _read(spark, sf, "customer")
+        supp = _read(spark, sf, "supplier")
+        nation = _read(spark, sf, "nation")
+        c = cust.groupBy("c_nationkey").agg(
+            F.count(F.lit(1)).alias("n_customers"))
+        s = supp.groupBy("s_nationkey").agg(
+            F.count(F.lit(1)).alias("n_suppliers"))
+        return (
+            nation.join(c, nation.n_nationkey == c.c_nationkey, "left")
+            .join(s, nation.n_nationkey == s.s_nationkey, "left")
+            .select(
+                "n_name",
+                F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+                F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            )
+        )
+
+    def union_distinct(spark, sf):  # R21
+        cust = _read(spark, sf, "customer").select(
+            F.col("c_nationkey").alias("nationkey"))
+        supp = _read(spark, sf, "supplier").select(
+            F.col("s_nationkey").alias("nationkey"))
+        return cust.union(supp).distinct()
+
+    def distinct_values(spark, sf):  # R6
+        return _read(spark, sf, "events").select("event_type").distinct()
+
+    def avg_scalar(spark, sf):  # R7
+        docs = _read(spark, sf, "documents")
+        return docs.agg(
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1)))
+            .alias("avg_chars")
+        )
+
+    def event_hourly_window(spark, sf):  # windowed agg over events
+        ev = _read(spark, sf, "events")
+        return (
+            ev.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,4)"))
+                .cast("double").alias("sum_value"),
+            )
+        )
+
+    return {
+        "tokenize_doclen": tokenize_doclen,
+        "postings": postings_q,
+        "term_stats": term_stats_q,
+        "doc_stats": doc_stats_q,
+        "stoplist": stoplist_q,
+        "query_idf": idf_q,
+        "bm25_topk": bm25_topk,
+        "bm25_site_restricted": bm25_site_restricted,
+        "bm25_pagination": bm25_pagination,
+        "dedup_exact": dedup_exact,
+        "dedup_exact_normalized": dedup_exact_normalized,
+        "ngram_jaccard_pairs": ngram_jaccard,
+        "minhash_lsh_pairs": minhash_pairs,
+        "simhash": simhash,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_cosine_lsh": ann_cosine_lsh,
+        "text_quality": text_quality,
+        "lang_id": lang_id_q,
+        "fingerprint": fingerprint_q,
+        "agg_sum_by_key": agg_sum_by_key,
+        "join_revenue_topk": join_revenue_topk,
+        "anti_join_no_orders": anti_join_no_orders,
+        "semi_join_segments": semi_join_segments,
+        "topk_orders": topk_orders,
+        "window_pagination": window_pagination,
+        "grouped_statistics": grouped_statistics,
+        "union_distinct": union_distinct,
+        "distinct_values": distinct_values,
+        "avg_scalar": avg_scalar,
+        "event_hourly_window": event_hourly_window,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from search_engine_spark.functions.analysis import (
+        BPE_PATTERN,
+        QUALITY_STOPWORDS,
+    )
+
+    stopword_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    toks_list = (
+        "list_filter(string_split_regex(trim(regexp_replace(lower(text), "
+        r"'[^a-z\s]', ' ', 'g')), '\s+'), t -> t <> '')"
+    )
+
+    return {
+        "tokenize_doclen": f"""
+            SELECT doc_id, len({toks_list}) AS doc_len FROM documents
+        """,
+        "postings": f"WITH {_TOKS} SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2",
+        "term_stats": f"WITH {_TOKS}, {_POSTINGS} SELECT term, count(*) AS df FROM postings GROUP BY 1",
+        "doc_stats": f"""
+            WITH {_TOKS}, {_LENS}
+            SELECT count(*) AS n_docs,
+                   CAST(sum(doc_len) AS DOUBLE) / count(*) AS avg_len
+            FROM lens
+        """,
+        "stoplist": f"WITH {_TOKS}, {_POSTINGS}, {_TSTATS} SELECT term FROM tstats ORDER BY df DESC, term ASC LIMIT {STOPLIST_SIZE}",
+        "query_idf": f"""
+            WITH {_TOKS}, {_POSTINGS}, {_TSTATS},
+            nn AS (SELECT count(*) AS n FROM documents)
+            SELECT term,
+                   round(ln((nn.n - df + 0.5) / (df + 0.5)), 6) AS idf
+            FROM tstats CROSS JOIN nn
+            WHERE term IN ({", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)})
+        """,
+        "bm25_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
+        "bm25_site_restricted": _bm25_sql(
+            FLAGSHIP_TERMS, sites=SITES_RESTRICTED, limit=10
+        ),
+        "bm25_pagination": _bm25_sql(FLAGSHIP_TERMS, offset=3, limit=5),
+        "dedup_exact": """
+            SELECT md5(text) AS fp, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "dedup_exact_normalized": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(text, '\bdup\b', ' ', 'g'),
+                       '\s+', ' ', 'g')) AS ntext
+              FROM documents)
+            SELECT md5(ntext) AS fp, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM norm GROUP BY 1 HAVING count(*) > 1
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH lt AS (SELECT doc_id, {toks_list} AS tokens FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
+              FROM lt, unnest(range(1, len(tokens) - 1)) AS r(i)
+              WHERE len(tokens) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(i::DOUBLE / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.5
+        """,
+        "ann_cosine_topk": """
+            WITH qs AS (SELECT vec_id AS query_id,
+                               CAST(embedding AS DOUBLE[]) AS qvec
+                        FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(
+                       q.qvec, CAST(e.embedding AS DOUBLE[])), 6)
+                       AS sim
+              FROM embeddings e CROSS JOIN qs q
+              WHERE e.vec_id <> q.query_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS INTEGER)
+                       AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, sim, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "text_quality": f"""
+            WITH lt AS (
+              SELECT doc_id, text, {toks_list} AS tokens FROM documents
+            )
+            SELECT doc_id,
+              len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              t -> t <> '')) AS n_ws_tokens,
+              len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))
+                AS n_bpe_tokens,
+              round(CASE WHEN length(lower(text)) > 0
+                    THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                         / length(lower(text))
+                    ELSE 0.0 END, 6) AS alpha_ratio,
+              round(CASE WHEN len(tokens) > 0
+                    THEN len(list_filter(tokens,
+                         t -> t IN ({stopword_list})))::DOUBLE / len(tokens)
+                    ELSE 0.0 END, 6) AS stop_ratio,
+              round(
+                0.4 * least(len(tokens)::DOUBLE / 100.0, 1.0)
+                + 0.3 * (CASE WHEN length(lower(text)) > 0
+                    THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                         / length(lower(text)) ELSE 0.0 END)
+                + 0.3 * (1.0 - abs((CASE WHEN len(tokens) > 0
+                    THEN len(list_filter(tokens,
+                         t -> t IN ({stopword_list})))::DOUBLE / len(tokens)
+                    ELSE 0.0 END) - 0.15) / 0.85), 6) AS quality
+            FROM lt
+        """,
+        "lang_id": """
+            SELECT doc_id,
+              CASE
+                WHEN length(regexp_replace(lower(text), '[^a-z]', '', 'g')) = 0
+                 AND length(regexp_replace(lower(text), '[^а-яё]', '', 'g')) = 0
+                THEN 'unknown'
+                WHEN length(regexp_replace(lower(text), '[^а-яё]', '', 'g'))
+                   > length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                THEN 'ru' ELSE 'en' END AS lang_guess
+            FROM documents
+        """,
+        "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "agg_sum_by_key": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                     AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                     AS sum_price,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "join_revenue_topk": """
+            SELECT c_name,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY revenue DESC, c_name ASC LIMIT 10
+        """,
+        "anti_join_no_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "semi_join_segments": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            GROUP BY 1
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "window_pagination": """
+            WITH ranked AS (
+              SELECT o_orderkey, o_totalprice,
+                     CAST(row_number() OVER (
+                       ORDER BY o_totalprice DESC, o_orderkey ASC)
+                       AS INTEGER) AS rn
+              FROM orders)
+            SELECT o_orderkey, o_totalprice, rn FROM ranked
+            WHERE rn > 10 AND rn <= 20
+        """,
+        "grouped_statistics": """
+            SELECT n_name,
+                   coalesce(c.n_customers, 0) AS n_customers,
+                   coalesce(s.n_suppliers, 0) AS n_suppliers
+            FROM nation
+            LEFT JOIN (SELECT c_nationkey, count(*) AS n_customers
+                       FROM customer GROUP BY 1) c
+              ON n_nationkey = c.c_nationkey
+            LEFT JOIN (SELECT s_nationkey, count(*) AS n_suppliers
+                       FROM supplier GROUP BY 1) s
+              ON n_nationkey = s.s_nationkey
+        """,
+        "union_distinct": """
+            SELECT DISTINCT nationkey FROM (
+              SELECT c_nationkey AS nationkey FROM customer
+              UNION ALL
+              SELECT s_nationkey AS nationkey FROM supplier)
+        """,
+        "distinct_values": "SELECT DISTINCT event_type FROM events",
+        "avg_scalar": """
+            SELECT CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+            FROM documents
+        """,
+        "event_hourly_window": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

@@ -1,0 +1,134 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline operator suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32):
+
+- index-build throughput over a generated web-pages corpus (the full
+  lemma/Arrow-UDF path: the north-rule build metric, reported as
+  ``docs_per_sec_build``)
+- BM25 query latencies over the documents table (tokens analyzer)
+- dedup (minhash LSH + ngram jaccard), ANN (brute force + LSH)
+- relational suite over the TPC-H-ish tables
+
+Output: {"metric": "headline_suite_seconds", "value": <total_sec>,
+         "unit": "sec", "queries": {...per-query sec...}, "sf": ...,
+         "docs_per_sec_build": ..., "cpus": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BUILD_PAGES = int(os.environ.get("SPARK_GRAFT_BUILD_PAGES", "8000"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("search_engine_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from search_engine_spark.operators.postings import build_index
+    from search_engine_spark.sources.fixtures import pages_df
+    from search_engine_spark.sources.pages import enrich_pages
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- index build throughput (lemma/UDF path, north-rule metric) ----
+    pages = pages_df(
+        spark, BUILD_PAGES, n_sites=8, seed=42, n_partitions=cpus * 2
+    ).cache()
+    pages.count()  # corpus generation off the clock
+
+    def _build():
+        # cache=True mirrors a real build (postings materialized once,
+        # stats derived from the materialized table)
+        idx = build_index(enrich_pages(pages), cache=True)
+        n_post = idx.postings.count()
+        return idx, n_post
+
+    (idx_built, n_postings) = timed("build_index", _build)
+    docs_per_sec = round(BUILD_PAGES / timings["build_index"], 2)
+
+    # ---- query suite (driver-contract entries on the sf tables) ----
+    qs = entrymod.queries()
+    bench_queries = [
+        "bm25_topk",
+        "bm25_site_restricted",
+        "bm25_pagination",
+        "ngram_jaccard_pairs",
+        "minhash_lsh_pairs",
+        "simhash",
+        "ann_cosine_topk",
+        "ann_cosine_lsh",
+        "dedup_exact",
+        "text_quality",
+        "agg_sum_by_key",
+        "join_revenue_topk",
+        "window_pagination",
+        "grouped_statistics",
+        "event_hourly_window",
+    ]
+    # warm the documents index once (cache), report it as its own line
+    timed("docs_index_warm",
+          lambda: entrymod._docs_index(spark, sf_dir).postings.count())
+    for name in bench_queries:
+        fn = qs[name]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+
+    # repeated-query p95-ish latency: run the flagship 10x
+    lat = []
+    for _ in range(10):
+        t0 = time.time()
+        qs["bm25_topk"](spark, sf_dir).collect()
+        lat.append(time.time() - t0)
+    lat.sort()
+    timings["bm25_topk_p95"] = round(lat[int(len(lat) * 0.95) - 1], 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "docs_per_sec_build": docs_per_sec,
+                "build_pages": BUILD_PAGES,
+                "n_postings": n_postings,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

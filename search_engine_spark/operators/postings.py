@@ -136,11 +136,14 @@ def build_index(
     if cache:
         dl = dl.cache()
         post = post.cache()
+    # exact integer sum / count -> bit-deterministic avg_len (matches
+    # the DuckDB oracle's SUM::DOUBLE / COUNT regardless of row order)
     agg = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("doc_len").alias("avg_len")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_len").alias("len_sum"),
     ).collect()[0]
     n_docs = int(agg["n"])
-    avg_len = float(agg["avg_len"]) if agg["avg_len"] is not None else 0.0
+    avg_len = (int(agg["len_sum"]) / n_docs) if n_docs else 0.0
     tstats = term_stats(post)
     if cache:
         tstats = tstats.cache()

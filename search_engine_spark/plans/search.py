@@ -95,7 +95,6 @@ def search(
     Returns an EMPTY frame (same schema) when no query term survives
     analysis/stop-removal — mirroring the reference's empty response.
     """
-    spark = index.postings.sparkSession
     id_col = index.id_col
     k1, b = index.config.bm25.k1, index.config.bm25.b
 
@@ -106,8 +105,12 @@ def search(
     idf = query_term_idf(index, terms, sites)
     terms = [t for t in terms if t in idf]
 
-    empty = spark.createDataFrame(
-        [], f"{id_col} string, site string, score double, rn int"
+    # empty result preserves the id column's real type
+    empty = (
+        index.doc_lens.select(id_col, "site")
+        .limit(0)
+        .withColumn("score", F.lit(0.0))
+        .withColumn("rn", F.lit(0))
     )
     if not terms:
         return empty
