@@ -1,0 +1,93 @@
+"""spark-submit job: build (or resume) a compacted inverted index.
+
+    spark-submit --py-files search_engine_spark.zip jobs/build_index.py \
+        --input  /data/pages_parquet_or_iceberg_table \
+        --output /data/index_dir \
+        [--analyzer lemma|tokens] [--buckets 64] [--segments 256] \
+        [--postings-per-shard 1048576] [--no-resume] [--use-html] \
+        [--synthetic-pages N]  # generate a deterministic corpus instead
+
+Resumable: rerunning after a failure skips term buckets already
+recorded 'done' in <output>/manifest (SURVEY §2.4 N6).  Prints one
+JSON summary line (docs, postings, buckets built/skipped, docs/sec).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", default=None)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--analyzer", default="lemma",
+                    choices=["lemma", "tokens"])
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--segments", type=int, default=256)
+    ap.add_argument("--postings-per-shard", type=int, default=1 << 20)
+    ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--use-html", action="store_true",
+                    help="re-extract text from the html column (T1 UDF)")
+    ap.add_argument("--synthetic-pages", type=int, default=0)
+    ap.add_argument("--master", default=None,
+                    help="override master (default: whatever "
+                         "spark-submit configured)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("search_engine_spark-build")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.plans.build import build_and_write
+    from search_engine_spark.sources.fixtures import pages_df
+    from search_engine_spark.sources.pages import read_pages
+
+    if args.synthetic_pages:
+        pages = pages_df(spark, args.synthetic_pages, n_sites=8, seed=42)
+    elif args.input:
+        pages = read_pages(spark, args.input)
+    else:
+        ap.error("--input or --synthetic-pages required")
+
+    config = EngineConfig(
+        block_size=args.block_size, index_buckets=args.buckets
+    )
+    t0 = time.time()
+    summary = build_and_write(
+        spark,
+        pages,
+        args.output,
+        analyzer=args.analyzer,
+        config=config,
+        n_segments=args.segments,
+        postings_per_shard=args.postings_per_shard,
+        resume=not args.no_resume,
+        use_html=args.use_html,
+    )
+    elapsed = time.time() - t0
+    summary["elapsed_sec"] = round(elapsed, 3)
+    if summary.get("n_docs"):
+        summary["docs_per_sec"] = round(summary["n_docs"] / elapsed, 2)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""spark-submit job: BM25 top-k query against a persisted index.
+
+    spark-submit --py-files search_engine_spark.zip jobs/search.py \
+        --index /data/index_dir --query "free text query" \
+        [--site host1 --site host2] [--offset 0] [--limit 20] \
+        [--no-prune]  # disable block-max WAND, exact reference path
+
+Prints one JSON line per result row: {url, site, score, rn} — the
+rebuild's counterpart of the reference's GET /api/search endpoint
+(controllers/ApiController.java:72-89), with snippets added via
+--snippets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--site", action="append", default=None)
+    ap.add_argument("--offset", type=int, default=0)
+    ap.add_argument("--limit", type=int, default=20)
+    ap.add_argument("--no-prune", action="store_true")
+    ap.add_argument("--snippets", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("search_engine_spark-query")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from search_engine_spark.plans.build import load_compact_index
+    from search_engine_spark.plans.wand import search_compact
+
+    cidx = load_compact_index(spark, args.index)
+    result = search_compact(
+        cidx,
+        args.query,
+        sites=args.site,
+        offset=args.offset,
+        limit=args.limit,
+        analyzer=cidx_analyzer(args.index),
+        prune=not args.no_prune,
+    )
+    if args.snippets:
+        from search_engine_spark.plans.snippets import attach_snippets
+
+        result = attach_snippets(result, cidx, args.query)
+    for row in result.collect():
+        print(json.dumps(row.asDict(), default=str))
+    spark.stop()
+
+
+def cidx_analyzer(index_dir: str) -> str:
+    with open(Path(index_dir) / "stats.json") as fh:
+        return json.load(fh).get("analyzer", "lemma")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,351 @@
+"""Compacted posting-list segments (SURVEY §2.4 N1–N4).
+
+The reference's ``index`` table is one relational row per
+(lemma, page) posting (model/Index.java:7-23).  At 10^12-document
+scale that layout — and the single unsalted shuffle that would build
+it — are the bottleneck, so the rebuild adds three *physical*
+operators with no reference counterpart:
+
+  N1  salted repartition-by-term: head (Zipf) terms are split across
+      ``salt`` reducers so no single task owns a stop-term's full
+      posting list.  Salt factor is derived from the df stats, not
+      guessed: ``ceil(df / postings_per_shard)`` capped at
+      ``max_salt``.
+  N2  block compaction: ``groupBy(term, salt).applyInPandas`` sorts
+      each shard's postings by doc_id and emits delta+varint blocks
+      with block-max metadata (functions/codec.py).
+  N3  segment merge: shards/segments of one term are re-merged into a
+      single sorted block sequence (also the incremental re-index
+      path, reference R25).
+  N4  stop-term sharding: terms with df above
+      ``config.shard_df_threshold`` keep their salt shards at rest —
+      they are unioned at query time instead of concentrating one
+      reducer at merge time.
+
+Doc ids are segment-composed — ``(url-hash segment) << 40 | rank
+within segment`` — deterministic with NO global sort: the only
+shuffle is a hash partition on the segment key, each segment is
+ranked independently.  40 bits of rank per segment ⇒ 10^12 docs fit
+comfortably at any segment count ≥ 1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from search_engine_spark.config import DEFAULT, EngineConfig
+from search_engine_spark.functions.codec import build_blocks, read_block
+from search_engine_spark.operators.postings import InvertedIndex
+
+SEGMENT_BITS = 40
+
+# One term-shard's compressed blocks (the on-disk index row schema).
+SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("count", T.IntegerType(), False),
+        T.StructField("first_doc_id", T.LongType(), False),
+        T.StructField("last_doc_id", T.LongType(), False),
+        T.StructField("max_u", T.DoubleType(), False),
+        T.StructField("min_u", T.DoubleType(), False),
+        T.StructField("doc_ids", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("doc_lens", T.BinaryType(), False),
+    ]
+)
+
+
+def assign_doc_ids(
+    doc_lens: DataFrame,
+    id_col: str = "url",
+    n_segments: int = 256,
+) -> DataFrame:
+    """``doc_map(doc_id, <id_col>, site, doc_len[, title])``.
+
+    Deterministic dense-ish long ids without a global sort: hash the
+    natural key into ``n_segments``, rank within each segment by the
+    natural key (one hash shuffle + per-partition sort), compose
+    ``doc_id = segment << 40 | rank``.
+    """
+    from pyspark.sql import Window
+
+    seg = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_segments)).cast("int")
+    w = Window.partitionBy("_seg").orderBy(F.col(id_col).asc())
+    out = (
+        doc_lens.withColumn("_seg", seg)
+        .withColumn("_rank", F.row_number().over(w))
+        .withColumn(
+            "doc_id",
+            (
+                F.col("_seg").cast("long") * F.lit(1 << SEGMENT_BITS)
+                + F.col("_rank").cast("long")
+            ),
+        )
+        .drop("_seg", "_rank")
+    )
+    return out.select("doc_id", *doc_lens.columns)
+
+
+def salt_factors(
+    term_stats: DataFrame,
+    postings_per_shard: int,
+    max_salt: int,
+) -> DataFrame:
+    """``(term, n_salt)`` for head terms only (df-driven, SURVEY N1)."""
+    return (
+        term_stats.filter(F.col("df") > postings_per_shard)
+        .select(
+            "term",
+            F.least(
+                F.ceil(F.col("df") / F.lit(postings_per_shard)),
+                F.lit(max_salt),
+            )
+            .cast("int")
+            .alias("n_salt"),
+        )
+    )
+
+
+def _block_builder(avg_len: float, k1: float, b: float, block_size: int):
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, shard = key
+        blocks = build_blocks(
+            pdf["doc_id"].to_numpy(),
+            pdf["tf"].to_numpy(),
+            pdf["doc_len"].to_numpy(),
+            avg_len,
+            k1,
+            b,
+            block_size,
+        )
+        return _blocks_to_pdf(term, int(shard), blocks)
+
+    return fn
+
+
+def _blocks_to_pdf(term: str, shard: int, blocks: list[dict]) -> pd.DataFrame:
+    rows = []
+    for blk in blocks:
+        rows.append(
+            {
+                "term": term,
+                "shard": shard,
+                "block_id": blk["block_id"],
+                "count": blk["count"],
+                "first_doc_id": blk["first_doc_id"],
+                "last_doc_id": blk["last_doc_id"],
+                "max_u": blk["max_u"],
+                "min_u": blk["min_u"],
+                "doc_ids": blk["doc_ids"],
+                "tfs": blk["tfs"],
+                "doc_lens": blk["doc_lens"],
+            }
+        )
+    cols = [f.name for f in SEGMENT_SCHEMA.fields]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def compact_postings(
+    postings: DataFrame,
+    doc_map: DataFrame,
+    term_stats: DataFrame,
+    avg_len: float,
+    id_col: str = "url",
+    config: EngineConfig = DEFAULT,
+    postings_per_shard: int = 1 << 20,
+) -> DataFrame:
+    """postings(term, id, tf) → compressed segment rows (N1 + N2).
+
+    One shuffle: ``repartition(term, salt)`` then a grouped Arrow pass
+    builds the blocks.  Salt is 0 for the long tail; head terms get
+    df-proportional salt so their posting lists split across tasks.
+    """
+    k1, b = config.bm25.k1, config.bm25.b
+    with_len = postings.join(
+        doc_map.select("doc_id", F.col(id_col), "doc_len"), id_col
+    ).select("term", "doc_id", "tf", "doc_len")
+
+    salts = salt_factors(term_stats, postings_per_shard, config.max_salt)
+    salted = (
+        with_len.join(F.broadcast(salts), "term", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("n_salt").isNotNull(),
+                F.pmod(F.xxhash64("doc_id"), F.col("n_salt")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("n_salt")
+    )
+    builder = _block_builder(avg_len, k1, b, config.block_size)
+    return salted.groupBy("term", "salt").applyInPandas(
+        builder, SEGMENT_SCHEMA
+    )
+
+
+def _segment_merger(
+    avg_len: float, k1: float, b: float, block_size: int, df_threshold: int
+):
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        term = key[0]
+        total = int(pdf["count"].sum())
+        n_shards = pdf["shard"].nunique()
+        if n_shards <= 1 or total > df_threshold:
+            # N4: stop-term stays sharded at rest — pass through
+            # (re-numbering block ids per shard for determinism).
+            out = pdf.sort_values(["shard", "block_id"]).reset_index(
+                drop=True
+            )
+            return out[[f.name for f in SEGMENT_SCHEMA.fields]]
+        ids_l, tf_l, dl_l = [], [], []
+        for _, row in pdf.iterrows():
+            ids, tfs, dls = read_block(row)
+            ids_l.append(ids)
+            tf_l.append(tfs)
+            dl_l.append(dls)
+        blocks = build_blocks(
+            np.concatenate(ids_l),
+            np.concatenate(tf_l),
+            np.concatenate(dl_l),
+            avg_len,
+            k1,
+            b,
+            block_size,
+        )
+        return _blocks_to_pdf(term, 0, blocks)
+
+    return fn
+
+
+def merge_segments(
+    segments: DataFrame,
+    avg_len: float,
+    config: EngineConfig = DEFAULT,
+) -> DataFrame:
+    """N3/N4: merge each term's shards/segments into one sorted block
+    sequence, unless the term is above the stop-term df threshold (in
+    which case its salt shards are kept at rest and unioned at query
+    time).  Also the incremental-merge path: union old + delta
+    segments, then call this."""
+    merger = _segment_merger(
+        avg_len,
+        config.bm25.k1,
+        config.bm25.b,
+        config.block_size,
+        config.shard_df_threshold,
+    )
+    return segments.groupBy("term").applyInPandas(merger, SEGMENT_SCHEMA)
+
+
+def decode_segments(segments: DataFrame) -> DataFrame:
+    """Inverse of compaction: segment rows → (term, doc_id, tf,
+    doc_len) exploded postings.  Arrow-batched ``mapInPandas`` —
+    used by tests (round-trip property) and by query-time scoring of
+    non-candidate query terms."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+            T.StructField("doc_len", T.IntegerType(), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                ids, tfs, dls = read_block(row)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "term": row["term"],
+                            "doc_id": ids.astype("int64"),
+                            "tf": tfs.astype("int32"),
+                            "doc_len": dls.astype("int32"),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return segments.mapInPandas(gen, out_schema)
+
+
+def bucket_col(term: F.Column, n_buckets: int) -> F.Column:
+    """Stable term→bucket partitioning key for the on-disk index (a
+    query term touches exactly one bucket directory).  CRC32 so the
+    driver can compute the same bucket in pure Python
+    (:func:`bucket_of`) and prune partitions before the scan."""
+    return F.pmod(
+        F.crc32(F.encode(term, "UTF-8")), F.lit(n_buckets)
+    ).cast("int")
+
+
+def bucket_of(term: str, n_buckets: int) -> int:
+    """Python twin of :func:`bucket_col` — MUST stay identical."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+@dataclass
+class CompactIndex:
+    """Query-side view of a compacted index.  Duck-types the stats
+    surface of :class:`InvertedIndex` (term_stats / site_stats /
+    n_docs / avg_len / stoplist) so the IDF helper is shared."""
+
+    segments: DataFrame          # SEGMENT_SCHEMA rows
+    doc_map: DataFrame           # (doc_id, id_col, site, doc_len[, title])
+    term_stats: DataFrame        # (term, df)
+    site_stats: DataFrame        # (site, pages)
+    n_docs: int
+    avg_len: float
+    stoplist: tuple[str, ...]
+    id_col: str = "url"
+    config: EngineConfig = field(default_factory=lambda: DEFAULT)
+    # set when loaded from a bucket-partitioned on-disk index: query
+    # plans add a bucket predicate so Catalyst partition-prunes the scan
+    n_buckets: int | None = None
+
+
+def compact_index(
+    index: InvertedIndex,
+    n_segments: int = 256,
+    postings_per_shard: int = 1 << 20,
+    merge: bool = True,
+) -> CompactIndex:
+    """Logical :class:`InvertedIndex` → :class:`CompactIndex`."""
+    doc_map = assign_doc_ids(index.doc_lens, index.id_col, n_segments)
+    segs = compact_postings(
+        index.postings,
+        doc_map,
+        index.term_stats,
+        index.avg_len,
+        index.id_col,
+        index.config,
+        postings_per_shard,
+    )
+    if merge:
+        segs = merge_segments(segs, index.avg_len, index.config)
+    return CompactIndex(
+        segments=segs,
+        doc_map=doc_map,
+        term_stats=index.term_stats,
+        site_stats=index.site_stats,
+        n_docs=index.n_docs,
+        avg_len=index.avg_len,
+        stoplist=index.stoplist,
+        id_col=index.id_col,
+        config=index.config,
+    )

@@ -1,0 +1,235 @@
+"""Persisted index build with per-partition lineage + resume (N6).
+
+The reference's build is a crawl with a status machine per site
+(model/Site.java:19-27, services/impl/IndexingServiceImpl.java:51-82)
+and a stop flag; a killed run loses in-flight batches.  The rebuild's
+unit of recovery is the **term-bucket partition** of the compacted
+index: each bucket's segment rows are written as one hive partition
+(``index/bucket=NN/``), and a manifest row ``(bucket, status,
+postings, blocks, built_at, build_id)`` is committed only after the
+bucket's data is on disk.  A restarted build reads the manifest,
+skips ``status='done'`` buckets *before the shuffle* (the bucket
+predicate prunes the exploded-postings frame), and rebuilds only the
+rest — identical output to an uninterrupted build (asserted by
+tests/test_compact.py::test_resume).
+
+On-disk layout (hive-partitioned parquet; the same ops — append,
+overwrite-partition, partition-pruned read — map 1:1 onto an Iceberg
+catalog when its jars are on the classpath):
+
+    <dir>/docs/           doc_map (doc_id, url, site, doc_len[, title])
+    <dir>/index/bucket=N/ segment rows (operators/compact.SEGMENT_SCHEMA)
+    <dir>/term_stats/     (term, df)
+    <dir>/site_stats/     (site, pages)
+    <dir>/manifest/       lineage rows, append-only
+    <dir>/stats.json      n_docs, avg_len, stoplist, config, analyzer
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import DEFAULT, BM25Config, EngineConfig
+from search_engine_spark.operators.compact import (
+    CompactIndex,
+    assign_doc_ids,
+    bucket_col,
+    compact_postings,
+    merge_segments,
+)
+from search_engine_spark.operators.postings import build_index
+from search_engine_spark.sources.pages import enrich_pages
+
+MANIFEST_SCHEMA = (
+    "bucket int, status string, postings long, blocks long, "
+    "built_at double, build_id string"
+)
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest")
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = _manifest_path(out_dir)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def done_buckets(spark: SparkSession, out_dir: str) -> set[int]:
+    mf = read_manifest(spark, out_dir)
+    if mf is None:
+        return set()
+    rows = (
+        mf.filter(F.col("status") == "done")
+        .select("bucket")
+        .distinct()
+        .collect()
+    )
+    return {r["bucket"] for r in rows if r["bucket"] is not None}
+
+
+def build_and_write(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    analyzer: str = "lemma",
+    config: EngineConfig = DEFAULT,
+    n_segments: int = 256,
+    postings_per_shard: int = 1 << 20,
+    resume: bool = True,
+    use_html: bool = False,
+) -> dict:
+    """Full build: pages → enriched → postings → salted compaction →
+    bucket-partitioned index + stats + manifest.  Returns a summary
+    dict (buckets built/skipped, postings, docs)."""
+    build_id = uuid.uuid4().hex[:12]
+    n_buckets = config.index_buckets
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    done = done_buckets(spark, out_dir) if resume else set()
+    missing = [b for b in range(n_buckets) if b not in done]
+
+    stats_path = os.path.join(out_dir, "stats.json")
+    have_stats = os.path.exists(stats_path)
+
+    if not missing and have_stats:
+        return {
+            "build_id": build_id,
+            "built": 0,
+            "skipped": len(done),
+            "resumed": True,
+        }
+
+    enriched = enrich_pages(pages, use_html=use_html)
+    index = build_index(enriched, id_col="url", analyzer=analyzer,
+                        config=config, cache=True)
+    doc_map = assign_doc_ids(index.doc_lens, "url", n_segments).cache()
+
+    if not have_stats:
+        # phase 0: docs + stats tables (written once, before index
+        # partitions — resume only ever skips index buckets)
+        doc_map.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "docs")
+        )
+        index.term_stats.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "term_stats")
+        )
+        index.site_stats.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "site_stats")
+        )
+        with open(stats_path, "w") as fh:
+            json.dump(
+                {
+                    "n_docs": index.n_docs,
+                    "avg_len": index.avg_len,
+                    "stoplist": list(index.stoplist),
+                    "analyzer": analyzer,
+                    "id_col": "url",
+                    "n_buckets": n_buckets,
+                    "block_size": config.block_size,
+                    "k1": config.bm25.k1,
+                    "b": config.bm25.b,
+                    "stoplist_size": config.stoplist_size,
+                    "shard_df_threshold": config.shard_df_threshold,
+                },
+                fh,
+            )
+
+    # prune to missing buckets BEFORE the term shuffle (resume path)
+    postings = index.postings.withColumn(
+        "bucket", bucket_col(F.col("term"), n_buckets)
+    )
+    if done:
+        postings = postings.filter(F.col("bucket").isin(missing))
+
+    segs = compact_postings(
+        postings.drop("bucket"),
+        doc_map,
+        index.term_stats,
+        index.avg_len,
+        "url",
+        config,
+        postings_per_shard,
+    )
+    segs = merge_segments(segs, index.avg_len, config)
+    segs = segs.withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+
+    index_path = os.path.join(out_dir, "index")
+    (
+        segs.repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(index_path)
+    )
+
+    # lineage: counts read back from what actually landed on disk
+    written = spark.read.parquet(index_path).filter(
+        F.col("bucket").isin(missing)
+    )
+    per_bucket = {
+        r["bucket"]: (r["postings"], r["blocks"])
+        for r in written.groupBy("bucket")
+        .agg(
+            F.sum("count").alias("postings"),
+            F.count(F.lit(1)).alias("blocks"),
+        )
+        .collect()
+    }
+    now = time.time()
+    rows = [
+        (
+            int(b),
+            "done",
+            int(per_bucket.get(b, (0, 0))[0]),
+            int(per_bucket.get(b, (0, 0))[1]),
+            now,
+            build_id,
+        )
+        for b in missing
+    ]
+    spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode(
+        "append"
+    ).parquet(_manifest_path(out_dir))
+
+    return {
+        "build_id": build_id,
+        "built": len(missing),
+        "skipped": len(done),
+        "n_docs": index.n_docs,
+        "postings": int(sum(v[0] for v in per_bucket.values())),
+        "resumed": bool(done),
+    }
+
+
+def load_compact_index(spark: SparkSession, out_dir: str) -> CompactIndex:
+    """Open a persisted index directory for querying."""
+    with open(os.path.join(out_dir, "stats.json")) as fh:
+        meta = json.load(fh)
+    config = EngineConfig(
+        bm25=BM25Config(k1=meta["k1"], b=meta["b"]),
+        stoplist_size=meta["stoplist_size"],
+        block_size=meta["block_size"],
+        shard_df_threshold=meta["shard_df_threshold"],
+        index_buckets=meta["n_buckets"],
+    )
+    return CompactIndex(
+        segments=spark.read.parquet(os.path.join(out_dir, "index")),
+        doc_map=spark.read.parquet(os.path.join(out_dir, "docs")),
+        term_stats=spark.read.parquet(os.path.join(out_dir, "term_stats")),
+        site_stats=spark.read.parquet(os.path.join(out_dir, "site_stats")),
+        n_docs=meta["n_docs"],
+        avg_len=meta["avg_len"],
+        stoplist=tuple(meta["stoplist"]),
+        id_col=meta["id_col"],
+        config=config,
+        n_buckets=meta["n_buckets"],
+    )

@@ -80,6 +80,30 @@ def query_term_idf(
     return out  # terms absent from the dictionary are dropped (R1)
 
 
+def bm25_term_score_col(
+    idf_map: dict[str, float], k1: float, b: float, avg_len: float
+) -> F.Column:
+    """Per-posting BM25 contribution (R11+R12) as one JVM column
+    expression over (term, tf, doc_len) — whole-stage codegen, shared
+    by the exploded-postings path and the compact/WAND path so both
+    are rank-identical by construction."""
+    terms = sorted(idf_map)
+    idf_col = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(idf_map[t]))]
+    )[F.col("term")]
+    tfn = F.col("tf").cast("double") / F.col("doc_len")
+    return (
+        idf_col
+        * tfn
+        * F.lit(k1 + 1.0)
+        / (
+            tfn
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avg_len))
+        )
+    )
+
+
 def search(
     index: InvertedIndex,
     query: str,
@@ -131,26 +155,11 @@ def search(
 
     # R5 collapsed: one join of candidates × all-query-term postings.
     qpost = index.postings.filter(F.col("term").isin(terms))
-    idf_map = F.create_map(
-        *[x for t in terms for x in (F.lit(t), F.lit(idf[t]))]
-    )
     scored = (
         candidates.join(qpost, id_col, "inner")
-        .withColumn("idf", idf_map[F.col("term")])
-        .withColumn("tf_norm",
-                    F.col("tf").cast("double") / F.col("doc_len"))
         .withColumn(
             "term_score",
-            F.col("idf")
-            * F.col("tf_norm") * F.lit(k1 + 1.0)
-            / (
-                F.col("tf_norm")
-                + F.lit(k1)
-                * (
-                    F.lit(1.0 - b)
-                    + F.lit(b) * F.col("doc_len") / F.lit(index.avg_len)
-                )
-            ),
+            bm25_term_score_col(idf, k1, b, index.avg_len),
         )
         .groupBy(id_col, "site")
         .agg(F.sum("term_score").alias("score"))

@@ -1,0 +1,209 @@
+"""Block-max WAND top-k over the compacted index (SURVEY §2.4 N5).
+
+The reference's only query-time pruning is "score just the rarest
+lemma's posting list" (R13, services/impl/SearchServiceImpl.java:
+164-174).  N5 is its physical superset: the rarest term's posting
+list is stored as compressed blocks with block-max metadata
+(functions/codec.py), and blocks whose best-possible total score
+cannot reach the current top-k threshold are never decoded.  By
+construction the surviving candidate set is the reference's candidate
+set minus provably-non-top-k docs, so the returned top-k is
+**rank-identical** to the reference semantics (asserted by tests and
+by the DuckDB oracle on ``bm25_wand_topk``).
+
+Scale shape: a query touches O(#query-terms) term-bucket partitions
+(partition-pruned scan); block metadata for the rarest term is tiny
+(df / block_size rows); payload decode happens only for surviving
+blocks, in Arrow-batched ``mapInPandas`` workers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.compact import (
+    CompactIndex,
+    bucket_of,
+    decode_segments,
+)
+from search_engine_spark.plans.search import (
+    analyze_query,
+    bm25_term_score_col,
+    query_term_idf,
+)
+
+# Relative tie/float-safety margin on the pruning threshold: a block is
+# only skipped when its upper bound is *strictly* below (1 - EPS) of the
+# current kth score, so equal-score/url-tiebreak candidates survive.
+_EPS = 1e-9
+
+
+def _segs_for_terms(cidx: CompactIndex, terms: list[str]) -> DataFrame:
+    """Segment rows for the given terms, with a partition-pruning
+    bucket predicate when the index is bucket-partitioned on disk."""
+    segs = cidx.segments
+    if cidx.n_buckets and "bucket" in segs.columns:
+        buckets = sorted({bucket_of(t, cidx.n_buckets) for t in terms})
+        segs = segs.filter(F.col("bucket").isin(buckets))
+    return segs.filter(F.col("term").isin(terms))
+
+
+def _term_ub(idf_t: float, max_u: float, min_u: float) -> float:
+    """Upper bound of one term's contribution to any doc in a block.
+
+    idf > 0 → idf·max_u; idf < 0 → idf·min_u (still ≤ 0, the least
+    negative the term can contribute for a doc that HAS it)."""
+    return idf_t * max_u if idf_t > 0 else idf_t * min_u
+
+
+def _score_candidate_blocks(
+    cidx: CompactIndex,
+    rarest: str,
+    block_keys: list[tuple[int, int]] | None,
+    terms: list[str],
+    idf: dict[str, float],
+    sites: list[str] | None,
+) -> DataFrame:
+    """Decode the selected rarest-term blocks, join the other query
+    terms' postings, BM25-score → (doc_id, score)."""
+    seg_r = _segs_for_terms(cidx, [rarest])
+    if block_keys is not None:
+        cond = F.lit(False)
+        for shard, block_id in block_keys:
+            cond = cond | (
+                (F.col("shard") == shard) & (F.col("block_id") == block_id)
+            )
+        seg_r = seg_r.filter(cond)
+
+    cand = decode_segments(seg_r).select("doc_id")
+    if sites:
+        cand = cand.join(
+            cidx.doc_map.filter(F.col("site").isin(sites)).select("doc_id"),
+            "doc_id",
+        )  # R2: site restriction prunes candidates
+
+    qpost = decode_segments(_segs_for_terms(cidx, terms))
+
+    k1, b = cidx.config.bm25.k1, cidx.config.bm25.b
+    return (
+        cand.join(qpost, "doc_id", "inner")
+        .withColumn(
+            "term_score", bm25_term_score_col(idf, k1, b, cidx.avg_len)
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+
+
+def search_compact(
+    cidx: CompactIndex,
+    query: str,
+    sites: list[str] | None = None,
+    offset: int = 0,
+    limit: int = 20,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+    prune: bool = True,
+) -> DataFrame:
+    """Top-(offset..offset+limit) BM25 over the compacted index:
+    ``(<id_col>, site, score, rn)`` — same contract as
+    :func:`plans.search.search`, same ranks."""
+    id_col = cidx.id_col
+    terms = analyze_query(query, lang, analyzer)
+    if use_stoplist:
+        stop = set(cidx.stoplist)
+        terms = [t for t in terms if t not in stop]
+    idf = query_term_idf(cidx, terms, sites)
+    terms = [t for t in terms if t in idf]
+
+    empty = (
+        cidx.doc_map.select(id_col, "site")
+        .limit(0)
+        .withColumn("score", F.lit(0.0))
+        .withColumn("rn", F.lit(0))
+    )
+    if not terms:
+        return empty
+
+    rarest = sorted(terms, key=lambda t: (-idf[t], t))[0]
+    k = offset + limit
+
+    selected: list[tuple[int, int]] | None = None
+    if prune and not sites:
+        # --- metadata-only WAND phase (no payload decode) -----------
+        # site restriction changes N/idf but also the candidate set in
+        # ways block metadata can't see → pruning only on global
+        # queries; restricted queries take the exact path below.
+        meta = (
+            _segs_for_terms(cidx, [rarest])
+            .select("shard", "block_id", "count", "max_u", "min_u")
+            .collect()
+        )
+        others = [t for t in terms if t != rarest]
+        if others:
+            om = (
+                _segs_for_terms(cidx, others)
+                .groupBy("term")
+                .agg(F.max("max_u").alias("mx"), F.min("min_u").alias("mn"))
+                .collect()
+            )
+            other_ub = sum(
+                max(0.0, _term_ub(idf[r["term"]], r["mx"], r["mn"]))
+                for r in om
+            )
+        else:
+            other_ub = 0.0
+        blocks = sorted(
+            (
+                (
+                    _term_ub(idf[rarest], r["max_u"], r["min_u"]) + other_ub,
+                    r["count"],
+                    (r["shard"], r["block_id"]),
+                )
+                for r in meta
+            ),
+            key=lambda x: -x[0],
+        )
+        # seed: highest-bound blocks covering ≥ k candidate docs
+        seed, cum = [], 0
+        for ub, cnt, key in blocks:
+            seed.append((ub, cnt, key))
+            cum += cnt
+            if cum >= k:
+                break
+        if len(seed) < len(blocks):
+            seed_keys = [key for _, _, key in seed]
+            seed_scores = (
+                _score_candidate_blocks(
+                    cidx, rarest, seed_keys, terms, idf, sites
+                )
+                .orderBy(F.desc("score"))
+                .limit(k)
+                .collect()
+            )
+            if len(seed_scores) >= k:
+                theta = seed_scores[-1]["score"]
+                thresh = theta - abs(theta) * _EPS - 1e-300
+                survivors = [
+                    key for ub, _, key in blocks[len(seed):] if ub >= thresh
+                ]
+                selected = seed_keys + survivors
+            # else: seed didn't yield k docs → score everything
+        # else: every block needed anyway → selected stays None (all)
+
+    scored = _score_candidate_blocks(
+        cidx, rarest, selected, terms, idf, sites
+    )
+
+    resolved = scored.join(
+        cidx.doc_map.select("doc_id", id_col, "site"), "doc_id"
+    )
+    top = resolved.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        top.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > offset)
+        .select(id_col, "site", "score", "rn")
+    )
