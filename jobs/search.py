@@ -29,7 +29,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--offset", type=int, default=0)
     ap.add_argument("--limit", type=int, default=20)
     ap.add_argument("--no-prune", action="store_true")
-    ap.add_argument("--snippets", action="store_true")
+    ap.add_argument("--snippets", action="store_true",
+                    help="attach highlighted snippets (requires --pages)")
+    ap.add_argument("--pages", default=None,
+                    help="corpus path (url, text, lang) for snippet text")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -55,9 +58,25 @@ def main(argv: list[str] | None = None) -> None:
         prune=not args.no_prune,
     )
     if args.snippets:
+        if not args.pages:
+            ap.error("--snippets requires --pages")
+        from search_engine_spark.plans.search import (
+            analyze_query,
+            query_term_idf,
+        )
         from search_engine_spark.plans.snippets import attach_snippets
+        from search_engine_spark.sources.pages import read_pages
 
-        result = attach_snippets(result, cidx, args.query)
+        analyzer = cidx_analyzer(args.index)
+        terms = [
+            t
+            for t in analyze_query(args.query, analyzer=analyzer)
+            if t not in set(cidx.stoplist)
+        ]
+        lemma_idf = query_term_idf(cidx, terms, args.site)
+        result = attach_snippets(
+            result, read_pages(spark, args.pages), lemma_idf
+        )
     for row in result.collect():
         print(json.dumps(row.asDict(), default=str))
     spark.stop()

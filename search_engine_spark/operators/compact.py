@@ -317,6 +317,15 @@ class CompactIndex:
     # set when loaded from a bucket-partitioned on-disk index: query
     # plans add a bucket predicate so Catalyst partition-prunes the scan
     n_buckets: int | None = None
+    # avg_len the stored block-max metadata was computed with.  WAND
+    # pruning is sound only while this equals the live avg_len; after
+    # appends/deletes drift it, search falls back to exact scoring
+    # until vacuum() rebuilds the metadata (plans/incremental.py).
+    blocks_avg_len: float | None = None
+    # small (doc_id) frame of logically-deleted docs; anti-joined
+    # broadcast-side before scoring so dead docs never inflate the
+    # pruning threshold or surface in results
+    tombstones: DataFrame | None = None
 
 
 def compact_index(
@@ -348,4 +357,5 @@ def compact_index(
         stoplist=index.stoplist,
         id_col=index.id_col,
         config=index.config,
+        blocks_avg_len=index.avg_len,
     )

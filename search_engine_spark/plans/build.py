@@ -131,6 +131,7 @@ def build_and_write(
                 {
                     "n_docs": index.n_docs,
                     "avg_len": index.avg_len,
+                    "blocks_avg_len": index.avg_len,
                     "stoplist": list(index.stoplist),
                     "analyzer": analyzer,
                     "id_col": "url",
@@ -232,4 +233,5 @@ def load_compact_index(spark: SparkSession, out_dir: str) -> CompactIndex:
         id_col=meta["id_col"],
         config=config,
         n_buckets=meta["n_buckets"],
+        blocks_avg_len=meta.get("blocks_avg_len", meta["avg_len"]),
     )

@@ -1,0 +1,412 @@
+"""Incremental index maintenance (SURVEY §2.3 R23–R25, §3.3).
+
+Reference semantics being re-expressed:
+
+- R23 delete postings of a page (repositories/IndexRepository.java:23-36)
+- R24 decrement-or-delete each lemma's df when a page is removed
+  (services/impl/LemmaServiceImpl.java:103-115) — here df/stoplist/
+  avg_len are *derived* tables recomputed from deltas, never mutated
+  in place
+- R25 single-page upsert: delete old postings, re-lemmatize, reinsert
+  (services/utils/RecursiveWebParser.java:94-117)
+
+Physical design over the persisted layout (plans/build.py): the index
+is **append + tombstone**.  New docs get doc_ids in fresh id-segments
+(``next_id_segment`` cursor in stats.json) and their term blocks are
+appended into the same bucket partitions; removed/re-indexed docs are
+recorded in a ``tombstones/`` table that the query path anti-joins
+(broadcast — tombstones are small between vacuums).  ``vacuum``
+rewrites every block dropping tombstoned ids and re-merges each
+term's segments (N3) — after it the index is bit-equivalent to a
+fresh build of the surviving corpus.
+
+Scale posture: append touches only the delta's buckets; tombstone
+touches only the stats + tombstone table (O(deleted docs) work: the
+terms of a dead doc are recovered by range-filtered block decode on
+``first_doc_id/last_doc_id``, not a full index scan); vacuum is the
+only full rewrite and is resumable the same way a build is.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.operators.compact import (
+    assign_doc_ids,
+    bucket_col,
+    compact_postings,
+    decode_segments,
+    merge_segments,
+)
+from search_engine_spark.operators.postings import (
+    build_postings,
+    compute_stoplist,
+    term_stats,
+)
+from search_engine_spark.plans.build import (
+    MANIFEST_SCHEMA,
+    load_compact_index,
+)
+from search_engine_spark.sources.pages import enrich_pages
+
+TOMBSTONE_SCHEMA = "doc_id long, url string, removed_at double"
+
+
+def _stats(out_dir: str) -> dict:
+    with open(os.path.join(out_dir, "stats.json")) as fh:
+        return json.load(fh)
+
+
+def _write_stats(out_dir: str, meta: dict) -> None:
+    with open(os.path.join(out_dir, "stats.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def read_tombstones(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(os.path.join(out_dir, "tombstones"))
+    except Exception:
+        return None
+
+
+def _live_docs(spark: SparkSession, out_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+    tomb = read_tombstones(spark, out_dir)
+    if tomb is not None:
+        docs = docs.join(
+            F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+        )
+    return docs
+
+
+def _recompute_scalar_stats(
+    spark: SparkSession, out_dir: str, meta: dict
+) -> dict:
+    live = _live_docs(spark, out_dir)
+    agg = live.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
+    ).collect()[0]
+    n = int(agg["n"] or 0)
+    meta["n_docs"] = n
+    meta["avg_len"] = (int(agg["s"]) / n) if n else 0.0
+    return meta
+
+
+def _recompute_stoplist(
+    spark: SparkSession, out_dir: str, meta: dict
+) -> dict:
+    ts = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    meta["stoplist"] = list(
+        compute_stoplist(ts, meta["n_docs"], meta["stoplist_size"])
+    )
+    return meta
+
+
+def terms_of_docs(segments: DataFrame, doc_ids: list[int]) -> DataFrame:
+    """R4 equivalent: (term, doc_id) pairs for the given docs,
+    decoding only blocks whose [first,last] id-range can contain
+    them.  Doc ids are id-segment-clustered (operators/compact.
+    assign_doc_ids), so a min/max envelope filter skips most blocks;
+    exact per-id OR-chains are added only for small batches."""
+    lo, hi = min(doc_ids), max(doc_ids)
+    blocks = segments.filter(
+        (F.col("last_doc_id") >= lo) & (F.col("first_doc_id") <= hi)
+    )
+    if len(doc_ids) <= 64:
+        cond = F.lit(False)
+        for d in doc_ids:
+            cond = cond | (
+                (F.col("first_doc_id") <= d) & (F.col("last_doc_id") >= d)
+            )
+        blocks = blocks.filter(cond)
+    hits = decode_segments(blocks)
+    return hits.filter(F.col("doc_id").isin(doc_ids)).select(
+        "term", "doc_id"
+    )
+
+
+def append_pages(
+    spark: SparkSession,
+    out_dir: str,
+    new_pages: DataFrame,
+    postings_per_shard: int = 1 << 20,
+    use_html: bool = False,
+) -> dict:
+    """Add not-yet-indexed docs.  Urls already present are ignored
+    (use :func:`reindex_pages` for R25 upsert semantics)."""
+    meta = _stats(out_dir)
+    config = _config_from(meta)
+    n_buckets = meta["n_buckets"]
+    build_id = uuid.uuid4().hex[:12]
+
+    enriched = enrich_pages(new_pages, use_html=use_html)
+    # LIVE urls only: a tombstoned url is re-addable (the R25 upsert
+    # path tombstones the old version, then appends through here)
+    existing = _live_docs(spark, out_dir).select("url")
+    fresh = enriched.join(existing, "url", "left_anti").cache()
+    n_new = fresh.count()
+    if n_new == 0:
+        return {"build_id": build_id, "appended": 0}
+
+    # fresh id-segments so appended ids never collide with old ones
+    seg_base = int(meta.get("next_id_segment", 1 << 20))
+    delta_segments = max(8, min(256, n_new // 1000 + 1))
+    from search_engine_spark.operators.postings import doc_lens_table
+
+    doc_map = assign_doc_ids(
+        doc_lens_table(fresh, "url"), "url", delta_segments
+    ).withColumn(
+        "doc_id",
+        F.col("doc_id") + F.lit(seg_base << 40).cast("long"),
+    ).cache()
+
+    post = build_postings(fresh, "url", meta["analyzer"])
+    delta_ts = term_stats(post).cache()
+    # block metadata built with blocks_avg_len so every segment in the
+    # index shares one metadata baseline (WAND gating, plans/wand.py)
+    blocks_avg = meta.get("blocks_avg_len", meta["avg_len"])
+    segs = compact_postings(
+        post, doc_map, delta_ts, blocks_avg, "url", config,
+        postings_per_shard,
+    )
+    segs = merge_segments(segs, blocks_avg, config)
+    segs = segs.withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+    (
+        segs.repartition(F.col("bucket"))
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, "index"))
+    )
+
+    # derived stats: df = old + delta (R10 batch form).  Materialized
+    # to tmp BEFORE the docs append — ``fresh`` (and thus delta_ts)
+    # anti-joins the docs table, and writing docs/ would invalidate
+    # its cache and re-evaluate the delta to empty (see _write_tmp).
+    ts_path = os.path.join(out_dir, "term_stats")
+    old_ts = spark.read.parquet(ts_path)
+    merged = (
+        old_ts.join(delta_ts.withColumnRenamed("df", "df2"), "term",
+                    "full_outer")
+        .select(
+            "term",
+            (F.coalesce("df", F.lit(0)) + F.coalesce("df2", F.lit(0)))
+            .alias("df"),
+        )
+    )
+    ts_tmp = _write_tmp(merged, ts_path)
+
+    doc_map.write.mode("append").parquet(os.path.join(out_dir, "docs"))
+    _swap(ts_tmp, ts_path)
+    _rewrite_site_stats(spark, out_dir)
+
+    meta["next_id_segment"] = seg_base + delta_segments
+    meta = _recompute_scalar_stats(spark, out_dir, meta)
+    meta = _recompute_stoplist(spark, out_dir, meta)
+    _write_stats(out_dir, meta)
+
+    spark.createDataFrame(
+        [(None, "append", int(n_new), None, time.time(), build_id)],
+        MANIFEST_SCHEMA,
+    ).write.mode("append").parquet(os.path.join(out_dir, "manifest"))
+    return {"build_id": build_id, "appended": n_new}
+
+
+def tombstone_urls(
+    spark: SparkSession, out_dir: str, urls: list[str]
+) -> dict:
+    """R23+R24: logically delete pages; df decremented via the dead
+    docs' term lists, scalar stats recomputed from live docs."""
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+    tomb = read_tombstones(spark, out_dir)
+    dead = docs.filter(F.col("url").isin(urls)).select("doc_id", "url")
+    if tomb is not None:
+        dead = dead.join(
+            tomb.select("doc_id"), "doc_id", "left_anti"
+        )
+    dead_rows = dead.collect()
+    if not dead_rows:
+        return {"tombstoned": 0}
+    dead_ids = [r["doc_id"] for r in dead_rows]
+
+    segments = spark.read.parquet(os.path.join(out_dir, "index"))
+    dec = (
+        terms_of_docs(segments, dead_ids)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("dec"))
+    )
+    ts_path = os.path.join(out_dir, "term_stats")
+    old_ts = spark.read.parquet(ts_path)
+    new_ts = (
+        old_ts.join(dec, "term", "left")
+        .select(
+            "term",
+            (F.col("df") - F.coalesce("dec", F.lit(0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)  # decrement-or-DELETE (R24)
+    )
+    _overwrite_parquet(spark, new_ts, ts_path)
+
+    now = time.time()
+    spark.createDataFrame(
+        [(int(r["doc_id"]), r["url"], now) for r in dead_rows],
+        TOMBSTONE_SCHEMA,
+    ).write.mode("append").parquet(os.path.join(out_dir, "tombstones"))
+
+    meta = _stats(out_dir)
+    meta = _recompute_scalar_stats(spark, out_dir, meta)
+    meta = _recompute_stoplist(spark, out_dir, meta)
+    _write_stats(out_dir, meta)
+    _rewrite_site_stats(spark, out_dir)
+    return {"tombstoned": len(dead_rows)}
+
+
+def reindex_pages(
+    spark: SparkSession, out_dir: str, pages: DataFrame
+) -> dict:
+    """R25: upsert — tombstone any existing version of each url, then
+    append the new content (RecursiveWebParser.java:94-117)."""
+    urls = [r["url"] for r in pages.select("url").distinct().collect()]
+    t = tombstone_urls(spark, out_dir, urls)
+    a = append_pages(spark, out_dir, pages)
+    return {**t, **a}
+
+
+def vacuum(spark: SparkSession, out_dir: str) -> dict:
+    """Physically drop tombstoned postings and re-merge each term's
+    segments; clears the tombstone table."""
+    tomb = read_tombstones(spark, out_dir)
+    meta = _stats(out_dir)
+    config = _config_from(meta)
+    n_buckets = meta["n_buckets"]
+    segments = spark.read.parquet(os.path.join(out_dir, "index"))
+
+    dead_ids = (
+        {r["doc_id"] for r in tomb.select("doc_id").collect()}
+        if tomb is not None
+        else set()
+    )
+    posts = decode_segments(segments)
+    if dead_ids:
+        posts = posts.filter(~F.col("doc_id").isin(list(dead_ids)))
+    # rebuild blocks per term from the decoded postings (exact N2/N3
+    # machinery, df stats straight from the live postings); block
+    # metadata is re-baselined on the LIVE avg_len, re-arming WAND
+    live_ts = posts.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    salted = posts.select("term", "doc_id", "tf", "doc_len")
+    from search_engine_spark.operators.compact import (
+        SEGMENT_SCHEMA,
+        _block_builder,
+    )
+
+    builder = _block_builder(
+        meta["avg_len"], meta["k1"], meta["b"], meta["block_size"]
+    )
+    rebuilt = (
+        salted.withColumn("salt", F.lit(0))
+        .groupBy("term", "salt")
+        .applyInPandas(builder, SEGMENT_SCHEMA)
+        .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+    )
+    tmp = os.path.join(out_dir, "index_vacuum_tmp")
+    (
+        rebuilt.repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    # live_ts reads the OLD index files — materialize before the swap
+    # deletes them (see _write_tmp ordering note)
+    ts_path = os.path.join(out_dir, "term_stats")
+    ts_tmp = _write_tmp(live_ts, ts_path)
+    import shutil
+
+    final = os.path.join(out_dir, "index")
+    shutil.rmtree(final)
+    os.rename(tmp, final)
+    _swap(ts_tmp, ts_path)
+
+    if tomb is not None:
+        shutil.rmtree(os.path.join(out_dir, "tombstones"),
+                      ignore_errors=True)
+    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+    if dead_ids:
+        live_docs = docs.filter(~F.col("doc_id").isin(list(dead_ids)))
+        _overwrite_parquet(spark, live_docs, os.path.join(out_dir, "docs"))
+    _rewrite_site_stats(spark, out_dir)
+    meta = _recompute_scalar_stats(spark, out_dir, meta)
+    meta = _recompute_stoplist(spark, out_dir, meta)
+    meta["blocks_avg_len"] = meta["avg_len"]
+    _write_stats(out_dir, meta)
+    return {"vacuumed": len(dead_ids)}
+
+
+def open_index(spark: SparkSession, out_dir: str):
+    """Load for querying with tombstones applied (doc_map = live
+    docs), so search results never surface deleted pages."""
+    cidx = load_compact_index(spark, out_dir)
+    tomb = read_tombstones(spark, out_dir)
+    if tomb is not None:
+        cidx.tombstones = tomb
+        cidx.doc_map = cidx.doc_map.join(
+            F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+        )
+    return cidx
+
+
+# ---------------------------------------------------------------------------
+
+
+def _config_from(meta: dict) -> EngineConfig:
+    from search_engine_spark.config import BM25Config
+
+    return EngineConfig(
+        bm25=BM25Config(k1=meta["k1"], b=meta["b"]),
+        stoplist_size=meta["stoplist_size"],
+        block_size=meta["block_size"],
+        shard_df_threshold=meta["shard_df_threshold"],
+        index_buckets=meta["n_buckets"],
+    )
+
+
+def _write_tmp(df: DataFrame, path: str) -> str:
+    """Materialize ``df`` next to ``path`` WITHOUT touching ``path``.
+
+    Ordering is load-bearing everywhere in this module: Spark
+    invalidates cached plans whose input path gets written
+    (CacheManager.recacheByPath) and file listings are snapshotted at
+    read time — so every frame derived from a table must be
+    physically materialized BEFORE that table is mutated, then the
+    temp dir is swapped in with :func:`_swap`."""
+    tmp = path.rstrip("/") + "_tmp_swap"
+    df.write.mode("overwrite").parquet(tmp)
+    return tmp
+
+
+def _swap(tmp: str, path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+
+
+def _overwrite_parquet(
+    spark: SparkSession, df: DataFrame, path: str
+) -> None:
+    """Safe self-referential overwrite: materialize to a temp dir,
+    then swap (parquet can't overwrite its own input)."""
+    _swap(_write_tmp(df, path), path)
+
+
+def _rewrite_site_stats(spark: SparkSession, out_dir: str) -> None:
+    live = _live_docs(spark, out_dir)
+    stats = live.groupBy("site").agg(F.count(F.lit(1)).alias("pages"))
+    _overwrite_parquet(spark, stats, os.path.join(out_dir, "site_stats"))

@@ -77,6 +77,12 @@ def _score_candidate_blocks(
         seg_r = seg_r.filter(cond)
 
     cand = decode_segments(seg_r).select("doc_id")
+    if cidx.tombstones is not None:
+        cand = cand.join(
+            F.broadcast(cidx.tombstones.select("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
     if sites:
         cand = cand.join(
             cidx.doc_map.filter(F.col("site").isin(sites)).select("doc_id"),
@@ -131,11 +137,18 @@ def search_compact(
     k = offset + limit
 
     selected: list[tuple[int, int]] | None = None
-    if prune and not sites:
+    metadata_valid = (
+        cidx.blocks_avg_len is not None
+        and abs(cidx.blocks_avg_len - cidx.avg_len) < 1e-12
+    )
+    if prune and not sites and metadata_valid:
         # --- metadata-only WAND phase (no payload decode) -----------
         # site restriction changes N/idf but also the candidate set in
         # ways block metadata can't see → pruning only on global
         # queries; restricted queries take the exact path below.
+        # metadata_valid: stored max_u/min_u were computed with
+        # blocks_avg_len — if live avg_len has drifted (incremental
+        # append/delete), the bounds are unsound and we score exactly.
         meta = (
             _segs_for_terms(cidx, [rarest])
             .select("shard", "block_id", "count", "max_u", "min_u")

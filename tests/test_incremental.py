@@ -1,0 +1,174 @@
+"""Incremental maintenance (R23–R25) + statistics (R22): every
+mutation of the persisted index must leave queries rank-identical to
+a fresh logical build of the resulting corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.postings import build_index
+from search_engine_spark.plans.build import build_and_write
+from search_engine_spark.plans.incremental import (
+    append_pages,
+    open_index,
+    reindex_pages,
+    tombstone_urls,
+    vacuum,
+)
+from search_engine_spark.plans.search import search
+from search_engine_spark.plans.statistics import statistics_report
+from search_engine_spark.plans.wand import search_compact
+from search_engine_spark.config import EngineConfig
+from search_engine_spark.sources.fixtures import pages_df
+from search_engine_spark.sources.pages import enrich_pages
+
+QUERIES = [
+    ("crystal falcon nebula", 0, 10),
+    ("harbor lantern marble", 0, 10),
+    ("raven sapphire velvet", 2, 5),
+]
+
+
+def _expected(spark, corpus_df, query, offset, limit):
+    idx = build_index(enrich_pages(corpus_df), analyzer="lemma")
+    return [
+        (r["url"], round(r["score"], 9), r["rn"])
+        for r in search(idx, query, offset=offset, limit=limit).collect()
+    ]
+
+
+def _actual(spark, out_dir, query, offset, limit, prune=True):
+    cidx = open_index(spark, out_dir)
+    return [
+        (r["url"], round(r["score"], 9), r["rn"])
+        for r in search_compact(
+            cidx, query, offset=offset, limit=limit, prune=prune
+        ).collect()
+    ]
+
+
+def _disk_term_stats(spark, out_dir):
+    import os
+
+    return {
+        (r["term"], r["df"])
+        for r in spark.read.parquet(
+            os.path.join(out_dir, "term_stats")
+        ).collect()
+    }
+
+
+def _logical_term_stats(spark, corpus_df):
+    idx = build_index(enrich_pages(corpus_df), analyzer="lemma")
+    return {(r["term"], r["df"]) for r in idx.term_stats.collect()}
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    base = pages_df(spark, 200, n_sites=4, seed=42).cache()
+    extra = pages_df(spark, 280, n_sites=4, seed=42).filter(
+        ~F.col("url").isin(
+            [r["url"] for r in base.select("url").collect()]
+        )
+    ).cache()
+    assert extra.count() == 80
+    return base, extra
+
+
+def test_append_tombstone_reindex_vacuum(spark, corpora, tmp_path):
+    base, extra = corpora
+    out = str(tmp_path / "idx")
+    cfg = EngineConfig(block_size=32, index_buckets=8)
+    build_and_write(spark, base, out, analyzer="lemma", config=cfg,
+                    n_segments=8)
+
+    # ---- append (new docs only) -----------------------------------
+    s = append_pages(spark, out, extra)
+    assert s["appended"] == 80
+    full = base.union(extra)
+    assert _disk_term_stats(spark, out) == _logical_term_stats(
+        spark, full
+    )
+    for q, off, lim in QUERIES:
+        assert _actual(spark, out, q, off, lim) == _expected(
+            spark, full, q, off, lim
+        )
+
+    # appending an already-indexed url is a no-op
+    assert append_pages(spark, out, base.limit(5))["appended"] == 0
+
+    # ---- tombstone delete (R23 + R24) -----------------------------
+    dead_urls = [r["url"] for r in base.select("url").limit(15).collect()]
+    t = tombstone_urls(spark, out, dead_urls)
+    assert t["tombstoned"] == 15
+    survivors = full.filter(~F.col("url").isin(dead_urls))
+    assert _disk_term_stats(spark, out) == _logical_term_stats(
+        spark, survivors
+    )
+    for q, off, lim in QUERIES:
+        got = _actual(spark, out, q, off, lim)
+        assert got == _expected(spark, survivors, q, off, lim)
+        for url, _, _ in got:
+            assert url not in dead_urls
+
+    # double-delete is a no-op
+    assert tombstone_urls(spark, out, dead_urls[:3])["tombstoned"] == 0
+
+    # ---- re-index changed pages (R25) -----------------------------
+    changed_urls = [
+        r["url"] for r in survivors.select("url").limit(10).collect()
+    ]
+    changed = survivors.filter(F.col("url").isin(changed_urls)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zephyr zephyr zephyr"))
+    )
+    reindex_pages(spark, out, changed)
+    updated = survivors.filter(
+        ~F.col("url").isin(changed_urls)
+    ).union(changed)
+    assert _disk_term_stats(spark, out) == _logical_term_stats(
+        spark, updated
+    )
+    for q, off, lim in QUERIES + [("zephyr", 0, 10)]:
+        assert _actual(spark, out, q, off, lim) == _expected(
+            spark, updated, q, off, lim
+        )
+
+    # ---- vacuum: physical rewrite, WAND re-armed ------------------
+    v = vacuum(spark, out)
+    assert v["vacuumed"] == 25  # 15 deleted + 10 reindexed old versions
+    cidx = open_index(spark, out)
+    assert cidx.tombstones is None
+    assert cidx.blocks_avg_len == cidx.avg_len
+    assert _disk_term_stats(spark, out) == _logical_term_stats(
+        spark, updated
+    )
+    for q, off, lim in QUERIES + [("zephyr", 0, 10)]:
+        a = _actual(spark, out, q, off, lim, prune=True)
+        b = _actual(spark, out, q, off, lim, prune=False)
+        assert a == b == _expected(spark, updated, q, off, lim)
+
+
+def test_statistics_report(spark, corpora):
+    base, _ = corpora
+    idx = build_index(enrich_pages(base), analyzer="lemma")
+    rep = statistics_report(idx)
+    assert rep["total"]["pages"] == 200
+    assert rep["total"]["sites"] == 4
+    assert rep["total"]["lemmas"] == idx.term_stats.count()
+    pages_sum = sum(d["pages"] for d in rep["detailed"])
+    assert pages_sum == 200
+    # ordered by pages desc then site asc
+    keys = [(-d["pages"], d["site"]) for d in rep["detailed"]]
+    assert keys == sorted(keys)
+    for d in rep["detailed"]:
+        assert 0 < d["lemmas"] <= rep["total"]["lemmas"]
+
+
+def test_statistics_compact_matches_logical(spark, corpora):
+    from search_engine_spark.operators.compact import compact_index
+
+    base, _ = corpora
+    idx = build_index(enrich_pages(base), analyzer="lemma")
+    cidx = compact_index(idx, n_segments=8)
+    assert statistics_report(cidx) == statistics_report(idx)
