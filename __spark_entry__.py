@@ -36,6 +36,7 @@ SITES_RESTRICTED = ["src1", "src2"]
 # ---------------------------------------------------------------------------
 
 _INDEX_CACHE: dict = {}
+_COMPACT_CACHE: dict = {}
 
 
 def _docs_index(spark: SparkSession, sf_dir: str):
@@ -51,6 +52,46 @@ def _docs_index(spark: SparkSession, sf_dir: str):
             docs, id_col="doc_id", analyzer="tokens"
         )
     return _INDEX_CACHE[key]
+
+
+def _docs_compact(spark: SparkSession, sf_dir: str):
+    """Compacted (delta+varint block) twin of :func:`_docs_index` —
+    the WAND queries prove the compressed path is rank-identical to
+    the DuckDB oracle too.  The documents table's natural key is
+    literally named doc_id, which collides with the composed block
+    ids — rename it for the compact build and alias back on read."""
+    from dataclasses import replace
+
+    from search_engine_spark.operators.compact import compact_index
+
+    key = (id(spark), sf_dir)
+    if key not in _COMPACT_CACHE:
+        idx = _docs_index(spark, sf_dir)
+        renamed = replace(
+            idx,
+            postings=idx.postings.withColumnRenamed("doc_id", "nat_id"),
+            doc_lens=idx.doc_lens.withColumnRenamed("doc_id", "nat_id"),
+            id_col="nat_id",
+            cached=(),
+        )
+        cidx = compact_index(renamed, n_segments=16)
+        cidx.segments = cidx.segments.cache()
+        _COMPACT_CACHE[key] = cidx
+    return _COMPACT_CACHE[key]
+
+
+def _search_docs_wand(spark, sf_dir, query, offset=0, limit=10,
+                      prune=True):
+    from search_engine_spark.plans.wand import search_compact
+
+    cidx = _docs_compact(spark, sf_dir)
+    res = search_compact(cidx, query, offset=offset, limit=limit,
+                         analyzer="tokens", prune=prune)
+    return res.select(
+        F.col("nat_id").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+        F.col("rn").cast("int").alias("rn"),
+    )
 
 
 def _docs_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,6 +274,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_pagination(spark, sf):
         return _search_docs(spark, sf, FLAGSHIP_QUERY, offset=3, limit=5)
+
+    def bm25_wand_topk(spark, sf):  # N5: same oracle as bm25_topk
+        return _search_docs_wand(spark, sf, FLAGSHIP_QUERY, limit=10)
+
+    def bm25_wand_pagination(spark, sf):
+        return _search_docs_wand(
+            spark, sf, FLAGSHIP_QUERY, offset=3, limit=5
+        )
+
+    def site_statistics_q(spark, sf):  # R22
+        from search_engine_spark.plans.statistics import site_statistics
+
+        idx = _docs_index(spark, sf)
+        posts_site = idx.postings.join(
+            idx.doc_lens.select("doc_id", "site"), "doc_id"
+        )
+        return site_statistics(
+            posts_site.select("term", "site"),
+            idx.doc_lens.select("doc_id", "site"),
+        )
+
+    def embedding_near_dup(spark, sf):
+        from search_engine_spark.operators.similarity import (
+            cosine_near_dup_pairs,
+        )
+
+        return cosine_near_dup_pairs(
+            _read(spark, sf, "embeddings"), threshold=0.4
+        )
+
+    def embedding_near_dup_lsh(spark, sf):  # rows-only (approximate)
+        from search_engine_spark.operators.similarity import (
+            cosine_near_dup_pairs_lsh,
+        )
+
+        return cosine_near_dup_pairs_lsh(
+            _read(spark, sf, "embeddings"), threshold=0.4
+        )
 
     def dedup_exact(spark, sf):
         return exact_dedup_groups(
@@ -430,6 +509,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk,
         "bm25_site_restricted": bm25_site_restricted,
         "bm25_pagination": bm25_pagination,
+        "bm25_wand_topk": bm25_wand_topk,
+        "bm25_wand_pagination": bm25_wand_pagination,
+        "site_statistics": site_statistics_q,
+        "embedding_near_dup": embedding_near_dup,
+        "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "dedup_exact": dedup_exact,
         "dedup_exact_normalized": dedup_exact_normalized,
         "ngram_jaccard_pairs": ngram_jaccard,
@@ -492,6 +576,38 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_TERMS, sites=SITES_RESTRICTED, limit=10
         ),
         "bm25_pagination": _bm25_sql(FLAGSHIP_TERMS, offset=3, limit=5),
+        # WAND/compact path must equal the exact path — same oracles
+        "bm25_wand_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
+        "bm25_wand_pagination": _bm25_sql(
+            FLAGSHIP_TERMS, offset=3, limit=5
+        ),
+        "site_statistics": f"""
+            WITH {_TOKS}, {_POSTINGS},
+            ps AS (
+              SELECT d.source AS site, p.term
+              FROM postings p JOIN documents d USING (doc_id)
+            ),
+            pages AS (
+              SELECT source AS site, count(*) AS pages
+              FROM documents GROUP BY 1
+            ),
+            lemmas AS (
+              SELECT site, count(DISTINCT term) AS lemmas
+              FROM ps GROUP BY 1
+            )
+            SELECT p.site, p.pages, coalesce(l.lemmas, 0) AS lemmas
+            FROM pages p LEFT JOIN lemmas l USING (site)
+            ORDER BY p.pages DESC, p.site ASC
+        """,
+        "embedding_near_dup": """
+            WITH e AS (SELECT vec_id,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        """,
         "dedup_exact": """
             SELECT md5(text) AS fp, min(doc_id) AS keep_id,
                    count(*) AS n_dups

@@ -24,12 +24,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BUILD_PAGES = int(os.environ.get("SPARK_GRAFT_BUILD_PAGES", "8000"))
+BUILD_PAGES = int(os.environ.get("SPARK_GRAFT_BUILD_PAGES", "48000"))
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    # allocator retention: glibc/Arrow otherwise munmap large buffers
+    # after every batch and re-fault them; page faults serialize
+    # globally on this microVM (see tools/bench_scaling.py)
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -41,15 +47,26 @@ def main() -> None:
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "16g")
+        # fixed pre-touched heap: a lazily-grown multi-GB heap causes
+        # serialized fault storms on this microVM (5x slowdowns at
+        # high thread counts); pay all faults once at JVM startup
+        .config("spark.driver.memory", "12g")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms12g -XX:+AlwaysPreTouch -XX:+UseParallelGC -Xmn8g",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from search_engine_spark.util import warm_python_workers
+
+    warm_python_workers(spark)
+
     import __spark_entry__ as entrymod
     from search_engine_spark.operators.postings import build_index
-    from search_engine_spark.sources.fixtures import pages_df
+    from search_engine_spark.sources.fixtures import pages_df_dist
     from search_engine_spark.sources.pages import enrich_pages
 
     timings: dict[str, float] = {}
@@ -61,18 +78,26 @@ def main() -> None:
         return out
 
     # ---- index build throughput (lemma/UDF path, north-rule metric) ----
-    pages = pages_df(
+    pages = pages_df_dist(
         spark, BUILD_PAGES, n_sites=8, seed=42, n_partitions=cpus * 2
     ).cache()
     pages.count()  # corpus generation off the clock
 
     def _build():
         # cache=True mirrors a real build (postings materialized once,
-        # stats derived from the materialized table)
-        idx = build_index(enrich_pages(pages), cache=True)
+        # stats derived from the materialized table); fused T3–T7
+        # analysis — the production build path
+        idx = build_index(
+            enrich_pages(pages, compute_tokens=False), cache=True
+        )
         n_post = idx.postings.count()
         return idx, n_post
 
+    # steady-state: one untimed pass warms allocator pools / python
+    # workers, then its caches are dropped so the timed pass really
+    # recomputes (Spark SQL cache matches by logical plan)
+    warm_idx, _ = _build()
+    warm_idx.unpersist()
     (idx_built, n_postings) = timed("build_index", _build)
     docs_per_sec = round(BUILD_PAGES / timings["build_index"], 2)
 
@@ -82,6 +107,9 @@ def main() -> None:
         "bm25_topk",
         "bm25_site_restricted",
         "bm25_pagination",
+        "bm25_wand_topk",
+        "embedding_near_dup",
+        "site_statistics",
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
         "simhash",

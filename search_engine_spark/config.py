@@ -32,6 +32,9 @@ class EngineConfig:
     index_buckets: int = 64
     # Default salt factor cap for head terms (SURVEY N1).
     max_salt: int = 32
+    # Broadcast the doc_map side of the compaction join when the
+    # corpus has at most this many docs (≈ rows × ~60B ≤ a few 100 MB).
+    doc_map_broadcast_max: int = 3_000_000
 
 
 DEFAULT = EngineConfig()

@@ -106,20 +106,70 @@ _LEMMA_COUNTS_TYPE = T.ArrayType(
 )
 
 
+# word -> lemma memo, per python worker.  Web text is Zipf-distributed,
+# so the hit rate is extreme; capped so a pathological vocabulary can't
+# grow worker memory unboundedly.
+_LEMMA_MEMO_CAP = 1 << 20
+_lemma_memo: dict[tuple[str, str], str] = {}
+
+
+def _lemmatize_memo(word: str, lang: str) -> str:
+    key = (word, lang)
+    hit = _lemma_memo.get(key)
+    if hit is None:
+        if len(_lemma_memo) >= _LEMMA_MEMO_CAP:
+            _lemma_memo.clear()
+        hit = _lemma_memo[key] = lemmatize(word, lang)
+    return hit
+
+
 @pandas_udf(_LEMMA_COUNTS_TYPE)
 def lemma_counts_udf(tokens: pd.Series, lang: pd.Series) -> pd.Series:
     """tokens array + lang -> array<struct<term,tf>> per row."""
     out = []
+    memo = _lemmatize_memo
     for toks, lg in zip(tokens, lang):
         lg = lg or "english"
         counts: Counter[str] = Counter()
         if toks is not None:
             for word in toks:
-                lemma = lemmatize(word, lg)
+                lemma = memo(word, lg)
                 if lemma:
                     counts[lemma] += 1
         out.append([{"term": t, "tf": c} for t, c in counts.items()])
     return pd.Series(out)
+
+
+# T3+T4+T5+T6+T7 fully fused: text -> (doc_len, lemma counts) in ONE
+# Arrow pass.  Tokenizing python-side (tokenize_py ≡ tokens_col,
+# asserted by tests) means the build never materializes a tokens
+# array column — roughly half the cache footprint and Arrow traffic
+# per document, which is the scaling currency at corpus scale.
+_ANALYZED_TYPE = T.StructType(
+    [
+        T.StructField("doc_len", T.IntegerType(), False),
+        T.StructField("counts", _LEMMA_COUNTS_TYPE, False),
+    ]
+)
+
+
+@pandas_udf(_ANALYZED_TYPE)
+def analyze_text_udf(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
+    memo = _lemmatize_memo
+    lens, counts_col = [], []
+    for txt, lg in zip(text, lang):
+        lg = lg or "english"
+        toks = tokenize_py(txt, lg)
+        counts: Counter[str] = Counter()
+        for word in toks:
+            lemma = memo(word, lg)
+            if lemma:
+                counts[lemma] += 1
+        lens.append(len(toks))
+        counts_col.append(
+            [{"term": t, "tf": c} for t, c in counts.items()]
+        )
+    return pd.DataFrame({"doc_len": lens, "counts": counts_col})
 
 
 # ---------------------------------------------------------------------------

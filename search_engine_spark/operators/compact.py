@@ -76,6 +76,14 @@ def assign_doc_ids(
     """
     from pyspark.sql import Window
 
+    if id_col == "doc_id":
+        # withColumn("doc_id", ...) below would silently REPLACE the
+        # natural key and the compaction join would match nothing
+        raise ValueError(
+            "natural id column must not be named 'doc_id' (the "
+            "composed id uses that name) — rename it first"
+        )
+
     seg = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_segments)).cast("int")
     w = Window.partitionBy("_seg").orderBy(F.col(id_col).asc())
     out = (
@@ -160,17 +168,27 @@ def compact_postings(
     id_col: str = "url",
     config: EngineConfig = DEFAULT,
     postings_per_shard: int = 1 << 20,
+    n_docs: int | None = None,
+    combine: bool = True,
 ) -> DataFrame:
     """postings(term, id, tf) → compressed segment rows (N1 + N2).
 
     One shuffle: ``repartition(term, salt)`` then a grouped Arrow pass
     builds the blocks.  Salt is 0 for the long tail; head terms get
     df-proportional salt so their posting lists split across tasks.
+
+    The doc_map lookup is broadcast when the doc count is known to be
+    small enough (saves shuffling the far-larger postings side);
+    beyond the threshold it's a plain shuffled hash join — at
+    10^12-doc scale both sides partition.
     """
     k1, b = config.bm25.k1, config.bm25.b
-    with_len = postings.join(
-        doc_map.select("doc_id", F.col(id_col), "doc_len"), id_col
-    ).select("term", "doc_id", "tf", "doc_len")
+    lookup = doc_map.select("doc_id", F.col(id_col), "doc_len")
+    if n_docs is not None and n_docs <= config.doc_map_broadcast_max:
+        lookup = F.broadcast(lookup)
+    with_len = postings.join(lookup, id_col).select(
+        "term", "doc_id", "tf", "doc_len"
+    )
 
     salts = salt_factors(term_stats, postings_per_shard, config.max_salt)
     salted = (
@@ -185,8 +203,92 @@ def compact_postings(
         .drop("n_salt")
     )
     builder = _block_builder(avg_len, k1, b, config.block_size)
-    return salted.groupBy("term", "salt").applyInPandas(
-        builder, SEGMENT_SCHEMA
+    if not combine:
+        return salted.groupBy("term", "salt").applyInPandas(
+            builder, SEGMENT_SCHEMA
+        )
+
+    # Map-side combine (the 100 TB lever): each input partition first
+    # compresses ITS postings per (term, salt) into partial runs —
+    # sorted, delta+varint — so the term shuffle moves ~5 B/posting
+    # instead of ~40 B/posting of raw (term, doc_id, tf, doc_len)
+    # rows.  The reducer decodes the few partial runs per shard,
+    # re-sorts, and emits the canonical block sequence — bit-identical
+    # to the direct path (asserted by tests).
+    partial_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("salt", T.IntegerType(), False),
+            T.StructField("count", T.IntegerType(), False),
+            T.StructField("doc_ids", T.BinaryType(), False),
+            T.StructField("tfs", T.BinaryType(), False),
+            T.StructField("doc_lens", T.BinaryType(), False),
+        ]
+    )
+
+    def partial_builder(batches):
+        import numpy as np
+
+        from search_engine_spark.functions.codec import (
+            delta_encode,
+            encode_varint,
+        )
+
+        # one combine per PARTITION, not per ~10k-row Arrow batch —
+        # per-batch runs would multiply the partial count ~20x and
+        # drown the reducer in tiny runs
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
+        rows = []
+        for (term, salt), g in pdf.groupby(["term", "salt"],
+                                           sort=False):
+            ids = g["doc_id"].to_numpy(dtype=np.uint64)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            tfs = g["tf"].to_numpy(dtype=np.uint64)[order]
+            dls = g["doc_len"].to_numpy(dtype=np.uint64)[order]
+            rows.append(
+                {
+                    "term": term,
+                    "salt": int(salt),
+                    "count": int(ids.size),
+                    "doc_ids": encode_varint(delta_encode(ids)),
+                    "tfs": encode_varint(tfs),
+                    "doc_lens": encode_varint(dls),
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=[f.name for f in partial_schema.fields]
+        )
+
+    def reduce_partials(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        term, shard = key
+        ids_l, tf_l, dl_l = [], [], []
+        for blk in pdf[["count", "doc_ids", "tfs", "doc_lens"]].to_dict(
+            "records"
+        ):
+            ids, tfs, dls = read_block(blk)
+            ids_l.append(ids)
+            tf_l.append(tfs)
+            dl_l.append(dls)
+        blocks = build_blocks(
+            np.concatenate(ids_l),
+            np.concatenate(tf_l),
+            np.concatenate(dl_l),
+            avg_len,
+            k1,
+            b,
+            config.block_size,
+        )
+        return _blocks_to_pdf(term, int(shard), blocks)
+
+    partial = salted.mapInPandas(partial_builder, partial_schema)
+    return partial.groupBy("term", "salt").applyInPandas(
+        reduce_partials, SEGMENT_SCHEMA
     )
 
 
@@ -230,12 +332,24 @@ def merge_segments(
     segments: DataFrame,
     avg_len: float,
     config: EngineConfig = DEFAULT,
+    term_stats: DataFrame | None = None,
+    postings_per_shard: int | None = None,
 ) -> DataFrame:
     """N3/N4: merge each term's shards/segments into one sorted block
     sequence, unless the term is above the stop-term df threshold (in
     which case its salt shards are kept at rest and unioned at query
     time).  Also the incremental-merge path: union old + delta
-    segments, then call this."""
+    segments, then call this.
+
+    When ``term_stats`` + ``postings_per_shard`` are provided (fresh
+    build), terms that cannot need merging bypass the shuffle+Python
+    cycle entirely: unsalted terms (df ≤ postings_per_shard) already
+    have one sorted block run, and stop-terms
+    (df > shard_df_threshold) stay sharded at rest by design.  Only
+    the middle band — salted but under the stop threshold — is
+    re-merged; the bypass predicates are broadcast anti/semi joins,
+    no extra shuffle.
+    """
     merger = _segment_merger(
         avg_len,
         config.bm25.k1,
@@ -243,7 +357,24 @@ def merge_segments(
         config.block_size,
         config.shard_df_threshold,
     )
-    return segments.groupBy("term").applyInPandas(merger, SEGMENT_SCHEMA)
+    if term_stats is None or postings_per_shard is None:
+        return segments.groupBy("term").applyInPandas(
+            merger, SEGMENT_SCHEMA
+        )
+    needs_merge = term_stats.filter(
+        (F.col("df") > postings_per_shard)
+        & (F.col("df") <= config.shard_df_threshold)
+    ).select("term")
+    to_merge = segments.join(F.broadcast(needs_merge), "term",
+                             "left_semi")
+    passthrough = segments.join(F.broadcast(needs_merge), "term",
+                                "left_anti")
+    merged = to_merge.groupBy("term").applyInPandas(
+        merger, SEGMENT_SCHEMA
+    )
+    return merged.unionByName(
+        passthrough.select(*[f.name for f in SEGMENT_SCHEMA.fields])
+    )
 
 
 def decode_segments(segments: DataFrame) -> DataFrame:
@@ -344,9 +475,14 @@ def compact_index(
         index.id_col,
         index.config,
         postings_per_shard,
+        n_docs=index.n_docs,
     )
     if merge:
-        segs = merge_segments(segs, index.avg_len, index.config)
+        segs = merge_segments(
+            segs, index.avg_len, index.config,
+            term_stats=index.term_stats,
+            postings_per_shard=postings_per_shard,
+        )
     return CompactIndex(
         segments=segs,
         doc_map=doc_map,

@@ -46,12 +46,20 @@ def build_postings(
     explode + partial-aggregating groupBy.
     """
     if analyzer == "lemma":
-        counts = enriched.select(
-            F.col(id_col),
-            F.explode(
-                lemma_counts_udf(F.col("tokens"), F.col("lang"))
-            ).alias("tc"),
-        )
+        if "analyzed" in enriched.columns:
+            # fused path (enrich_pages(compute_tokens=False)): counts
+            # were produced together with doc_len in one Arrow pass
+            counts = enriched.select(
+                F.col(id_col),
+                F.explode(F.col("analyzed.counts")).alias("tc"),
+            )
+        else:
+            counts = enriched.select(
+                F.col(id_col),
+                F.explode(
+                    lemma_counts_udf(F.col("tokens"), F.col("lang"))
+                ).alias("tc"),
+            )
         return counts.select(
             F.col("tc.term").alias("term"),
             F.col(id_col),
@@ -104,6 +112,17 @@ class InvertedIndex:
     stoplist: tuple[str, ...]    # R14: the `stoplist_size` most common
     id_col: str = "url"
     config: EngineConfig = field(default_factory=lambda: DEFAULT)
+    # frames .cache()d during build (for explicit release: Spark's SQL
+    # cache matches by logical plan, so a leaked cache silently feeds
+    # later plan-identical builds — poison for benchmarks)
+    cached: tuple = ()
+
+    def unpersist(self) -> None:
+        for df in self.cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def compute_stoplist(
@@ -131,6 +150,10 @@ def build_index(
     cache: bool = True,
 ) -> InvertedIndex:
     """End-to-end logical index build from an enriched pages frame."""
+    if cache:
+        # doc_lens and postings both consume the enrichment; caching
+        # it runs tokenization (and the optional T1 UDF) exactly once
+        enriched = enriched.cache()
     dl = doc_lens_table(enriched, id_col)
     post = build_postings(enriched, id_col, analyzer)
     if cache:
@@ -158,4 +181,5 @@ def build_index(
         stoplist=stop,
         id_col=id_col,
         config=config,
+        cached=(enriched, dl, post, tstats) if cache else (),
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import types as T
 from pyspark.sql import functions as F
 
 
@@ -148,6 +149,194 @@ def cosine_topk_lsh(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs:
+    ``(id_a, id_b, sim)`` for every unordered pair with
+    cos ≥ threshold.  O(N²) — the correctness baseline and oracle
+    target; :func:`cosine_near_dup_pairs_lsh` is the scale path."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 1234,
+) -> DataFrame:
+    """Approximate near-dup pairs: only pairs sharing an SRP bucket in
+    ≥1 table are scored — O(N) bucketing + per-bucket self-join
+    instead of the O(N²) cross join.  High-cosine pairs collide with
+    probability (1 − θ/π)^planes per table; misses are tunable via
+    n_planes / n_tables (recall vs cost)."""
+    tables = [
+        _hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
+    ]
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                srp_bucket_col(F.col(vec_col), tables[t]).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), F.explode(buckets).alias("tb")
+    ).select(id_col, vec_col, "tb.table", "tb.bucket")
+    a = bucketed.select(
+        "table", "bucket",
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+    )
+    b = bucketed.select(
+        "table", "bucket",
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+) -> "np.ndarray":
+    """Deterministic k-means coarse quantizer trained driver-side on
+    a seeded sample (standard IVF practice: training is tiny relative
+    to the corpus; assignment is the distributed part)."""
+    rows = (
+        corpus.select(vec_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_lists, len(x)),
+                         replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(cents.shape[0]):
+            mask = assign == c
+            if mask.any():
+                m = x[mask].mean(axis=0)
+                cents[c] = m / (np.linalg.norm(m) or 1.0)
+    return cents
+
+
+def _ivf_assign_col(vec: Column, cents: "np.ndarray") -> Column:
+    """argmax-cosine centroid id as a JVM expression (centroids are
+    unit-norm so dot == cosine)."""
+    best_id = F.lit(0)
+    best_sim = F.lit(-2.0)
+    for cid, cent in enumerate(cents.tolist()):
+        carr = F.array(*[F.lit(float(v)) for v in cent])
+        sim = _dot(vec, carr) / _norm(vec)
+        best_id = F.when(sim > best_sim, F.lit(cid)).otherwise(best_id)
+        best_sim = F.greatest(best_sim, sim)
+    return best_id
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid (one pass, JVM-side dot products); each query scans only
+    its ``n_probe`` nearest lists.  At rest the corpus would be
+    written partitioned by ``ivf_list`` so a query touches n_probe
+    partitions — the disk analog of the index's term buckets."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_lists, vec_col)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("ivf_list", _ivf_assign_col(F.col("cvec"), centroids))
+
+    # per-query probe lists (small, computed driver-side via numpy on
+    # the collected query set — queries are the broadcast side anyway)
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect()
+    qx = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+    qx = qx / np.linalg.norm(qx, axis=1, keepdims=True)
+    probes = np.argsort(-(qx @ centroids.T), axis=1)[:, :n_probe]
+    spark = corpus.sparkSession
+    probe_rows = [
+        (int(r["query_id"]), r["qvec"], [int(p) for p in probes[i]])
+        for i, r in enumerate(qrows)
+    ]
+    q = spark.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("qvec", T.ArrayType(T.FloatType()), False),
+                T.StructField(
+                    "probe_lists", T.ArrayType(T.IntegerType()), False
+                ),
+            ]
+        ),
+    ).select("query_id", "qvec", F.explode("probe_lists").alias("ivf_list"))
+
+    cand = (
+        c.join(F.broadcast(q), "ivf_list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim", F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 6)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )

@@ -109,23 +109,49 @@ def build_and_write(
             "resumed": True,
         }
 
-    enriched = enrich_pages(pages, use_html=use_html)
+    phases: dict[str, float] = {}
+    t_prev = time.time()
+
+    def mark(name: str) -> None:
+        nonlocal t_prev
+        now = time.time()
+        phases[name] = round(now - t_prev, 3)
+        t_prev = now
+
+    enriched = enrich_pages(
+        pages, use_html=use_html,
+        compute_tokens=(analyzer != "lemma"),
+    )
     index = build_index(enriched, id_col="url", analyzer=analyzer,
                         config=config, cache=True)
+    mark("logical_index")
     doc_map = assign_doc_ids(index.doc_lens, "url", n_segments).cache()
 
     if not have_stats:
         # phase 0: docs + stats tables (written once, before index
-        # partitions — resume only ever skips index buckets)
-        doc_map.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "docs")
-        )
-        index.term_stats.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "term_stats")
-        )
-        index.site_stats.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "site_stats")
-        )
+        # partitions — resume only ever skips index buckets).  The
+        # three writes are independent small jobs → run them on
+        # concurrent driver threads (Spark schedules them in parallel)
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = [
+            (doc_map, "docs"),
+            (index.term_stats, "term_stats"),
+            (index.site_stats, "site_stats"),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(
+                    lambda df, name: df.write.mode("overwrite").parquet(
+                        os.path.join(out_dir, name)
+                    ),
+                    df,
+                    name,
+                )
+                for df, name in writes
+            ]
+            for f in futs:
+                f.result()
         with open(stats_path, "w") as fh:
             json.dump(
                 {
@@ -144,6 +170,7 @@ def build_and_write(
                 },
                 fh,
             )
+    mark("stats_tables")
 
     # prune to missing buckets BEFORE the term shuffle (resume path)
     postings = index.postings.withColumn(
@@ -160,31 +187,40 @@ def build_and_write(
         "url",
         config,
         postings_per_shard,
+        n_docs=index.n_docs,
     )
-    segs = merge_segments(segs, index.avg_len, config)
-    segs = segs.withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+    segs = merge_segments(
+        segs, index.avg_len, config,
+        term_stats=index.term_stats,
+        postings_per_shard=postings_per_shard,
+    )
+    segs = (
+        segs.withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+        .repartition(F.col("bucket"))
+        .persist()
+    )
 
     index_path = os.path.join(out_dir, "index")
     (
-        segs.repartition(F.col("bucket"))
-        .write.mode("overwrite")
+        segs.write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(index_path)
     )
+    mark("compact_write")
 
-    # lineage: counts read back from what actually landed on disk
-    written = spark.read.parquet(index_path).filter(
-        F.col("bucket").isin(missing)
-    )
+    # lineage: per-bucket counts from the exact frame the write
+    # consumed (persisted → the agg is a cheap cache scan, not a
+    # recompute or a read-back of 64 partition dirs)
     per_bucket = {
         r["bucket"]: (r["postings"], r["blocks"])
-        for r in written.groupBy("bucket")
+        for r in segs.groupBy("bucket")
         .agg(
             F.sum("count").alias("postings"),
             F.count(F.lit(1)).alias("blocks"),
         )
         .collect()
     }
+    segs.unpersist()
     now = time.time()
     rows = [
         (
@@ -200,6 +236,14 @@ def build_and_write(
     spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode(
         "append"
     ).parquet(_manifest_path(out_dir))
+    mark("manifest")
+
+    # release build-scoped caches: Spark's SQL cache matches plans
+    # structurally, so leaving them would silently feed any later
+    # plan-identical build (e.g. a benchmark's timed pass after its
+    # warm pass) with precomputed results
+    index.unpersist()
+    doc_map.unpersist()
 
     return {
         "build_id": build_id,
@@ -208,6 +252,7 @@ def build_and_write(
         "n_docs": index.n_docs,
         "postings": int(sum(v[0] for v in per_bucket.values())),
         "resumed": bool(done),
+        "phases": phases,
     }
 
 

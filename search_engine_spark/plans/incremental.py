@@ -146,7 +146,10 @@ def append_pages(
     n_buckets = meta["n_buckets"]
     build_id = uuid.uuid4().hex[:12]
 
-    enriched = enrich_pages(new_pages, use_html=use_html)
+    enriched = enrich_pages(
+        new_pages, use_html=use_html,
+        compute_tokens=(meta["analyzer"] != "lemma"),
+    )
     # LIVE urls only: a tombstoned url is re-addable (the R25 upsert
     # path tombstones the old version, then appends through here)
     existing = _live_docs(spark, out_dir).select("url")

@@ -112,6 +112,92 @@ def generate_pages_pdf(
     return pd.DataFrame(rows)
 
 
+def generate_page_row(
+    i: int,
+    n_sites: int,
+    seed: int,
+    vocab: list[str],
+    cum_weights: list[float],
+    lang: str = "english",
+) -> dict:
+    """One synthetic page, seeded by (seed, page index) alone — the
+    same row regardless of which partition/worker generates it.
+    ``cum_weights`` are CUMULATIVE Zipf weights (random.choices
+    rebuilds the cumulative array on every call otherwise — the
+    dominant generation cost at corpus scale)."""
+    rng = random.Random((seed << 32) ^ i)
+    path_words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+                  "eta", "theta", "iota", "kappa"]
+    site = i % n_sites
+    depth = rng.randint(1, 3)
+    path = "/".join(rng.choice(path_words) for _ in range(depth))
+    url = f"https://site{site:02d}.example/{path}/p{i}"
+    n_sentences = rng.randint(5, 40)
+    sentences = []
+    for _ in range(n_sentences):
+        n_words = rng.randint(4, 12)
+        words = [
+            rng.choice(_PARTICLE_POOL)
+            if rng.random() < 0.15
+            else rng.choices(vocab, cum_weights=cum_weights)[0]
+            for _ in range(n_words)
+        ]
+        sentences.append(" ".join(words) + ".")
+    text = " ".join(sentences)
+    title = " ".join(sentences[0].split()[:4]).rstrip(".")
+    body = "".join(f"<p>{s}</p>" for s in sentences)
+    html = (
+        f"<html><head><title>{title}</title></head>"
+        f"<body>{body}</body></html>"
+    ).encode("utf-8")
+    return {
+        "url": url,
+        "warc_ts": _EPOCH + dt.timedelta(seconds=i),
+        "html": html,
+        "text": text,
+        "lang": lang,
+    }
+
+
+def pages_df_dist(spark, n_pages: int, n_sites: int = 8, seed: int = 42,
+                  n_partitions: int | None = None):
+    """Distributed deterministic corpus: generation runs on executors
+    via ``mapInPandas`` over a page-id range, seeded per page id —
+    partitioning-independent content, scales to millions of pages
+    (the driver-side :func:`pages_df` is for small test corpora)."""
+    import itertools
+
+    import pandas as pd  # noqa: F811
+    from pyspark.sql import types as T
+
+    vocab = _vocab()
+    weights = list(
+        itertools.accumulate(
+            1.0 / (i + 1) ** 1.1 for i in range(len(vocab))
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [
+                generate_page_row(int(i), n_sites, seed, vocab, weights)
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows)
+
+    parts = n_partitions or spark.sparkContext.defaultParallelism
+    return spark.range(0, n_pages, 1, parts).mapInPandas(gen, schema)
+
+
 def pages_df(spark, n_pages: int, n_sites: int = 4, seed: int = 42,
              n_partitions: int | None = None):
     """Spark DataFrame of synthetic pages with the input_hint schema."""

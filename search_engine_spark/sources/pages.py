@@ -34,29 +34,50 @@ def read_pages(spark: SparkSession, path_or_table: str) -> DataFrame:
     return spark.read.parquet(path_or_table)
 
 
-def enrich_pages(pages: DataFrame, use_html: bool = False) -> DataFrame:
+def enrich_pages(
+    pages: DataFrame,
+    use_html: bool = False,
+    compute_tokens: bool = True,
+) -> DataFrame:
     """Derive site / text / title / tokens / doc_len.
 
     - ``site`` = url host (reference ``PageIntrospect.getDomain``,
       services/utils/PageIntrospect.java:22-40 → built-in ``parse_url``)
     - ``text`` comes straight from the input column when populated
-      (input_hint provides both html and text); ``use_html=True`` forces
-      re-extraction through the T1 pandas UDF.
+      (input_hint provides both html and text); ``use_html=True`` runs
+      the T1 pandas UDF instead.  The UDF is only *referenced* on that
+      path — Spark evaluates extracted Python UDFs unconditionally, so
+      putting it inside a coalesce would decode every page's html even
+      when the text column is already there.
+    - ``html`` (the widest column by far) is projected away BEFORE the
+      dedup shuffle: title is derived first, then the exchange moves
+      only url/text/lang/title.
     - crawl dedup (reference Redis visited-set,
       RecursiveWebParser.java:164-169) → ``dropDuplicates(url)``.
     """
-    df = pages.dropDuplicates(["url"])
-    text = (
-        extract_text_udf(F.col("html"))
-        if use_html
-        else F.coalesce(F.col("text"), extract_text_udf(F.col("html")))
-    )
-    df = df.withColumn("text", text)
-    df = df.withColumn("site", F.parse_url(F.col("url"), F.lit("HOST")))
+    df = pages
     if "html" in df.columns:
+        if use_html:
+            df = df.withColumn("text", extract_text_udf(F.col("html")))
         df = df.withColumn("title", title_col(F.col("html")))
-    df = df.withColumn("tokens", tokens_col(F.col("text"), F.col("lang")))
-    df = df.withColumn("doc_len", doc_len_col(F.col("tokens")))
+        df = df.drop("html")
+    df = df.dropDuplicates(["url"])
+    df = df.withColumn("site", F.parse_url(F.col("url"), F.lit("HOST")))
+    if compute_tokens:
+        df = df.withColumn(
+            "tokens", tokens_col(F.col("text"), F.col("lang"))
+        )
+        df = df.withColumn("doc_len", doc_len_col(F.col("tokens")))
+    else:
+        # fused analysis (T3–T7 in one Arrow pass): no tokens array is
+        # ever materialized — doc_len and per-doc lemma counts come
+        # from a single UDF column (build_postings explodes it)
+        from search_engine_spark.functions.textproc import analyze_text_udf
+
+        df = df.withColumn(
+            "analyzed", analyze_text_udf(F.col("text"), F.col("lang"))
+        )
+        df = df.withColumn("doc_len", F.col("analyzed.doc_len"))
     return df
 
 

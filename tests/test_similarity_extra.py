@@ -1,0 +1,111 @@
+"""Embedding near-dup pairs + distributed fixture generator."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_near_dup_pairs_lsh,
+)
+from search_engine_spark.sources.fixtures import pages_df, pages_df_dist
+
+
+def _emb(spark, sf="/root/testdata/sf0.001"):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+def _np_pairs(rows, threshold):
+    import numpy as np
+
+    ids = [r["vec_id"] for r in rows]
+    vecs = np.array([r["embedding"] for r in rows], dtype=float)
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            if a > b:
+                a, b = b, a
+            if round(sims[i][j], 6) >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_near_dup_exact_matches_numpy(spark):
+    emb = _emb(spark)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    want = _np_pairs(emb.collect(), 0.4)
+    assert got == want and len(got) > 0
+
+
+def test_near_dup_lsh_subset_with_high_recall(spark):
+    emb = _emb(spark)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    # SRP collision prob per table = (1 - θ/π)^planes: at cos 0.4
+    # (θ≈66°) that's ~0.16 with 4 planes → 16 tables give ~94% recall.
+    # (The defaults are tuned for true near-dups, cos ≥ 0.9.)
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs_lsh(
+            emb, threshold=0.4, n_planes=4, n_tables=16
+        ).collect()
+    }
+    # LSH may miss pairs but never invents them
+    assert approx <= exact
+    assert len(approx) >= math.ceil(0.6 * len(exact))
+
+
+def test_dist_generator_partitioning_invariant(spark):
+    a = pages_df_dist(spark, 300, n_sites=4, seed=7, n_partitions=2)
+    b = pages_df_dist(spark, 300, n_sites=4, seed=7, n_partitions=16)
+    ra = sorted(
+        (r["url"], r["text"], r["lang"])
+        for r in a.select("url", "text", "lang").collect()
+    )
+    rb = sorted(
+        (r["url"], r["text"], r["lang"])
+        for r in b.select("url", "text", "lang").collect()
+    )
+    assert ra == rb
+    assert len({u for u, _, _ in ra}) == 300
+
+
+def test_dist_generator_schema_and_html_invariant(spark):
+    from search_engine_spark.functions.textproc import extract_text_py
+
+    df = pages_df_dist(spark, 50, n_sites=4, seed=7, n_partitions=4)
+    assert [f.name for f in df.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+    for r in df.collect():
+        # the input_hint per-row invariant: extract_text(html) == text
+        assert extract_text_py(r["html"]) == r["text"]
+
+
+def test_driver_and_dist_generators_share_vocab(spark):
+    """Both generators draw from the same Zipf vocab (content differs
+    by design — seeding schemes are different — but the token space
+    must be identical so benchmarks exercise the same skew)."""
+    from search_engine_spark.functions.textproc import tokenize_py
+
+    d = pages_df(spark, 40, n_sites=4, seed=42)
+    g = pages_df_dist(spark, 40, n_sites=4, seed=42, n_partitions=2)
+    vd = {t for r in d.select("text").collect()
+          for t in tokenize_py(r["text"])}
+    vg = {t for r in g.select("text").collect()
+          for t in tokenize_py(r["text"])}
+    assert vg <= (vd | vg)  # sanity
+    from search_engine_spark.sources.fixtures import _PARTICLE_POOL, _vocab
+
+    allowed = set(_vocab()) | set(_PARTICLE_POOL)
+    assert vd <= allowed and vg <= allowed

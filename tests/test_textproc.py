@@ -137,3 +137,29 @@ def test_extract_title():
     for _, row in pdf.iterrows():
         t = extract_title_py(row["html"])
         assert t and t == " ".join(row["text"].split()[:4]).rstrip(".")
+
+
+def test_fused_analysis_equals_tokens_path(spark):
+    """enrich(compute_tokens=False) + fused UDF must produce exactly
+    the postings/doc_lens of the tokens_col + lemma_counts_udf path."""
+    from search_engine_spark.operators.postings import build_postings
+    from search_engine_spark.sources.fixtures import pages_df
+    from search_engine_spark.sources.pages import enrich_pages
+
+    pages = pages_df(spark, 80, n_sites=3, seed=11)
+    a = enrich_pages(pages, compute_tokens=True)
+    b = enrich_pages(pages, compute_tokens=False)
+    pa = {
+        (r["term"], r["url"], r["tf"])
+        for r in build_postings(a, "url", "lemma").collect()
+    }
+    pb = {
+        (r["term"], r["url"], r["tf"])
+        for r in build_postings(b, "url", "lemma").collect()
+    }
+    assert pa == pb and len(pa) > 0
+    la = {(r["url"], r["doc_len"]) for r in
+          a.select("url", "doc_len").collect()}
+    lb = {(r["url"], r["doc_len"]) for r in
+          b.select("url", "doc_len").collect()}
+    assert la == lb
