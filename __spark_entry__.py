@@ -76,6 +76,7 @@ def _docs_compact(spark: SparkSession, sf_dir: str):
         )
         cidx = compact_index(renamed, n_segments=16)
         cidx.segments = cidx.segments.cache()
+        cidx.doc_map = cidx.doc_map.cache()
         _COMPACT_CACHE[key] = cidx
     return _COMPACT_CACHE[key]
 

@@ -57,9 +57,11 @@ def cosine_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
+    # spread the scanned side: a single-file corpus would make the
+    # broadcast join one task
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
+    ).repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -164,11 +166,31 @@ def cosine_near_dup_pairs(
     ``(id_a, id_b, sim)`` for every unordered pair with
     cos ≥ threshold.  O(N²) — the correctness baseline and oracle
     target; :func:`cosine_near_dup_pairs_lsh` is the scale path."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms computed once per side, not once per pair (the pair join
+    # is O(N²) — anything per-pair must be just the dot product).
+    # The streamed side is spread across the cluster: a single-file
+    # input would otherwise make the nested-loop join ONE task.
+    spark = df.sparkSession
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )

@@ -112,6 +112,7 @@ def search_compact(
     analyzer: str = "lemma",
     use_stoplist: bool = True,
     prune: bool = True,
+    prune_min_candidates: int | None = None,
 ) -> DataFrame:
     """Top-(offset..offset+limit) BM25 over the compacted index:
     ``(<id_col>, site, score, rn)`` — same contract as
@@ -154,8 +155,18 @@ def search_compact(
             .select("shard", "block_id", "count", "max_u", "min_u")
             .collect()
         )
+        # pruning pays only on long posting lists: below this, the
+        # seed/survivor phases just add two extra Spark jobs to skip
+        # a handful of blocks — score everything in one pass instead
+        min_cand = (
+            prune_min_candidates
+            if prune_min_candidates is not None
+            else max(1024, 16 * k)
+        )
+        if sum(r["count"] for r in meta) <= min_cand:
+            meta = []
         others = [t for t in terms if t != rarest]
-        if others:
+        if others and meta:
             om = (
                 _segs_for_terms(cidx, others)
                 .groupBy("term")

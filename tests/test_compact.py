@@ -206,11 +206,17 @@ def test_wand_rank_identity(
 
     a = rows(search(logical_index, query, sites=sites,
                     offset=offset, limit=limit))
+    # prune_min_candidates=0 forces the seed/survivor block-max path
+    # even on this small corpus (the production heuristic would take
+    # the single-pass shortcut)
     b = rows(search_compact(compacted, query, sites=sites,
-                            offset=offset, limit=limit, prune=True))
+                            offset=offset, limit=limit, prune=True,
+                            prune_min_candidates=0))
     c = rows(search_compact(compacted, query, sites=sites,
                             offset=offset, limit=limit, prune=False))
-    assert a == b == c
+    d = rows(search_compact(compacted, query, sites=sites,
+                            offset=offset, limit=limit, prune=True))
+    assert a == b == c == d
 
 
 def test_salted_equals_unsalted(logical_index):
