@@ -163,3 +163,66 @@ def test_fused_analysis_equals_tokens_path(spark):
     lb = {(r["url"], r["doc_len"]) for r in
           b.select("url", "doc_len").collect()}
     assert la == lb
+
+
+def test_russian_lemma_and_search_path(spark):
+    """ru corpus end-to-end: tokenize (а-я range), particle drop,
+    suffix strip, search returns results."""
+    import datetime as dt
+
+    from search_engine_spark.operators.postings import build_index
+    from search_engine_spark.plans.search import search
+    from search_engine_spark.sources.pages import enrich_pages
+
+    rows = []
+    texts = [
+        "коты и собаки гуляли по дому",
+        "кот спал на окне весь день",
+        "собака лаяла на кота у дома",
+        "дома стояли тихо в снегу",
+        "окна домов светились ночью",
+    ]
+    for i, t in enumerate(texts):
+        rows.append(
+            (
+                f"https://ru{i:02d}.example/p{i}",
+                dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+                f"<html><body><p>{t}</p></body></html>".encode(),
+                t,
+                "russian",
+            )
+        )
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string"
+    )
+    idx = build_index(enrich_pages(pages), analyzer="lemma")
+    terms = {r["term"] for r in idx.term_stats.collect()}
+    assert "и" not in terms          # particle (союз) dropped
+    assert any(t.startswith("кот") for t in terms)
+    res = search(idx, "кот", lang="russian", use_stoplist=False).collect()
+    assert len(res) > 0
+    for r in res:
+        assert r["url"].startswith("https://ru")
+
+
+def test_use_html_build_matches_text_build(spark):
+    """T1 invariant end-to-end: building from re-extracted html must
+    equal building from the provided text column (fixtures render
+    html FROM text, so extract_text(html) == text per url)."""
+    from search_engine_spark.operators.postings import build_index
+    from search_engine_spark.sources.fixtures import pages_df
+    from search_engine_spark.sources.pages import enrich_pages
+
+    pages = pages_df(spark, 60, n_sites=3, seed=5)
+    from_text = build_index(enrich_pages(pages), analyzer="lemma")
+    from_html = build_index(
+        enrich_pages(pages.drop("text").withColumn("text", F.lit(None).cast("string")),
+                     use_html=True),
+        analyzer="lemma",
+    )
+    pt = {(r["term"], r["url"], r["tf"])
+          for r in from_text.postings.collect()}
+    ph = {(r["term"], r["url"], r["tf"])
+          for r in from_html.postings.collect()}
+    assert pt == ph and len(pt) > 0

@@ -114,7 +114,9 @@ def run_build(cpus: int, pages: int, zpath: str, tmp: str) -> dict:
 
 def update_baseline_md(result: dict) -> None:
     path = REPO / "BASELINE.md"
-    marker = "## Measured scaling (local[8] vs local[32])"
+    # distinct marker: the curated "Measured scaling" analysis section
+    # above it is hand-maintained and must survive auto-refreshes
+    marker = "## Latest scaling run (auto-generated)"
     strong = ""
     if "efficiency_strong" in result:
         strong = f"""
