@@ -20,7 +20,42 @@ confined to the text UDFs, the posting-block codec/WAND scorer, and
 salting/manifest logic.
 """
 
-from search_engine_spark.config import EngineConfig
+from search_engine_spark.config import BM25Config, EngineConfig
 
-__all__ = ["EngineConfig"]
+__all__ = [
+    "BM25Config",
+    "EngineConfig",
+    # lazy conveniences (see __getattr__): build_index, compact_index,
+    # search, search_compact, build_and_write, load_compact_index,
+    # open_index, enrich_pages, read_pages
+]
 __version__ = "0.1.0"
+
+_LAZY = {
+    "build_index": "search_engine_spark.operators.postings",
+    "compact_index": "search_engine_spark.operators.compact",
+    "search": "search_engine_spark.plans.search",
+    "search_compact": "search_engine_spark.plans.wand",
+    "build_and_write": "search_engine_spark.plans.build",
+    "load_compact_index": "search_engine_spark.plans.build",
+    "open_index": "search_engine_spark.plans.incremental",
+    "append_pages": "search_engine_spark.plans.incremental",
+    "tombstone_urls": "search_engine_spark.plans.incremental",
+    "reindex_pages": "search_engine_spark.plans.incremental",
+    "vacuum": "search_engine_spark.plans.incremental",
+    "enrich_pages": "search_engine_spark.sources.pages",
+    "read_pages": "search_engine_spark.sources.pages",
+    "statistics_report": "search_engine_spark.plans.statistics",
+    "attach_snippets": "search_engine_spark.plans.snippets",
+}
+
+
+def __getattr__(name: str):
+    # lazy re-exports keep `import search_engine_spark` light (no
+    # pandas/numpy import cost until an operator is actually used)
+    mod = _LAZY.get(name)
+    if mod is None:
+        raise AttributeError(name)
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
