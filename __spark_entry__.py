@@ -29,6 +29,9 @@ K1, B = 1.5, 0.75
 STOPLIST_SIZE = 20
 FLAGSHIP_TERMS = ["dup", "fast", "key"]
 FLAGSHIP_QUERY = " ".join(FLAGSHIP_TERMS)
+# lemma-analyzer flagship: "data" exercises the exception table
+# (data -> datum), "dup" is the rare candidate-generation term
+FLAGSHIP_LEMMA_QUERY = "data dup line"
 SITES_RESTRICTED = ["src1", "src2"]
 
 # ---------------------------------------------------------------------------
@@ -52,6 +55,34 @@ def _docs_index(spark: SparkSession, sf_dir: str):
             docs, id_col="doc_id", analyzer="tokens"
         )
     return _INDEX_CACHE[key]
+
+
+def _docs_index_lemma(spark: SparkSession, sf_dir: str):
+    """PRODUCTION-analyzer (lemma) inverted index over the documents
+    table — oracle-checked via a generated word→lemma VALUES map on
+    the DuckDB side (see :func:`_lemma_map_cte`)."""
+    from search_engine_spark.operators.postings import build_index
+    from search_engine_spark.sources.pages import documents_as_pages
+
+    key = (id(spark), sf_dir, "lemma")
+    if key not in _INDEX_CACHE:
+        docs = documents_as_pages(spark, sf_dir)
+        _INDEX_CACHE[key] = build_index(
+            docs, id_col="doc_id", analyzer="lemma"
+        )
+    return _INDEX_CACHE[key]
+
+
+def _search_docs_lemma(spark, sf_dir, query, offset=0, limit=10):
+    from search_engine_spark.plans.search import search
+
+    idx = _docs_index_lemma(spark, sf_dir)
+    res = search(idx, query, offset=offset, limit=limit,
+                 analyzer="lemma")
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"),
+        F.col("rn").cast("int").alias("rn"),
+    )
 
 
 def _docs_compact(spark: SparkSession, sf_dir: str):
@@ -150,7 +181,9 @@ _STOP = f"stop AS (SELECT term FROM tstats ORDER BY df DESC, term ASC LIMIT {STO
 
 
 def _bm25_sql(terms: list[str], sites: list[str] | None = None,
-              offset: int = 0, limit: int = 10) -> str:
+              offset: int = 0, limit: int = 10,
+              postings_cte: str = _POSTINGS,
+              extra_cte: str = "") -> str:
     term_list = ", ".join(f"'{t}'" for t in terms)
     if sites:
         site_list = ", ".join(f"'{s}'" for s in sites)
@@ -160,7 +193,7 @@ def _bm25_sql(terms: list[str], sites: list[str] | None = None,
         n_expr = "(SELECT count(*) FROM documents)"
         cand_site = ""
     return f"""
-WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+WITH {_TOKS}, {extra_cte}{postings_cte}, {_LENS}, {_TSTATS}, {_STOP},
 nn AS (SELECT {n_expr} AS n,
               (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*) FROM lens) AS avg_len),
 qt AS (
@@ -276,6 +309,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_pagination(spark, sf):
         return _search_docs(spark, sf, FLAGSHIP_QUERY, offset=3, limit=5)
 
+    def postings_lemma(spark, sf):  # T5-T7, the production analyzer
+        idx = _docs_index_lemma(spark, sf)
+        return idx.postings.select(
+            "term", "doc_id", F.col("tf").cast("long").alias("tf")
+        )
+
+    def bm25_topk_lemma(spark, sf):  # R12 over the lemma analyzer
+        return _search_docs_lemma(
+            spark, sf, FLAGSHIP_LEMMA_QUERY, limit=10
+        )
+
     def bm25_wand_topk(spark, sf):  # N5: same oracle as bm25_topk
         return _search_docs_wand(spark, sf, FLAGSHIP_QUERY, limit=10)
 
@@ -349,6 +393,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def simhash(spark, sf):  # rows-only check
         return simhash_table(_docs_enriched(spark, sf), "doc_id", "tokens")
+
+    def simhash_pairs(spark, sf):  # rows-only (hash not in SQL);
+        # banded join is EXACT for max_hamming < bands (pytest-proven
+        # against brute force in tests/test_dedup.py)
+        from search_engine_spark.operators.dedup import (
+            simhash_near_dup_pairs,
+        )
+
+        return simhash_near_dup_pairs(
+            _docs_enriched(spark, sf), "doc_id", "tokens",
+            bands=4, max_hamming=3,
+        )
 
     def ann_cosine_topk(spark, sf):
         emb = _read(spark, sf, "embeddings")
@@ -510,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk,
         "bm25_site_restricted": bm25_site_restricted,
         "bm25_pagination": bm25_pagination,
+        "postings_lemma": postings_lemma,
+        "bm25_topk_lemma": bm25_topk_lemma,
         "bm25_wand_topk": bm25_wand_topk,
         "bm25_wand_pagination": bm25_wand_pagination,
         "site_statistics": site_statistics_q,
@@ -520,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": ngram_jaccard,
         "minhash_lsh_pairs": minhash_pairs,
         "simhash": simhash,
+        "simhash_near_dup_pairs": simhash_pairs,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_lsh": ann_cosine_lsh,
         "text_quality": text_quality,
@@ -539,11 +598,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _lemma_map_cte() -> str:
+    """``lemma_map(word, lemma)`` VALUES CTE for the DuckDB oracle.
+
+    The production lemmatizer is deterministic pure-Python rules
+    (functions/lemmatizer.py); SQL can't run them directly, so the
+    testdata corpus's (small, synthetic) vocabulary is enumerated with
+    the SAME tokenizer regex the oracle uses and mapped through the
+    real :func:`lemmatize` — giving DuckDB a bit-exact word→lemma
+    relation.  Words that lemmatize to '' (particles, un-analyzable)
+    are omitted: the inner join drops them, mirroring T6.
+    """
+    import glob
+
+    import duckdb
+
+    from search_engine_spark.functions.lemmatizer import lemmatize
+
+    words: set[str] = set()
+    for path in sorted(glob.glob("/root/testdata/sf*/documents.parquet")):
+        rows = duckdb.sql(
+            r"""
+            SELECT DISTINCT unnest(list_filter(
+              string_split_regex(
+                trim(regexp_replace(lower(text), '[^a-z\s]', ' ', 'g')),
+                '\s+'),
+              t -> t <> '')) AS w
+            FROM '"""
+            + path
+            + "'"
+        ).fetchall()
+        words.update(r[0] for r in rows)
+    pairs = sorted(
+        (w, lemmatize(w, "english"))
+        for w in words
+        if lemmatize(w, "english")
+    )
+    values = ", ".join(f"('{w}', '{l}')" for w, l in pairs)
+    return (
+        "lemma_map AS (SELECT * FROM (VALUES "
+        + values
+        + ") AS lm(word, lemma))"
+    )
+
+
+_LPOSTINGS = (
+    "postings AS (SELECT lm.lemma AS term, toks.doc_id, count(*) AS tf "
+    "FROM toks JOIN lemma_map lm ON toks.term = lm.word GROUP BY 1, 2)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     from search_engine_spark.functions.analysis import (
         BPE_PATTERN,
         QUALITY_STOPWORDS,
     )
+    from search_engine_spark.functions.lemmatizer import lemmatize
+
+    lemma_cte = _lemma_map_cte()
+    lemma_terms = [
+        lemmatize(t, "english")
+        for t in FLAGSHIP_LEMMA_QUERY.split()
+        if lemmatize(t, "english")
+    ]
 
     stopword_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
     toks_list = (
@@ -577,6 +694,15 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_TERMS, sites=SITES_RESTRICTED, limit=10
         ),
         "bm25_pagination": _bm25_sql(FLAGSHIP_TERMS, offset=3, limit=5),
+        "postings_lemma": f"""
+            WITH {_TOKS}, {lemma_cte}, {_LPOSTINGS}
+            SELECT term, doc_id, tf FROM postings
+        """,
+        "bm25_topk_lemma": _bm25_sql(
+            lemma_terms, limit=10,
+            postings_cte=_LPOSTINGS,
+            extra_cte=lemma_cte + ", ",
+        ),
         # WAND/compact path must equal the exact path — same oracles
         "bm25_wand_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
         "bm25_wand_pagination": _bm25_sql(

@@ -110,9 +110,11 @@ def main() -> None:
         "bm25_wand_topk",
         "embedding_near_dup",
         "site_statistics",
+        "bm25_topk_lemma",
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
         "simhash",
+        "simhash_near_dup_pairs",
         "ann_cosine_topk",
         "ann_cosine_lsh",
         "dedup_exact",
@@ -128,6 +130,9 @@ def main() -> None:
     # index materialization
     timed("docs_index_warm",
           lambda: entrymod._docs_index(spark, sf_dir).postings.count())
+    timed("docs_index_lemma_warm",
+          lambda: entrymod._docs_index_lemma(spark, sf_dir)
+          .postings.count())
     timed("docs_compact_warm",
           lambda: entrymod._docs_compact(spark, sf_dir).segments.count())
     for name in bench_queries:

@@ -47,6 +47,12 @@ _LAZY = {
     "read_pages": "search_engine_spark.sources.pages",
     "statistics_report": "search_engine_spark.plans.statistics",
     "attach_snippets": "search_engine_spark.plans.snippets",
+    "extract_links_col": "search_engine_spark.functions.textproc",
+    "link_frontier": "search_engine_spark.functions.textproc",
+    "simhash_near_dup_pairs": "search_engine_spark.operators.dedup",
+    "minhash_lsh_pairs": "search_engine_spark.operators.dedup",
+    "ngram_jaccard_pairs": "search_engine_spark.operators.dedup",
+    "exact_dedup": "search_engine_spark.operators.dedup",
 }
 
 

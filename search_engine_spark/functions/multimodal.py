@@ -77,12 +77,64 @@ def _fake_embedding(payload: bytes, dim: int) -> list[float]:
     return (v / np.linalg.norm(v)).astype(np.float32).tolist()
 
 
-def _decode_image_real(payload: bytes):
-    raise NotImplementedError(
-        "real image decoding requires Pillow/opencv — not available "
-        "in this environment; use decoder='fake' or install a codec "
-        "and implement this function"
-    )
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """Real decode path.  Binary PPM/PGM (``P6``/``P5``) is parsed in
+    pure numpy — no external library — returning an ``(H, W, 3)``
+    uint8 array; every other container still raises
+    ``NotImplementedError`` (the sandbox has no Pillow/opencv; JPEG/
+    PNG support is a one-branch swap-in here)."""
+    magic = bytes(payload[:2])
+    if magic not in (b"P6", b"P5"):
+        raise NotImplementedError(
+            "real image decoding beyond binary PPM/PGM requires "
+            "Pillow/opencv — not available in this environment; use "
+            "decoder='fake' or install a codec and extend this function"
+        )
+    # header: magic, then 3 decimal fields (w, h, maxval) separated by
+    # whitespace/comments, then ONE whitespace byte, then the raster
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM/PGM not supported")
+    channels = 3 if magic == b"P6" else 1
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels,
+                           offset=pos)
+    img = raster.reshape(h, w, channels)
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    return img
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Inverse of :func:`_decode_image_real` for P6 (tests + the real
+    resize path re-encode through this)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        img[:, :, :3], dtype=np.uint8
+    ).tobytes()
+
+
+def _real_embedding(img: np.ndarray, dim: int) -> list[float]:
+    """Deterministic content-derived feature vector: an L2-normalized
+    ``dim``-bin grayscale histogram (a real, if simple, visual
+    feature — the swap-in point for a CNN/CLIP encoder)."""
+    gray = img.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=dim, range=(0.0, 256.0))
+    v = hist.astype(np.float64)
+    n = np.linalg.norm(v)
+    return (v / (n or 1.0)).astype(np.float32).tolist()
 
 
 def image_features(
@@ -101,15 +153,19 @@ def image_features(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload)
                 if decoder == "real":
-                    _decode_image_real(data)
-                w, h = _fake_dims(data)
+                    img = _decode_image_real(data)
+                    h, w = img.shape[:2]
+                    emb = _real_embedding(img, dim)
+                else:
+                    w, h = _fake_dims(data)
+                    emb = _fake_embedding(data, dim)
                 rows.append(
                     {
                         "doc_id": int(doc_id),
                         "width": w,
                         "height": h,
                         "n_bytes": len(data),
-                        "embedding": _fake_embedding(data, dim),
+                        "embedding": emb,
                     }
                 )
             if rows:
@@ -135,12 +191,21 @@ def resize_images(
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 data = bytes(payload)
                 if decoder == "real":
-                    _decode_image_real(data)
-                w, h = _fake_dims(data)
-                scale = min(1.0, max_side / max(w, h))
-                nw, nh = int(w * scale), int(h * scale)
-                tag = _struct.pack("<II", nw, nh)
-                payloads.append(tag + data[: max(1, len(data) // 2)])
+                    # genuine decode → nearest-neighbor downsample →
+                    # re-encode (pure numpy, PPM/PGM)
+                    img = _decode_image_real(data)
+                    h, w = img.shape[:2]
+                    scale = min(1.0, max_side / max(w, h))
+                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                    yi = np.linspace(0, h - 1, nh).round().astype(int)
+                    xi = np.linspace(0, w - 1, nw).round().astype(int)
+                    payloads.append(encode_ppm(img[np.ix_(yi, xi)]))
+                else:
+                    w, h = _fake_dims(data)
+                    scale = min(1.0, max_side / max(w, h))
+                    nw, nh = int(w * scale), int(h * scale)
+                    tag = _struct.pack("<II", nw, nh)
+                    payloads.append(tag + data[: max(1, len(data) // 2)])
                 m = dict(meta) if meta is not None else {}
                 m["width"], m["height"] = nw, nh
                 metas.append(m)

@@ -236,3 +236,90 @@ def title_col(html_binary: Column) -> Column:
     return F.regexp_extract(
         F.decode(html_binary, "UTF-8"), "(?is)<title[^>]*>(.*?)</title>", 1
     )
+
+
+# ---------------------------------------------------------------------------
+# S2 — link extraction (crawl-frontier surface, no crawler)
+# ---------------------------------------------------------------------------
+
+# reference: indexing-settings.forbidden-url-types
+# (application.properties:5) — a link CONTAINING any of these
+# substrings is rejected (PropertiesUtil.checkTypeUrl,
+# services/utils/PropertiesUtil.java:60-63)
+FORBIDDEN_URL_TYPES: tuple[str, ...] = (
+    "#", "jpg", "jpeg", "png", "gif", "webp", "pdf", "eps", "xlsx",
+    "doc", "docx", "pptx", "mp4", "mp3", "flac", "avi",
+)
+
+_HREF_PATTERN = "(?is)<a\\s[^>]*?href\\s*=\\s*[\"']([^\"']*)[\"']"
+
+
+def extract_links_col(
+    html_binary: Column,
+    url: Column,
+    forbidden_types: tuple[str, ...] = FORBIDDEN_URL_TYPES,
+) -> Column:
+    """``array<string>`` of same-site outbound links of one page.
+
+    Pure JVM column expression mirroring the reference's
+    ``RecursiveWebParser.validLinks``
+    (services/utils/RecursiveWebParser.java:152-170):
+
+    - ``<a href>`` values, absolutized against the page's site root
+      (absolute http(s) links kept as-is, root-relative ``/path``
+      links prefixed with ``scheme://host``; other relative forms are
+      dropped — the fixtures and common-crawl HTML use absolute or
+      root-relative hrefs),
+    - same-site only: must start with ``mainUrl + "/"`` and differ
+      from both the site root and the page's own url,
+    - no forbidden type substring (``checkTypeUrl``),
+    - de-duplicated within the page (the Redis visited-set is a
+      crawl-frontier concern — see :func:`link_frontier`).
+    """
+    html_str = F.decode(html_binary, "UTF-8")
+    root = F.concat(
+        F.parse_url(url, F.lit("PROTOCOL")),
+        F.lit("://"),
+        F.parse_url(url, F.lit("HOST")),
+    )
+    raw = F.regexp_extract_all(html_str, F.lit(_HREF_PATTERN), 1)
+    absolute = F.transform(
+        raw,
+        lambda h: F.when(h.startswith("http"), h).when(
+            h.startswith("/"), F.concat(root, h)
+        ),
+    )
+    main_url = F.concat(root, F.lit("/"))
+    kept = F.filter(
+        absolute,
+        lambda h: h.isNotNull()
+        & h.startswith(main_url)
+        & (h != main_url)
+        & (h != url)
+        & ~F.exists(
+            F.array(*[F.lit(t) for t in forbidden_types]),
+            lambda t: h.contains(t),
+        ),
+    )
+    return F.array_distinct(kept)
+
+
+def link_frontier(pages: "DataFrame") -> "DataFrame":
+    """Crawl-frontier step over a pages table: distinct same-site
+    links not yet present as crawled urls — the distributed analog of
+    the reference's Redis visited-set gate
+    (RecursiveWebParser.java:164-169: ``jedis.sadd`` returns 0 for an
+    already-seen link).  ``(site, link)`` rows, one per un-crawled url.
+    """
+    links = (
+        pages.select(
+            F.parse_url(F.col("url"), F.lit("HOST")).alias("site"),
+            F.explode(
+                extract_links_col(F.col("html"), F.col("url"))
+            ).alias("link"),
+        )
+        .dropDuplicates(["link"])
+    )
+    return links.join(
+        pages.select(F.col("url").alias("link")), "link", "left_anti"
+    )

@@ -182,14 +182,31 @@ def compact_postings(
     beyond the threshold it's a plain shuffled hash join — at
     10^12-doc scale both sides partition.
     """
-    k1, b = config.bm25.k1, config.bm25.b
     lookup = doc_map.select("doc_id", F.col(id_col), "doc_len")
     if n_docs is not None and n_docs <= config.doc_map_broadcast_max:
         lookup = F.broadcast(lookup)
     with_len = postings.join(lookup, id_col).select(
         "term", "doc_id", "tf", "doc_len"
     )
+    return compact_postings_withlen(
+        with_len, term_stats, avg_len, config, postings_per_shard,
+        combine,
+    )
 
+
+def compact_postings_withlen(
+    with_len: DataFrame,
+    term_stats: DataFrame,
+    avg_len: float,
+    config: EngineConfig = DEFAULT,
+    postings_per_shard: int = 1 << 20,
+    combine: bool = True,
+) -> DataFrame:
+    """Same as :func:`compact_postings` but over rows that already
+    carry ``(term, doc_id, tf, doc_len)`` — the entry point for
+    maintenance paths (vacuum) whose postings come from decoding the
+    existing index rather than from a doc-map join."""
+    k1, b = config.bm25.k1, config.bm25.b
     salts = salt_factors(term_stats, postings_per_shard, config.max_salt)
     salted = (
         with_len.join(F.broadcast(salts), "term", "left")

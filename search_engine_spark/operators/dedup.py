@@ -14,12 +14,19 @@ Scale design (100 TB corpus, 1000 executors):
   pairs only join within a (band, bucket-hash) group.  Collision
   buckets are tiny with high probability, so the pair join is linear-ish.
 - *SimHash*: 64-bit signature via one Arrow-vectorized pandas UDF
-  (numpy bit ops), then near-dup candidates by identical band of bits.
+  (tokens of a whole batch factorized once, bit contributions summed
+  per doc with ``np.add.reduceat`` — no per-token Python loop), then
+  near-dup pairs by banded equality + ``bit_count`` Hamming verify:
+  with ``bands`` bit-bands, any pair within Hamming distance
+  ``< bands`` shares at least one identical band (pigeonhole), so the
+  banded self-join is EXACT for ``max_hamming < bands``.
 
 All id pairs are emitted with ``id_a < id_b`` exactly once.
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pandas as pd
@@ -29,6 +36,8 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from search_engine_spark.functions.analysis import fingerprint
+
+_log = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -101,12 +110,21 @@ def ngram_jaccard_pairs(
     tokens_col_name: str = "tokens",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for all pairs with Jaccard >= threshold.
 
     Jaccard over DISTINCT n-gram shingle sets; pairs found via an
     inverted shingle index (self-join on shingle), not a cross join.
+
+    ``max_shingle_df`` (default 1000, pass ``None`` to disable) drops
+    shingles shared by more docs than that before the self-join: on
+    web text, boilerplate shingles ("all rights reserved …") would
+    otherwise make the join quadratic on hot keys.  Dropping them can
+    only LOWER a pair's computed Jaccard (intersection and union lose
+    the same shingles), so the guard trades recall near the threshold
+    for a bounded join — the standard web-dedup contract.  What was
+    dropped is counted and logged, never silent.
     """
     ds = _doc_shingles(df, id_col, tokens_col_name, n)
     if max_shingle_df is not None:
@@ -116,6 +134,13 @@ def ngram_jaccard_pairs(
             .filter(F.col("sdf") > max_shingle_df)
             .select("shingle")
         )
+        n_hot = hot.count()
+        if n_hot:
+            _log.warning(
+                "ngram_jaccard_pairs: dropping %d shingles with "
+                "df > %d before the pair join (boilerplate guard)",
+                n_hot, max_shingle_df,
+            )
         ds = ds.join(hot, "shingle", "left_anti")
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
@@ -263,21 +288,42 @@ def _token_hash64(tok: str) -> int:
 
 @pandas_udf(_SIMHASH_TYPE)
 def simhash64_udf(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash over token multiset (Arrow-vectorized, numpy)."""
-    out = np.zeros(len(tokens), dtype=np.uint64)
-    for i, toks in enumerate(tokens):
-        if toks is None or len(toks) == 0:
-            out[i] = 0
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in toks:
-            h = _token_hash64(tok)
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        bitvec = (acc > 0).astype(np.uint64)
-        out[i] = np.bitwise_or.reduce(
-            bitvec << np.arange(64, dtype=np.uint64)
-        )
+    """64-bit SimHash over token multiset, batch-vectorized.
+
+    The whole Arrow batch's tokens are flattened and factorized once;
+    only the (Zipf-small) UNIQUE token set is hashed in Python, then
+    every per-doc per-bit sum is one ``np.add.reduceat`` over the
+    ±1 bit-contribution matrix — no per-token Python loop.  Output is
+    bit-identical to the definitional per-token implementation
+    (asserted by tests)."""
+    arrs = [
+        np.asarray(t, dtype=object) if t is not None else _EMPTY_OBJ
+        for t in tokens
+    ]
+    sizes = np.array([a.size for a in arrs], dtype=np.int64)
+    out = np.zeros(len(arrs), dtype=np.uint64)
+    if sizes.sum() == 0:
+        return pd.Series(out.astype(np.int64))
+    flat = np.concatenate([a for a in arrs if a.size])
+    codes, uniques = pd.factorize(flat)
+    uh = np.fromiter(
+        (_token_hash64(u) for u in uniques),
+        dtype=np.uint64,
+        count=len(uniques),
+    )
+    shifts = np.arange(64, dtype=np.uint64)
+    # (n_unique, 64) matrix of ±1 bit contributions
+    bits = (
+        ((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        * 2 - 1
+    )
+    contrib = bits[codes]                      # (n_tokens, 64)
+    nz = sizes > 0
+    offsets = np.zeros(len(arrs), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offsets[1:])
+    sums = np.add.reduceat(contrib, offsets[nz], axis=0)
+    bitvec = (sums > 0).astype(np.uint64)
+    out[nz] = (bitvec << shifts[None, :]).sum(axis=1, dtype=np.uint64)
     return pd.Series(out.astype(np.int64))
 
 
@@ -286,4 +332,83 @@ def simhash_table(
 ) -> DataFrame:
     return df.select(
         F.col(id_col), simhash64_udf(F.col(tokens_col_name)).alias("simhash")
+    )
+
+
+_EMPTY_OBJ = np.empty(0, dtype=object)
+
+
+def simhash_band_col(sig: Column, band: int, bands: int) -> Column:
+    """``band``-th ``64/bands``-bit slice of a simhash (JVM bit ops)."""
+    width = 64 // bands
+    sliced = F.shiftrightunsigned(sig, band * width)
+    if width < 64:
+        sliced = sliced.bitwiseAND(F.lit((1 << width) - 1))
+    return sliced
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) for all pairs within Hamming distance
+    ``max_hamming`` of each other's 64-bit SimHash.
+
+    Candidates must share at least one of ``bands`` bit-bands — by
+    pigeonhole a pair with ≤ ``max_hamming`` differing bits shares an
+    identical band whenever ``max_hamming < bands``, so (unlike the
+    MinHash LSH) this banded join is EXACT, not probabilistic.  The
+    verify step is a JVM ``bit_count(a XOR b)`` — no Python anywhere.
+    Scale shape: O(N·bands) bucketing + per-bucket self-join; near-
+    identical boilerplate docs concentrate buckets, so pair volume —
+    not the join strategy — is the scale knob (dedup before, or raise
+    ``bands``' width by lowering ``bands``... which loosens the
+    guarantee; prefer exact-dedup first as in any web pipeline).
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            "banded search is exact only for max_hamming < bands "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    sigs = simhash_table(df, id_col, tokens_col_name)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        simhash_band_col(
+                            F.col("simhash"), i, bands
+                        ).alias("bk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.bk")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+        "band", "bk",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+        "band", "bk",
+    )
+    return (
+        a.join(b, ["band", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

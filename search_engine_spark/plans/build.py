@@ -93,7 +93,6 @@ def build_and_write(
     dict (buckets built/skipped, postings, docs)."""
     build_id = uuid.uuid4().hex[:12]
     n_buckets = config.index_buckets
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     done = done_buckets(spark, out_dir) if resume else set()
     missing = [b for b in range(n_buckets) if b not in done]
@@ -167,6 +166,11 @@ def build_and_write(
                     "b": config.bm25.b,
                     "stoplist_size": config.stoplist_size,
                     "shard_df_threshold": config.shard_df_threshold,
+                    # recorded so maintenance (vacuum / append) can
+                    # rebuild with the SAME salting/sharding params as
+                    # the original build (N1/N4 invariants survive)
+                    "postings_per_shard": postings_per_shard,
+                    "n_segments": n_segments,
                 },
                 fh,
             )
@@ -201,11 +205,20 @@ def build_and_write(
     )
 
     index_path = os.path.join(out_dir, "index")
-    (
-        segs.write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(index_path)
-    )
+    # dynamic partition overwrite ONLY for this write (a resumed build
+    # must replace just the buckets it rebuilt); the session-wide conf
+    # is restored afterwards so callers' semantics aren't mutated
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (
+            segs.write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(index_path)
+        )
+    finally:
+        spark.conf.set(conf_key, prev_mode)
     mark("compact_write")
 
     # lineage: per-bucket counts from the exact frame the write

@@ -42,6 +42,7 @@ from search_engine_spark.operators.compact import (
     assign_doc_ids,
     bucket_col,
     compact_postings,
+    compact_postings_withlen,
     decode_segments,
     merge_segments,
 )
@@ -180,6 +181,16 @@ def append_pages(
         postings_per_shard,
     )
     segs = merge_segments(segs, blocks_avg, config)
+    # block identity must be unique across appends: delta shards would
+    # otherwise restart at 0 and collide with existing (term, shard,
+    # block_id) keys — ambiguous for WAND's packed selected-block
+    # filter (plans/wand.py).  Each append gets a fresh 16-bit shard
+    # epoch (salt ids are < 2^16 by config.max_salt ≪ 2^16).
+    epoch = int(meta.get("append_epoch", 0)) + 1
+    segs = segs.withColumn(
+        "shard",
+        (F.col("shard") + F.lit(epoch << 16)).cast("int"),
+    )
     segs = segs.withColumn("bucket", bucket_col(F.col("term"), n_buckets))
     (
         segs.repartition(F.col("bucket"))
@@ -210,6 +221,7 @@ def append_pages(
     _rewrite_site_stats(spark, out_dir)
 
     meta["next_id_segment"] = seg_base + delta_segments
+    meta["append_epoch"] = epoch
     meta = _recompute_scalar_stats(spark, out_dir, meta)
     meta = _recompute_stoplist(spark, out_dir, meta)
     _write_stats(out_dir, meta)
@@ -283,11 +295,21 @@ def reindex_pages(
 
 def vacuum(spark: SparkSession, out_dir: str) -> dict:
     """Physically drop tombstoned postings and re-merge each term's
-    segments; clears the tombstone table."""
+    segments; clears the tombstone table.
+
+    The rebuild goes through the SAME machinery as a fresh build —
+    :func:`compact_postings_withlen` with the recomputed live
+    ``term_stats`` and the build's recorded ``postings_per_shard``,
+    then :func:`merge_segments` — so the N1 df-driven salting and N4
+    stop-term-sharding invariants survive maintenance: after vacuum a
+    head term's posting list is still split across salt shards (never
+    one task / one at-rest shard), exactly as a fresh build of the
+    surviving corpus would leave it."""
     tomb = read_tombstones(spark, out_dir)
     meta = _stats(out_dir)
     config = _config_from(meta)
     n_buckets = meta["n_buckets"]
+    pps = int(meta.get("postings_per_shard", 1 << 20))
     segments = spark.read.parquet(os.path.join(out_dir, "index"))
 
     dead_ids = (
@@ -297,27 +319,30 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     )
     posts = decode_segments(segments)
     if dead_ids:
-        posts = posts.filter(~F.col("doc_id").isin(list(dead_ids)))
-    # rebuild blocks per term from the decoded postings (exact N2/N3
-    # machinery, df stats straight from the live postings); block
-    # metadata is re-baselined on the LIVE avg_len, re-arming WAND
+        dead_df = spark.createDataFrame(
+            [(int(d),) for d in dead_ids], "doc_id long"
+        )
+        posts = posts.join(
+            F.broadcast(dead_df), "doc_id", "left_anti"
+        )
+    # df stats straight from the live postings; block metadata is
+    # re-baselined on the LIVE avg_len, re-arming WAND.  live_ts is
+    # consumed twice (salt factors + merge-bypass predicates) inside
+    # one job over the old index files → cache until written out.
+    posts = posts.select("term", "doc_id", "tf", "doc_len")
     live_ts = posts.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
-    )
-    salted = posts.select("term", "doc_id", "tf", "doc_len")
-    from search_engine_spark.operators.compact import (
-        SEGMENT_SCHEMA,
-        _block_builder,
-    )
+    ).cache()
 
-    builder = _block_builder(
-        meta["avg_len"], meta["k1"], meta["b"], meta["block_size"]
+    segs = compact_postings_withlen(
+        posts, live_ts, meta["avg_len"], config, pps
     )
-    rebuilt = (
-        salted.withColumn("salt", F.lit(0))
-        .groupBy("term", "salt")
-        .applyInPandas(builder, SEGMENT_SCHEMA)
-        .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+    segs = merge_segments(
+        segs, meta["avg_len"], config,
+        term_stats=live_ts, postings_per_shard=pps,
+    )
+    rebuilt = segs.withColumn(
+        "bucket", bucket_col(F.col("term"), n_buckets)
     )
     tmp = os.path.join(out_dir, "index_vacuum_tmp")
     (
@@ -336,18 +361,27 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     shutil.rmtree(final)
     os.rename(tmp, final)
     _swap(ts_tmp, ts_path)
+    live_ts.unpersist()
 
     if tomb is not None:
         shutil.rmtree(os.path.join(out_dir, "tombstones"),
                       ignore_errors=True)
     docs = spark.read.parquet(os.path.join(out_dir, "docs"))
     if dead_ids:
-        live_docs = docs.filter(~F.col("doc_id").isin(list(dead_ids)))
+        # anti-JOIN, not a driver isin list: bulk deletes can carry
+        # arbitrarily many ids, and a join keeps the predicate O(1)
+        dead_df = spark.createDataFrame(
+            [(int(d),) for d in dead_ids], "doc_id long"
+        )
+        live_docs = docs.join(F.broadcast(dead_df), "doc_id", "left_anti")
         _overwrite_parquet(spark, live_docs, os.path.join(out_dir, "docs"))
     _rewrite_site_stats(spark, out_dir)
     meta = _recompute_scalar_stats(spark, out_dir, meta)
     meta = _recompute_stoplist(spark, out_dir, meta)
     meta["blocks_avg_len"] = meta["avg_len"]
+    # the rebuild re-salted every term from scratch — append shard
+    # epochs restart (shard ids are fresh-build-shaped again)
+    meta["append_epoch"] = 0
     _write_stats(out_dir, meta)
     return {"vacuumed": len(dead_ids)}
 

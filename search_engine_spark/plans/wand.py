@@ -69,12 +69,20 @@ def _score_candidate_blocks(
     terms' postings, BM25-score → (doc_id, score)."""
     seg_r = _segs_for_terms(cidx, [rarest])
     if block_keys is not None:
-        cond = F.lit(False)
-        for shard, block_id in block_keys:
-            cond = cond | (
-                (F.col("shard") == shard) & (F.col("block_id") == block_id)
-            )
-        seg_r = seg_r.filter(cond)
+        # O(1)-depth predicate: pack (shard, block_id) into one long
+        # and use a set-membership filter (an OR-chain would grow the
+        # expression tree linearly in surviving blocks)
+        packed = [
+            (int(shard) << 32) | int(block_id)
+            for shard, block_id in block_keys
+        ]
+        seg_r = seg_r.filter(
+            (
+                F.shiftleft(F.col("shard").cast("long"), 32).bitwiseOR(
+                    F.col("block_id").cast("long")
+                )
+            ).isin(packed)
+        )
 
     cand = decode_segments(seg_r).select("doc_id")
     if cidx.tombstones is not None:

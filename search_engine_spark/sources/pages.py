@@ -22,6 +22,11 @@ from search_engine_spark.functions.textproc import (
 )
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+# optional extra column: ``code`` (int HTTP status).  When present,
+# error pages (code >= 400) are excluded from indexing — R26, the
+# reference's LemmaServiceImpl guard (services/impl/
+# LemmaServiceImpl.java:32-34 skips pages whose stored code is 4xx/5xx).
+HTTP_ERROR_CODE = 400
 
 
 def read_pages(spark: SparkSession, path_or_table: str) -> DataFrame:
@@ -54,10 +59,29 @@ def enrich_pages(
       only url/text/lang/title.
     - crawl dedup (reference Redis visited-set,
       RecursiveWebParser.java:164-169) → ``dropDuplicates(url)``.
+    - R26 status-code guard: when the input carries a ``code`` column,
+      error pages (code >= 400) are dropped before any processing
+      (LemmaServiceImpl.java:32-34); NULL code = assumed fetched OK.
+    - null-text fallback: when ``use_html=False`` but a row's ``text``
+      is NULL and ``html`` is populated, the T1 extractor runs on
+      JUST that subset (filter precedes the UDF, so the
+      unconditional-eval coalesce trap is avoided) — rows aren't
+      silently indexed as empty documents.
     """
     df = pages
+    if "code" in df.columns:
+        df = df.filter(
+            F.col("code").isNull() | (F.col("code") < HTTP_ERROR_CODE)
+        ).drop("code")
     if "html" in df.columns:
         if use_html:
+            df = df.withColumn("text", extract_text_udf(F.col("html")))
+        elif "text" in df.columns:
+            missing = df.filter(F.col("text").isNull()).withColumn(
+                "text", extract_text_udf(F.col("html"))
+            )
+            df = df.filter(F.col("text").isNotNull()).unionByName(missing)
+        else:
             df = df.withColumn("text", extract_text_udf(F.col("html")))
         df = df.withColumn("title", title_col(F.col("html")))
         df = df.drop("html")

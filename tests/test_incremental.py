@@ -149,6 +149,47 @@ def test_append_tombstone_reindex_vacuum(spark, corpora, tmp_path):
         assert a == b == _expected(spark, updated, q, off, lim)
 
 
+def test_vacuum_preserves_salting_and_sharding(spark, corpora, tmp_path):
+    """N1/N4 survive maintenance: after vacuum a head term is still
+    salt-sharded at rest (mirrors test_compact::
+    test_stop_terms_stay_sharded) — the rebuild routes through
+    compact_postings + merge_segments, not an unsalted rebuild."""
+    import os
+
+    base, _ = corpora
+    out = str(tmp_path / "idx_salted")
+    cfg = EngineConfig(block_size=16, index_buckets=8,
+                       shard_df_threshold=60)
+    build_and_write(spark, base, out, analyzer="lemma", config=cfg,
+                    n_segments=8, postings_per_shard=32)
+
+    def multi_shard_terms():
+        segs = spark.read.parquet(os.path.join(out, "index"))
+        return {
+            r["term"]
+            for r in segs.groupBy("term")
+            .agg(F.countDistinct("shard").alias("n"))
+            .filter(F.col("n") > 1)
+            .collect()
+        }
+
+    before = multi_shard_terms()
+    assert before  # head terms sharded at rest in the fresh build
+
+    dead = [r["url"] for r in base.select("url").limit(10).collect()]
+    tombstone_urls(spark, out, dead)
+    vacuum(spark, out)
+
+    after = multi_shard_terms()
+    assert after, "vacuum collapsed every head term to one shard"
+
+    survivors = base.filter(~F.col("url").isin(dead))
+    for q, off, lim in QUERIES:
+        a = _actual(spark, out, q, off, lim, prune=True)
+        b = _actual(spark, out, q, off, lim, prune=False)
+        assert a == b == _expected(spark, survivors, q, off, lim)
+
+
 def test_statistics_report(spark, corpora):
     base, _ = corpora
     idx = build_index(enrich_pages(base), analyzer="lemma")
