@@ -1,0 +1,98 @@
+"""Filesystem-scheme-agnostic metadata I/O (Hadoop FileSystem API).
+
+Index *data* (parquet segments, manifest, term_stats, …) is read and
+written through Spark, which already speaks every Hadoop-supported
+scheme.  Index *metadata* — ``stats.json`` plus the atomic directory
+swaps incremental maintenance performs — previously went through
+``open()`` / ``shutil`` / ``os.rename`` and therefore silently
+required the output directory to live on the driver's local disk.
+A real deployment writes the index to ``hdfs://`` or ``s3a://``
+(BASELINE.json north_star: partitioned Iceberg/parquet index table),
+so these helpers route the same tiny operations through
+``org.apache.hadoop.fs.FileSystem`` via the JVM gateway: the exact
+API Spark's own committers use, resolving the correct FileSystem
+implementation per path scheme (``file://`` included, so local runs
+and the test-suite exercise the identical code path).
+
+Caveat (documented, inherent to object stores): ``rename`` is atomic
+on HDFS and local file systems but copy+delete on S3A.  The swap
+helpers in plans/incremental.py order every read *before* the first
+mutation, so non-atomic rename degrades to a short window where a
+concurrent *reader* of the same index dir could see a partial swap —
+the same window Spark's own non-transactional parquet overwrite has.
+Iceberg-catalog commits are the upgrade path for that, not driver
+``os.rename``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    """Resolve (FileSystem, Path) for ``path``'s scheme."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    jfs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jfs, jpath
+
+
+def _session(spark: SparkSession | None) -> SparkSession:
+    if spark is not None:
+        return spark
+    active = SparkSession.getActiveSession()
+    if active is None:
+        raise RuntimeError(
+            "fsutil needs an active SparkSession to resolve the "
+            "Hadoop FileSystem for the output path"
+        )
+    return active
+
+
+def exists(path: str, spark: SparkSession | None = None) -> bool:
+    spark = _session(spark)
+    jfs, jpath = _fs(spark, path)
+    return bool(jfs.exists(jpath))
+
+
+def read_text(path: str, spark: SparkSession | None = None) -> str:
+    spark = _session(spark)
+    jfs, jpath = _fs(spark, path)
+    stream = jfs.open(jpath)
+    try:
+        # commons-io ships with Hadoop; toByteArray crosses py4j as a
+        # Python bytearray in one round trip
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
+            stream
+        )
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
+def write_text(
+    path: str, text: str, spark: SparkSession | None = None
+) -> None:
+    spark = _session(spark)
+    jfs, jpath = _fs(spark, path)
+    out = jfs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def delete(path: str, spark: SparkSession | None = None) -> bool:
+    """Recursive delete; missing path is not an error (rmtree
+    ignore_errors semantics)."""
+    spark = _session(spark)
+    jfs, jpath = _fs(spark, path)
+    return bool(jfs.delete(jpath, True))
+
+
+def rename(src: str, dst: str, spark: SparkSession | None = None) -> None:
+    spark = _session(spark)
+    jfs, jsrc = _fs(spark, src)
+    jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    if not jfs.rename(jsrc, jdst):
+        raise IOError(f"rename {src} -> {dst} failed")

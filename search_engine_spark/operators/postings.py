@@ -152,13 +152,29 @@ def build_index(
     """End-to-end logical index build from an enriched pages frame."""
     if cache:
         # doc_lens and postings both consume the enrichment; caching
-        # it runs tokenization (and the optional T1 UDF) exactly once
-        enriched = enriched.cache()
+        # it runs tokenization (and the optional T1 UDF) exactly once.
+        # Cache ONLY the columns later stages consume: the input
+        # text/html/warc_ts columns are dead after analysis, and at
+        # corpus scale they dominate the cached bytes — storage-memory
+        # pressure (eviction → UDF recompute) and materialization
+        # bandwidth both scale with what's cached, not what's read.
+        keep = [c for c in (id_col, "site", "doc_len", "title")
+                if c in enriched.columns]
+        for extra in ("analyzed", "tokens", "lang"):
+            # analyzer inputs: fused path needs `analyzed`; token and
+            # unfused-lemma paths need `tokens` (+ `lang` for lemmas)
+            if extra in enriched.columns:
+                keep.append(extra)
+        enriched = enriched.select(*keep).cache()
     dl = doc_lens_table(enriched, id_col)
     post = build_postings(enriched, id_col, analyzer)
     if cache:
         dl = dl.cache()
-        post = post.cache()
+        # NB: `post` itself is NOT cached.  With `enriched` cached,
+        # re-deriving postings is a JVM-side explode of the cached
+        # counts column (no UDF re-run); caching the exploded rows
+        # would roughly double the cached bytes to save only that
+        # explode — a loss on storage-memory-bound clusters.
     # exact integer sum / count -> bit-deterministic avg_len (matches
     # the DuckDB oracle's SUM::DOUBLE / COUNT regardless of row order)
     agg = dl.agg(
@@ -181,5 +197,5 @@ def build_index(
         stoplist=stop,
         id_col=id_col,
         config=config,
-        cached=(enriched, dl, post, tstats) if cache else (),
+        cached=(enriched, dl, tstats) if cache else (),
     )

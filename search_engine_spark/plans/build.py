@@ -35,6 +35,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from search_engine_spark import fsutil
 from search_engine_spark.config import DEFAULT, BM25Config, EngineConfig
 from search_engine_spark.operators.compact import (
     CompactIndex,
@@ -98,7 +99,7 @@ def build_and_write(
     missing = [b for b in range(n_buckets) if b not in done]
 
     stats_path = os.path.join(out_dir, "stats.json")
-    have_stats = os.path.exists(stats_path)
+    have_stats = fsutil.exists(stats_path, spark)
 
     if not missing and have_stats:
         return {
@@ -133,12 +134,28 @@ def build_and_write(
         # concurrent driver threads (Spark schedules them in parallel)
         from concurrent.futures import ThreadPoolExecutor
 
+        from search_engine_spark.util import scoped_conf
+
         writes = [
             (doc_map, "docs"),
             (index.term_stats, "term_stats"),
             (index.site_stats, "site_stats"),
         ]
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        # AQE partition coalescing ONLY for these three writes: the
+        # tables are small relative to the corpus (stats/doc-map), so
+        # an un-coalesced write emits shuffle.partitions tiny files
+        # per table — a small-files problem at rest AND a driver-side
+        # commit storm that anti-scales with parallelism.  Scoped so
+        # the corpus-sized UDF/compaction shuffles keep full fan-out.
+        with scoped_conf(
+            spark,
+            **{
+                "spark.sql.adaptive.enabled": "true",
+                "spark.sql.adaptive.coalescePartitions.enabled": "true",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+                    "64m",
+            },
+        ), ThreadPoolExecutor(max_workers=3) as pool:
             futs = [
                 pool.submit(
                     lambda df, name: df.write.mode("overwrite").parquet(
@@ -151,8 +168,9 @@ def build_and_write(
             ]
             for f in futs:
                 f.result()
-        with open(stats_path, "w") as fh:
-            json.dump(
+        fsutil.write_text(
+            stats_path,
+            json.dumps(
                 {
                     "n_docs": index.n_docs,
                     "avg_len": index.avg_len,
@@ -172,8 +190,9 @@ def build_and_write(
                     "postings_per_shard": postings_per_shard,
                     "n_segments": n_segments,
                 },
-                fh,
-            )
+            ),
+            spark,
+        )
     mark("stats_tables")
 
     # prune to missing buckets BEFORE the term shuffle (resume path)
@@ -271,8 +290,9 @@ def build_and_write(
 
 def load_compact_index(spark: SparkSession, out_dir: str) -> CompactIndex:
     """Open a persisted index directory for querying."""
-    with open(os.path.join(out_dir, "stats.json")) as fh:
-        meta = json.load(fh)
+    meta = json.loads(
+        fsutil.read_text(os.path.join(out_dir, "stats.json"), spark)
+    )
     config = EngineConfig(
         bm25=BM25Config(k1=meta["k1"], b=meta["b"]),
         stoplist_size=meta["stoplist_size"],

@@ -37,6 +37,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from search_engine_spark import fsutil
 from search_engine_spark.config import EngineConfig
 from search_engine_spark.operators.compact import (
     assign_doc_ids,
@@ -61,13 +62,17 @@ TOMBSTONE_SCHEMA = "doc_id long, url string, removed_at double"
 
 
 def _stats(out_dir: str) -> dict:
-    with open(os.path.join(out_dir, "stats.json")) as fh:
-        return json.load(fh)
+    # fsutil (Hadoop FileSystem API) so maintenance works on
+    # hdfs://- and s3a://-resident indexes, not only local paths
+    return json.loads(
+        fsutil.read_text(os.path.join(out_dir, "stats.json"))
+    )
 
 
 def _write_stats(out_dir: str, meta: dict) -> None:
-    with open(os.path.join(out_dir, "stats.json"), "w") as fh:
-        json.dump(meta, fh)
+    fsutil.write_text(
+        os.path.join(out_dir, "stats.json"), json.dumps(meta)
+    )
 
 
 def read_tombstones(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -355,17 +360,15 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     # deletes them (see _write_tmp ordering note)
     ts_path = os.path.join(out_dir, "term_stats")
     ts_tmp = _write_tmp(live_ts, ts_path)
-    import shutil
 
     final = os.path.join(out_dir, "index")
-    shutil.rmtree(final)
-    os.rename(tmp, final)
+    fsutil.delete(final)
+    fsutil.rename(tmp, final)
     _swap(ts_tmp, ts_path)
     live_ts.unpersist()
 
     if tomb is not None:
-        shutil.rmtree(os.path.join(out_dir, "tombstones"),
-                      ignore_errors=True)
+        fsutil.delete(os.path.join(out_dir, "tombstones"))
     docs = spark.read.parquet(os.path.join(out_dir, "docs"))
     if dead_ids:
         # anti-JOIN, not a driver isin list: bulk deletes can carry
@@ -429,10 +432,8 @@ def _write_tmp(df: DataFrame, path: str) -> str:
 
 
 def _swap(tmp: str, path: str) -> None:
-    import shutil
-
-    shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
+    fsutil.delete(path)
+    fsutil.rename(tmp, path)
 
 
 def _overwrite_parquet(

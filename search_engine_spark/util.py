@@ -52,3 +52,34 @@ def warm_python_workers(spark: SparkSession, parts: int | None = None):
     spark.range(0, parts * 2, 1, parts * 2).select(
         _warm(col("id"))
     ).count()
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, **confs: str):
+    """Temporarily set session confs, restoring prior values on exit.
+
+    Runtime SQL confs are session-global; plans that need a conf for
+    one job (e.g. AQE partition coalescing around a small-table write,
+    dynamic partition overwrite around a bucket rewrite) must restore
+    the caller's semantics afterwards.  Keys use ``__`` for ``.`` when
+    passed as kwargs, or pass a prebuilt dict via ``**{...}``.
+    """
+    prev: dict[str, str | None] = {}
+    try:
+        for k, v in confs.items():
+            key = k.replace("__", ".")
+            try:
+                prev[key] = spark.conf.get(key)
+            except Exception:
+                prev[key] = None
+            spark.conf.set(key, v)
+        yield
+    finally:
+        for key, old in prev.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
