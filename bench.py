@@ -43,8 +43,17 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("search_engine_spark-bench")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.default.parallelism", str(cpus))
+        # tasks per core (default 1 here): the in-session suite is
+        # dominated by small/medium stages where task-launch overhead
+        # outweighs straggler absorption; the spark-submit build
+        # benchmark (tools/bench_scaling.py) measured 2/core best for
+        # the big build — override with SPARK_GRAFT_PART_MULT
+        .config("spark.sql.shuffle.partitions",
+                str(cpus * int(os.environ.get("SPARK_GRAFT_PART_MULT",
+                                              "1"))))
+        .config("spark.default.parallelism",
+                str(cpus * int(os.environ.get("SPARK_GRAFT_PART_MULT",
+                                              "1"))))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # fixed pre-touched heap: a lazily-grown multi-GB heap causes
