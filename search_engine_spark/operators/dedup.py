@@ -127,6 +127,12 @@ def ngram_jaccard_pairs(
     dropped is counted and logged, never silent.
     """
     ds = _doc_shingles(df, id_col, tokens_col_name, n)
+    # join on 8-byte shingle hashes, not ~n·wordlen strings: set
+    # sizes, intersections and therefore Jaccard are unchanged
+    # (xxhash64 collisions across a corpus's distinct shingles are
+    # ~2^-64-improbable), while the self-join's shuffle moves a
+    # fixed-width key
+    ds = ds.select(id_col, F.xxhash64("shingle").alias("shingle"))
     if max_shingle_df is not None:
         hot = (
             ds.groupBy("shingle")
@@ -402,13 +408,16 @@ def simhash_near_dup_pairs(
     return (
         a.join(b, ["band", "bk"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "hamming",
             F.bit_count(
                 F.col("sig_a").bitwiseXOR(F.col("sig_b"))
             ).cast("int"),
         )
+        # verify BEFORE the dedup shuffle: hamming is a cheap JVM
+        # expression, so only true near-dup pairs (tiny) reach the
+        # dropDuplicates exchange instead of every banded candidate
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
