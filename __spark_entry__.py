@@ -440,6 +440,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", fingerprint(F.col("text")).alias("fp")
         )
 
+    def dedup_clusters(spark, sf):
+        # Distributed connected components (large-star/small-star)
+        # over CHAINED exact-dup pairs: consecutive same-fingerprint
+        # docs form a path, so CC must take a real transitive closure
+        # — whose fixpoint the SQL window oracle predicts exactly.
+        from pyspark.sql.window import Window
+
+        from search_engine_spark.operators.clusters import (
+            assign_clusters,
+        )
+
+        docs = _read(spark, sf, "documents")
+        fp = docs.select(
+            "doc_id", fingerprint(F.col("text")).alias("fp")
+        )
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        chain = (
+            fp.withColumn("prev", F.lag("doc_id").over(w))
+            .filter(F.col("prev").isNotNull())
+            .select(
+                F.col("doc_id").alias("id_a"),
+                F.col("prev").alias("id_b"),
+            )
+        )
+        return assign_clusters(docs.select("doc_id"), chain).select(
+            "doc_id", "cluster_id"
+        )
+
+    def dedup_keep_longest(spark, sf):
+        # One survivor per normalized-near-dup cluster, longest text
+        # (n_chars) winning, doc_id ascending as the tiebreak — the
+        # standard web-pipeline "keep the richest variant" policy.
+        from pyspark.sql.window import Window
+
+        from search_engine_spark.operators.clusters import (
+            dedup_keep_representative,
+        )
+
+        docs = _read(spark, sf, "documents").withColumn(
+            "ntext",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), r"\bdup\b", " "),
+                    r"\s+", " ",
+                )
+            ),
+        )
+        nfp = docs.select(
+            "doc_id", fingerprint(F.col("ntext")).alias("nfp")
+        )
+        w = Window.partitionBy("nfp").orderBy("doc_id")
+        chain = (
+            nfp.withColumn("prev", F.lag("doc_id").over(w))
+            .filter(F.col("prev").isNotNull())
+            .select(
+                F.col("doc_id").alias("id_a"),
+                F.col("prev").alias("id_b"),
+            )
+        )
+        kept = dedup_keep_representative(
+            docs, chain, priority_col="n_chars"
+        )
+        return kept.select("doc_id", "source")
+
     # ---- relational operator checks over the TPC-H-ish tables ----
 
     def agg_sum_by_key(spark, sf):  # R9: sum-by-key (TPC-H Q1 shape)
@@ -584,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "lang_id": lang_id_q,
         "fingerprint": fingerprint_q,
+        "dedup_clusters": dedup_clusters,
+        "dedup_keep_longest": dedup_keep_longest,
         "agg_sum_by_key": agg_sum_by_key,
         "join_revenue_topk": join_revenue_topk,
         "anti_join_no_orders": anti_join_no_orders,
@@ -836,6 +902,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        # the chained-pair CC's fixpoint == per-fingerprint min
+        "dedup_clusters": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text))
+                     AS cluster_id
+            FROM documents
+        """,
+        "dedup_keep_longest": r"""
+            WITH norm AS (
+              SELECT doc_id, source, n_chars,
+                     trim(regexp_replace(
+                       regexp_replace(text, '\bdup\b', ' ', 'g'),
+                       '\s+', ' ', 'g')) AS ntext
+              FROM documents),
+            ranked AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY md5(ntext)
+                       ORDER BY n_chars DESC, doc_id) AS rn
+              FROM norm)
+            SELECT doc_id, source FROM ranked WHERE rn = 1
+        """,
         "agg_sum_by_key": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)

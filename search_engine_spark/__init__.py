@@ -53,6 +53,9 @@ _LAZY = {
     "minhash_lsh_pairs": "search_engine_spark.operators.dedup",
     "ngram_jaccard_pairs": "search_engine_spark.operators.dedup",
     "exact_dedup": "search_engine_spark.operators.dedup",
+    "connected_components": "search_engine_spark.operators.clusters",
+    "assign_clusters": "search_engine_spark.operators.clusters",
+    "dedup_keep_representative": "search_engine_spark.operators.clusters",
 }
 
 
