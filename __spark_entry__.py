@@ -504,6 +504,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kept.select("doc_id", "source")
 
+    def training_pipeline(spark, sf):
+        # the COMPOSED curation plan (annotate → lang/quality/length
+        # gates → exact dedup keep-min-id), oracle-checked end-to-end
+        # with thresholds that actually drop rows at this SF, over
+        # normalized text so the exact-dedup stage also fires
+        from search_engine_spark.plans.pipeline import (
+            PipelineConfig,
+            prepare_training_data,
+        )
+
+        docs = _read(spark, sf, "documents").withColumn(
+            "text",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), r"\bdup\b", " "),
+                    r"\s+", " ",
+                )
+            ),
+        )
+        return prepare_training_data(
+            docs, cfg=PipelineConfig(min_quality=0.6, min_tokens=25)
+        )
+
     # ---- relational operator checks over the TPC-H-ish tables ----
 
     def agg_sum_by_key(spark, sf):  # R9: sum-by-key (TPC-H Q1 shape)
@@ -650,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": fingerprint_q,
         "dedup_clusters": dedup_clusters,
         "dedup_keep_longest": dedup_keep_longest,
+        "training_pipeline": training_pipeline,
         "agg_sum_by_key": agg_sum_by_key,
         "join_revenue_topk": join_revenue_topk,
         "anti_join_no_orders": anti_join_no_orders,
@@ -924,6 +948,59 @@ def oracle_sql() -> dict[str, str]:
               FROM norm)
             SELECT doc_id, source FROM ranked WHERE rn = 1
         """,
+        # composed curation plan: annotate → en/quality/length gates →
+        # exact dedup keep-min-id (plans/pipeline.py defaults)
+        "training_pipeline": f"""
+            WITH nrm AS (
+              SELECT doc_id, lang, source, n_chars,
+                     trim(regexp_replace(
+                       regexp_replace(text, '\\bdup\\b', ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS text
+              FROM documents),
+            lt AS (
+              SELECT doc_id, text, lang, source, n_chars,
+                     {{toks}} AS tokens
+              FROM nrm),
+            ann AS (
+              SELECT doc_id, text, lang, source, n_chars,
+                     len(tokens) AS n_tokens,
+                     CASE
+                       WHEN length(regexp_replace(lower(text),
+                              '[^a-z]', '', 'g')) = 0
+                        AND length(regexp_replace(lower(text),
+                              '[^а-яё]', '', 'g')) = 0 THEN 'unknown'
+                       WHEN length(regexp_replace(lower(text),
+                              '[^а-яё]', '', 'g'))
+                          > length(regexp_replace(lower(text),
+                              '[^a-z]', '', 'g'))
+                       THEN 'ru' ELSE 'en' END AS lang_guess,
+                     round(
+                       0.4 * least(len(tokens)::DOUBLE / 100.0, 1.0)
+                       + 0.3 * (CASE WHEN length(lower(text)) > 0
+                           THEN length(regexp_replace(lower(text),
+                                '[^a-z]', '', 'g'))::DOUBLE
+                                / length(lower(text))
+                           ELSE 0.0 END)
+                       + 0.3 * (1.0 - abs((CASE WHEN len(tokens) > 0
+                           THEN len(list_filter(tokens,
+                                t -> t IN ({{stops}})))::DOUBLE
+                                / len(tokens)
+                           ELSE 0.0 END) - 0.15) / 0.85), 6)
+                       AS quality,
+                     md5(text) AS fp
+              FROM lt),
+            gated AS (
+              SELECT * FROM ann
+              WHERE lang_guess IN ('en') AND quality >= 0.6
+                AND n_tokens >= 25),
+            win AS (
+              SELECT min(doc_id) AS doc_id FROM gated GROUP BY fp)
+            SELECT doc_id, text, lang, source, n_chars,
+                   n_tokens, lang_guess, quality
+            FROM gated WHERE doc_id IN (SELECT doc_id FROM win)
+        """.replace("{toks}", toks_list).replace(
+            "{stops}", stopword_list
+        ),
         "agg_sum_by_key": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)

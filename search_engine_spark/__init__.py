@@ -56,6 +56,8 @@ _LAZY = {
     "connected_components": "search_engine_spark.operators.clusters",
     "assign_clusters": "search_engine_spark.operators.clusters",
     "dedup_keep_representative": "search_engine_spark.operators.clusters",
+    "prepare_training_data": "search_engine_spark.plans.pipeline",
+    "PipelineConfig": "search_engine_spark.plans.pipeline",
 }
 
 

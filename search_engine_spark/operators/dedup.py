@@ -379,7 +379,10 @@ def simhash_near_dup_pairs(
             "banded search is exact only for max_hamming < bands "
             f"(got max_hamming={max_hamming}, bands={bands})"
         )
-    sigs = simhash_table(df, id_col, tokens_col_name)
+    # cache: both self-join sides derive from the signatures — without
+    # this the Arrow-vectorized signature UDF runs twice (once per
+    # side), doubling the only Python cost in the operator
+    sigs = simhash_table(df, id_col, tokens_col_name).cache()
     banded = sigs.select(
         F.col(id_col),
         F.col("simhash"),
