@@ -58,6 +58,7 @@ _LAZY = {
     "dedup_keep_representative": "search_engine_spark.operators.clusters",
     "prepare_training_data": "search_engine_spark.plans.pipeline",
     "PipelineConfig": "search_engine_spark.plans.pipeline",
+    "streaming_exact_dedup": "search_engine_spark.streaming.dedup",
 }
 
 
