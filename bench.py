@@ -86,6 +86,25 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
+    # best-of-N knob for the query lines: the sandbox microVM has
+    # bursty CPU-steal, so a single shot can tax any one line 2-6x.
+    # Default stays 1 (single-shot — methodologically comparable with
+    # earlier rounds, and repeats could hit operator-internal SQL
+    # caches, which would measure a warm run); raise for local
+    # variance hunting only.
+    query_runs = max(1, int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "1")))
+
+    def timed_best(name, fn):
+        best = None
+        out = None
+        for _ in range(query_runs):
+            t0 = time.time()
+            out = fn()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
+        return out
+
     # ---- index build throughput (lemma/UDF path, north-rule metric) ----
     pages = pages_df_dist(
         spark, BUILD_PAGES, n_sites=8, seed=42, n_partitions=cpus * 2
@@ -127,6 +146,8 @@ def main() -> None:
         "ann_cosine_topk",
         "ann_cosine_lsh",
         "dedup_exact",
+        "dedup_clusters",
+        "training_pipeline",
         "text_quality",
         "agg_sum_by_key",
         "join_revenue_topk",
@@ -146,7 +167,7 @@ def main() -> None:
           lambda: entrymod._docs_compact(spark, sf_dir).segments.count())
     for name in bench_queries:
         fn = qs[name]
-        timed(name, lambda fn=fn: fn(spark, sf_dir).collect())
+        timed_best(name, lambda fn=fn: fn(spark, sf_dir).collect())
 
     # repeated-query p95-ish latency: run the flagship 10x
     lat = []
@@ -170,6 +191,7 @@ def main() -> None:
                 "build_pages": BUILD_PAGES,
                 "n_postings": n_postings,
                 "cpus": cpus,
+                "query_runs_best_of": query_runs,
             }
         )
     )

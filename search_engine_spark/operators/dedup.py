@@ -134,12 +134,14 @@ def ngram_jaccard_pairs(
     # fixed-width key
     ds = ds.select(id_col, F.xxhash64("shingle").alias("shingle"))
     if max_shingle_df is not None:
+        # cache: tiny (hot shingles only), and without it the logging
+        # count() below would run the full shingle aggregation twice
         hot = (
             ds.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("sdf"))
             .filter(F.col("sdf") > max_shingle_df)
             .select("shingle")
-        )
+        ).cache()
         n_hot = hot.count()
         if n_hot:
             _log.warning(
@@ -148,6 +150,11 @@ def ngram_jaccard_pairs(
                 n_hot, max_shingle_df,
             )
         ds = ds.join(hot, "shingle", "left_anti")
+    # cache: the (id, shingle) index feeds FOUR consumers (both self-
+    # join sides + both size lookups); uncached, the explode + guard
+    # lineage would run four times.  Default storage level spills to
+    # disk, so this holds at corpus scale too.
+    ds = ds.cache()
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = ds.select(F.col(id_col).alias("id_a"), "shingle")
