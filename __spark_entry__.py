@@ -504,6 +504,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return kept.select("doc_id", "source")
 
+    def event_sessions(spark, sf):
+        # gap-based sessionization via Spark's native session_window
+        # (one shuffle, no sort-the-whole-log window pass); oracle is
+        # the classic gaps-and-islands SQL — semantics must agree
+        from search_engine_spark.operators.sessions import sessionize
+
+        ev = _read(spark, sf, "events").withColumn(
+            "value", F.col("value").cast("decimal(18,6)")
+        )
+        out = sessionize(ev, "user_id", "ts", "30 minutes", "value")
+        return out.withColumn(
+            "sum_value", F.col("sum_value").cast("double")
+        )
+
+    def user_activity_sketch(spark, sf):
+        # HLL++ sketch next to its exact twin; the within_bound column
+        # makes the sketch's error contract itself hash-checkable
+        from search_engine_spark.operators.sessions import (
+            user_activity_sketch as uas,
+        )
+
+        out = uas(_read(spark, sf, "events"), rsd=0.02)
+        return out.select(
+            "user_id", "n_events", "n_types_exact",
+            (
+                (
+                    F.abs(
+                        F.col("n_types_approx") - F.col("n_types_exact")
+                    )
+                    / F.col("n_types_exact")
+                )
+                <= F.lit(0.10)
+            ).alias("within_bound"),
+        )
+
     def training_pipeline(spark, sf):
         # the COMPOSED curation plan (annotate → lang/quality/length
         # gates → exact dedup keep-min-id), oracle-checked end-to-end
@@ -674,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "dedup_keep_longest": dedup_keep_longest,
         "training_pipeline": training_pipeline,
+        "event_sessions": event_sessions,
+        "user_activity_sketch": user_activity_sketch,
         "agg_sum_by_key": agg_sum_by_key,
         "join_revenue_topk": join_revenue_topk,
         "anti_join_no_orders": anti_join_no_orders,
@@ -1001,6 +1038,37 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{toks}", toks_list).replace(
             "{stops}", stopword_list
         ),
+        # Spark session_window semantics (measured, pinned by
+        # tests/test_sessions.py): a gap of EXACTLY the window merges,
+        # break only when gap > 30 min; session_end = last event + gap
+        "event_sessions": """
+            WITH o AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN ts - lag(ts) OVER
+                            (PARTITION BY user_id
+                             ORDER BY ts, event_id)
+                          > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s AS (
+              SELECT *, sum(brk) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
+                        AS DOUBLE) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "user_activity_sketch": """
+            SELECT user_id, count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types_exact,
+                   true AS within_bound
+            FROM events GROUP BY user_id
+        """,
         "agg_sum_by_key": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)

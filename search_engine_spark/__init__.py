@@ -59,6 +59,9 @@ _LAZY = {
     "prepare_training_data": "search_engine_spark.plans.pipeline",
     "PipelineConfig": "search_engine_spark.plans.pipeline",
     "streaming_exact_dedup": "search_engine_spark.streaming.dedup",
+    "sessionize": "search_engine_spark.operators.sessions",
+    "session_stats": "search_engine_spark.operators.sessions",
+    "user_activity_sketch": "search_engine_spark.operators.sessions",
 }
 
 
