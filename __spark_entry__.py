@@ -539,6 +539,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("within_bound"),
         )
 
+    def asof_join_events(spark, sf):
+        # point-in-time lookup: each click joined to the user's most
+        # recent error at-or-before it — union+LOCF as-of join vs
+        # DuckDB's NATIVE ASOF LEFT JOIN as the oracle
+        from search_engine_spark.operators.asof import asof_join
+
+        ev = _read(spark, sf, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "user_id", "ts", "value"
+        )
+        return asof_join(
+            clicks, errors, on="ts", by="user_id",
+            right_cols=["ts", "value"],
+        ).select(
+            "event_id", "user_id", "ts",
+            F.col("ts_right").alias("err_ts"),
+            F.col("value").alias("err_value"),
+        )
+
     def training_pipeline(spark, sf):
         # the COMPOSED curation plan (annotate → lang/quality/length
         # gates → exact dedup keep-min-id), oracle-checked end-to-end
@@ -710,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_longest": dedup_keep_longest,
         "training_pipeline": training_pipeline,
         "event_sessions": event_sessions,
+        "asof_join_events": asof_join_events,
         "user_activity_sketch": user_activity_sketch,
         "agg_sum_by_key": agg_sum_by_key,
         "join_revenue_topk": join_revenue_topk,
@@ -1062,6 +1085,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(CAST(value AS DECIMAL(18,6))), 6)
                         AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, sid
+        """,
+        "asof_join_events": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS err_ts, r.value AS err_value
+            FROM (SELECT * FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events
+                            WHERE event_type = 'error') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "user_activity_sketch": """
             SELECT user_id, count(*) AS n_events,

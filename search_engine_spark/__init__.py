@@ -62,6 +62,7 @@ _LAZY = {
     "sessionize": "search_engine_spark.operators.sessions",
     "session_stats": "search_engine_spark.operators.sessions",
     "user_activity_sketch": "search_engine_spark.operators.sessions",
+    "asof_join": "search_engine_spark.operators.asof",
 }
 
 
