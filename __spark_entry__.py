@@ -561,6 +561,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("value").alias("err_value"),
         )
 
+    def range_join_events(spark, sf):
+        # interval join via bucketed expansion (x3 probe + verify) —
+        # the equi-join shape instead of a theta/cartesian join
+        from search_engine_spark.operators.range import range_join
+
+        ev = _read(spark, sf, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        errors = ev.filter(F.col("event_type") == "error").select(
+            "user_id", "ts", "value"
+        )
+        return range_join(
+            clicks, errors, on="ts", by="user_id", window="5 minutes"
+        ).select(
+            "event_id", "user_id", "ts",
+            F.col("ts_right").alias("err_ts"),
+            F.col("value").alias("err_value"),
+        )
+
     def training_pipeline(spark, sf):
         # the COMPOSED curation plan (annotate → lang/quality/length
         # gates → exact dedup keep-min-id), oracle-checked end-to-end
@@ -733,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": training_pipeline,
         "event_sessions": event_sessions,
         "asof_join_events": asof_join_events,
+        "range_join_events": range_join_events,
         "user_activity_sketch": user_activity_sketch,
         "agg_sum_by_key": agg_sum_by_key,
         "join_revenue_topk": join_revenue_topk,
@@ -1094,6 +1115,19 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT * FROM events
                             WHERE event_type = 'error') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        # integer-microsecond bound mirrors the operator's exact
+        # timestamp arithmetic (300 s = 300,000,000 us, inclusive)
+        "range_join_events": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS err_ts, r.value AS err_value
+            FROM (SELECT * FROM events
+                  WHERE event_type = 'click') l
+            JOIN (SELECT * FROM events
+                  WHERE event_type = 'error') r
+              ON l.user_id = r.user_id
+             AND abs(epoch_us(l.ts) - epoch_us(r.ts))
+                 <= 300000000
         """,
         "user_activity_sketch": """
             SELECT user_id, count(*) AS n_events,

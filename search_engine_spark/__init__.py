@@ -63,6 +63,7 @@ _LAZY = {
     "session_stats": "search_engine_spark.operators.sessions",
     "user_activity_sketch": "search_engine_spark.operators.sessions",
     "asof_join": "search_engine_spark.operators.asof",
+    "range_join": "search_engine_spark.operators.range",
 }
 
 
