@@ -3,14 +3,17 @@
 A large-scale training-data pipeline carries media next to text:
 ``media(doc_id, kind, payload: binary, meta: struct)``.  This module
 provides the Spark-side machinery — schemas, Arrow batch shapes,
-``mapInPandas`` decode/feature/resize/frame-sample operators — with
-the actual codec calls STUBBED: the sandbox has no image/audio
-libraries, so decoding either raises ``NotImplementedError``
-(``decoder="real"``) or runs a deterministic fake (``decoder="fake"``,
-default) that derives plausible metadata/features from the bytes
-alone.  Swapping in Pillow/torchaudio/PyAV is a one-function change
-(`_decode_image_real` etc.); everything around it — batching,
-schema, partitioning — is real and tested.
+``mapInPandas`` decode/feature/resize/frame-sample operators.  The
+``decoder="real"`` paths genuinely decode the formats parseable in
+pure numpy — binary PPM/PGM images and RIFF/WAVE PCM audio — and
+compute real features (grayscale histograms, RMS/zero-crossings/
+spectral bands); compressed containers (JPEG/PNG/mp3/mp4) raise
+``NotImplementedError`` because the sandbox has no Pillow/torchaudio/
+PyAV — each is a one-function swap-in (`_decode_image_real`,
+`_decode_wav_real`).  ``decoder="fake"`` (default) derives
+deterministic pseudo-features from the bytes alone, for pipeline
+tests without media files.  Everything around the codecs — batching,
+schema, partitioning — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -135,6 +138,140 @@ def _real_embedding(img: np.ndarray, dim: int) -> list[float]:
     v = hist.astype(np.float64)
     n = np.linalg.norm(v)
     return (v / (n or 1.0)).astype(np.float32).tolist()
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("duration_ms", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("zcr", T.DoubleType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def _decode_wav_real(payload: bytes) -> tuple[np.ndarray, int]:
+    """Real audio decode: RIFF/WAVE PCM (8/16-bit, any channel count)
+    parsed in pure numpy — no external library — returning
+    (mono float64 samples in [-1, 1], sample_rate).  Compressed
+    containers (mp3/ogg/aac) still raise ``NotImplementedError``
+    (torchaudio/ffmpeg is the swap-in there)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "real audio decoding beyond RIFF/WAVE PCM requires "
+            "torchaudio/ffmpeg — not available in this environment; "
+            "use decoder='fake' or extend this function"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = _struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = _struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("malformed WAV: missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1:
+        raise NotImplementedError("only PCM (fmt=1) WAV supported")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:  # unsigned in WAV
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+             - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    if n_ch > 1:
+        x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, int(rate)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Inverse of :func:`_decode_wav_real` (mono 16-bit PCM) — tests
+    and fixtures generate audio through this."""
+    pcm = np.clip(samples, -1.0, 1.0)
+    pcm = (pcm * 32767.0).round().astype("<i2").tobytes()
+    hdr = b"RIFF" + _struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + _struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + _struct.pack("<I", len(pcm)) + pcm
+
+
+def _audio_embedding(x: np.ndarray, rate: int, dim: int) -> list[float]:
+    """L2-normalized log-spaced spectral band energies (rFFT, pure
+    numpy) — a real, if simple, audio feature; the swap-in point for
+    a learned encoder."""
+    if len(x) == 0:
+        return [0.0] * dim
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
+    edges = np.geomspace(20.0, max(rate / 2.0, 40.0), dim + 1)
+    v = np.array(
+        [
+            spec[(freqs >= lo) & (freqs < hi)].sum()
+            for lo, hi in zip(edges[:-1], edges[1:])
+        ]
+    )
+    v = np.log1p(v)
+    n = np.linalg.norm(v)
+    return (v / (n or 1.0)).astype(np.float32).tolist()
+
+
+def audio_features(
+    media: DataFrame,
+    dim: int = 32,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Per-clip audio features via Arrow-batched ``mapInPandas``:
+    (doc_id, sample_rate, n_samples, duration_ms, rms, zcr,
+    embedding).  ``decoder='real'`` parses WAV/PCM in pure numpy;
+    ``'fake'`` derives deterministic pseudo-features from the bytes."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                if decoder == "real":
+                    x, rate = _decode_wav_real(data)
+                    n = len(x)
+                    rms = float(np.sqrt((x ** 2).mean())) if n else 0.0
+                    zcr = (
+                        float((np.diff(np.signbit(x)) != 0).mean())
+                        if n > 1 else 0.0
+                    )
+                    emb = _audio_embedding(x, rate, dim)
+                else:
+                    h = hashlib.blake2b(data, digest_size=16).digest()
+                    rate = 8000 + int.from_bytes(h[:2], "little") % 40000
+                    n = 1000 + int.from_bytes(h[2:6], "little") % 100000
+                    rms = (h[6] / 255.0) * 0.5
+                    zcr = h[7] / 255.0
+                    emb = _fake_embedding(data, dim)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "sample_rate": int(rate),
+                        "n_samples": int(n),
+                        "duration_ms": int(round(1000.0 * n / rate)),
+                        "rms": round(rms, 9),
+                        "zcr": round(zcr, 9),
+                        "embedding": emb,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        gen, AUDIO_FEATURES_SCHEMA
+    )
 
 
 def image_features(
