@@ -33,6 +33,9 @@ FLAGSHIP_QUERY = " ".join(FLAGSHIP_TERMS)
 # (data -> datum), "dup" is the rare candidate-generation term
 FLAGSHIP_LEMMA_QUERY = "data dup line"
 SITES_RESTRICTED = ["src1", "src2"]
+# exact-phrase flagship for the positional-postings surface: a bigram
+# that occurs in ~10% of docs at sf0.01 (selective but non-trivial)
+PHRASE_TERMS = ["table", "hash"]
 
 # ---------------------------------------------------------------------------
 # shared helpers (Spark side)
@@ -165,6 +168,40 @@ toks AS (
 """
 
 _POSTINGS = "postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2)"
+
+# positional twin of _TOKS: DuckDB zips parallel unnests, so pairing
+# unnest(toklist) with unnest(range(len(toklist))) yields (term, pos)
+_TOKS_POS = r"""
+toks_pos AS (
+  SELECT doc_id,
+         unnest(toklist) AS term,
+         unnest(range(len(toklist))) AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(
+             string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z\s]', ' ', 'g')),
+               '\s+'),
+             t -> t <> '') AS toklist
+    FROM documents)
+)
+"""
+
+
+def _phrase_ctes(terms: list[str]) -> str:
+    """offsets/occ/tfd CTE chain mirroring operators/phrases.py."""
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(terms))
+    return f"""
+offsets(i, term) AS (VALUES {vals}),
+occ AS (
+  SELECT tp.doc_id, tp.pos - o.i AS start
+  FROM toks_pos tp JOIN offsets o USING (term)
+  WHERE tp.pos - o.i >= 0
+  GROUP BY 1, 2
+  HAVING count(DISTINCT o.i) = {len(terms)}
+),
+tfd AS (SELECT doc_id, count(*) AS phrase_tf FROM occ GROUP BY 1)
+"""
 
 _LENS = """
 lens AS (
@@ -720,6 +757,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def phrase_match_q(spark, sf):  # positional postings + exact phrase
+        from search_engine_spark.operators.phrases import phrase_match
+
+        return phrase_match(
+            _docs_enriched(spark, sf), PHRASE_TERMS, id_col="doc_id"
+        ).select("doc_id", F.col("phrase_tf").cast("long"))
+
+    def phrase_search_q(spark, sf):  # phrase-BM25 top-k
+        from search_engine_spark.operators.phrases import phrase_search
+
+        return phrase_search(
+            _docs_enriched(spark, sf), PHRASE_TERMS, id_col="doc_id",
+            k1=K1, b=B, limit=10,
+        ).select(
+            "doc_id", F.col("phrase_tf").cast("long"), "score"
+        )
+
+    def doclen_quantiles(spark, sf):  # exact interpolated percentiles
+        qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+        lens = _docs_enriched(spark, sf).select(
+            F.col("doc_len").cast("long").alias("doc_len")
+        )
+        vals = lens.agg(
+            F.percentile("doc_len", F.array(*[F.lit(q) for q in qs]))
+            .alias("v")
+        )
+        return vals.select(
+            F.posexplode("v").alias("idx", "doc_len_q")
+        ).select(
+            F.element_at(
+                F.array(*[F.lit(q) for q in qs]), F.col("idx") + 1
+            ).alias("q"),
+            F.round("doc_len_q", 6).alias("doc_len_q"),
+        )
+
     return {
         "tokenize_doclen": tokenize_doclen,
         "postings": postings_q,
@@ -766,6 +838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_values": distinct_values,
         "avg_scalar": avg_scalar,
         "event_hourly_window": event_hourly_window,
+        "phrase_match": phrase_match_q,
+        "phrase_search": phrase_search_q,
+        "doclen_quantiles": doclen_quantiles,
     }
 
 
@@ -1205,5 +1280,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
                      AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "phrase_match": f"""
+            WITH {_TOKS_POS}, {_phrase_ctes(PHRASE_TERMS)}
+            SELECT doc_id, phrase_tf FROM tfd
+        """,
+        "phrase_search": f"""
+            WITH {_TOKS_POS}, {_phrase_ctes(PHRASE_TERMS)},
+            lens AS (
+              SELECT doc_id, count(*) AS doc_len
+              FROM toks_pos GROUP BY 1),
+            nn AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT CAST(count(*) AS DOUBLE) FROM toks_pos)
+                       / (SELECT count(*) FROM documents) AS avg_len,
+                     (SELECT count(*) FROM tfd) AS dfp)
+            SELECT t.doc_id, t.phrase_tf,
+                   round(
+                     ln((nn.n - nn.dfp + 0.5) / (nn.dfp + 0.5))
+                     * (t.phrase_tf::DOUBLE / l.doc_len) * ({K1} + 1)
+                     / (t.phrase_tf::DOUBLE / l.doc_len
+                        + {K1} * (1 - {B}
+                                  + {B} * l.doc_len / nn.avg_len)),
+                     6) AS score
+            FROM tfd t JOIN lens l USING (doc_id) CROSS JOIN nn
+            ORDER BY score DESC, t.doc_id ASC LIMIT 10
+        """,
+        "doclen_quantiles": f"""
+            WITH {_TOKS}, {_LENS}
+            SELECT CAST(q AS DOUBLE) AS q,
+                   round(doc_len_q, 6) AS doc_len_q
+            FROM (
+              SELECT 0.25 AS q,
+                     quantile_cont(CAST(doc_len AS DOUBLE), 0.25)
+                       AS doc_len_q FROM lens
+              UNION ALL SELECT 0.5,
+                quantile_cont(CAST(doc_len AS DOUBLE), 0.5) FROM lens
+              UNION ALL SELECT 0.75,
+                quantile_cont(CAST(doc_len AS DOUBLE), 0.75) FROM lens
+              UNION ALL SELECT 0.9,
+                quantile_cont(CAST(doc_len AS DOUBLE), 0.9) FROM lens
+              UNION ALL SELECT 0.99,
+                quantile_cont(CAST(doc_len AS DOUBLE), 0.99) FROM lens
+            )
         """,
     }

@@ -1,0 +1,167 @@
+"""Positional postings + exact phrase matching / phrase-BM25 ranking.
+
+The reference engine is strictly bag-of-words — BM25 over per-doc
+lemma counts (services/impl/SearchServiceImpl.java:154-210); it stores
+no token positions and cannot answer "docs containing the exact
+phrase".  This module extends the query surface the way Lucene-family
+engines do, Spark-first:
+
+- :func:`positional_postings` — ``(term, id, pos)`` via one
+  ``posexplode`` (JVM, no UDF).  At rest this is the positional twin
+  of the tf postings table; at 100 TB it is bucketed/partitioned the
+  same way (term keys, Zipf-skew handled upstream by the same salting
+  the tf build uses — positions only ADD a fixed-width int column to
+  each posting row, they don't change the shuffle shape).
+- :func:`phrase_occurrences` — every (doc, start) where the phrase's
+  terms appear consecutively.  The classic aligned-start-position
+  intersection: query position ``i``'s postings are shifted by ``-i``;
+  a doc position where all ``m`` query offsets land is a phrase start.
+  Implemented as one broadcast join against the (i, term) phrase frame
+  plus one ``groupBy(id, start)`` — a single shuffle whose volume is
+  the query terms' postings only (the ``term IN (...)`` filter is
+  pushed into the scan), never the corpus.
+- :func:`phrase_match` — ``(id, phrase_tf)`` per matching doc.
+- :func:`phrase_search` — docs containing the phrase, ranked by the
+  engine's own BM25 variant (tf = phrase_tf / doc_len, Robertson IDF
+  of the phrase-as-virtual-term; plans/search.py semantics) so phrase
+  ranking is consistent with term ranking.
+
+Scale notes: duplicate terms inside the phrase are handled by
+``countDistinct(i)`` (each query offset must be present — "value
+value" needs two aligned hits).  The phrase frame is O(phrase length)
+— always broadcast.  The groupBy key (id, start) is near-unique, so
+the aggregate is skew-free regardless of term skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def positional_postings(
+    enriched: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+) -> DataFrame:
+    """``(term, <id_col>, pos)`` — 0-based token positions."""
+    return enriched.select(
+        F.col(id_col),
+        F.posexplode(F.col(tokens_col_name)).alias("pos", "term"),
+    ).select("term", id_col, "pos")
+
+
+def phrase_occurrences(
+    pos_postings: DataFrame,
+    phrase_terms: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(<id_col>, start)`` for every exact occurrence of the phrase.
+
+    ``pos_postings`` is :func:`positional_postings` output (or the
+    persisted positional table).  Empty phrase → empty result.
+    """
+    m = len(phrase_terms)
+    spark = pos_postings.sparkSession
+    if m == 0:
+        return spark.createDataFrame(
+            [], f"{id_col} long, start int"
+        )
+    offsets = spark.createDataFrame(
+        list(enumerate(phrase_terms)), "i int, term string"
+    )
+    cand = pos_postings.filter(
+        F.col("term").isin(sorted(set(phrase_terms)))
+    )
+    return (
+        cand.join(F.broadcast(offsets), "term")
+        .select(
+            F.col(id_col),
+            (F.col("pos") - F.col("i")).cast("int").alias("start"),
+            F.col("i"),
+        )
+        .filter(F.col("start") >= 0)
+        .groupBy(id_col, "start")
+        .agg(F.countDistinct("i").alias("n_offsets"))
+        .filter(F.col("n_offsets") == m)
+        .select(id_col, "start")
+    )
+
+
+def phrase_match(
+    enriched: DataFrame,
+    phrase_terms: list[str],
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+) -> DataFrame:
+    """``(<id_col>, phrase_tf)`` — exact-phrase occurrence count per
+    matching doc (docs without the phrase are absent)."""
+    pp = positional_postings(enriched, id_col, tokens_col_name)
+    occ = phrase_occurrences(pp, phrase_terms, id_col)
+    return occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("phrase_tf")
+    )
+
+
+def phrase_search(
+    enriched: DataFrame,
+    phrase_terms: list[str],
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    k1: float = 1.5,
+    b: float = 0.75,
+    limit: int = 10,
+) -> DataFrame:
+    """Docs containing the exact phrase, BM25-ranked.
+
+    The phrase acts as one virtual term: its df is the number of docs
+    containing it, idf = ln((N − df + 0.5)/(df + 0.5)) (Robertson,
+    plans/search.py:55 semantics), tf the phrase occurrence count, and
+    the score uses the engine's tf-normalized variant
+    (tf/len · (k1+1) / (tf/len + k1·(1−b+b·len/avg))) so phrase and
+    term queries rank on one scale.  Returns
+    ``(<id_col>, phrase_tf, score)`` ordered score desc, id asc,
+    top-``limit`` (TakeOrderedAndProject — no global sort at scale).
+
+    Corpus scalars (N, avg_len) are computed from ``enriched`` with
+    one tiny aggregate; pass a pre-built index's values via the
+    ``doc_lens`` path in plans/search for the query-engine route —
+    this function is the standalone oracle-checkable form.
+    """
+    lens = enriched.select(
+        F.col(id_col), F.size(F.col(tokens_col_name)).alias("doc_len")
+    )
+    agg = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
+    ).collect()[0]
+    n_docs = int(agg["n"])
+    avg_len = (int(agg["s"]) / n_docs) if n_docs else 0.0
+
+    tf = phrase_match(enriched, phrase_terms, id_col, tokens_col_name)
+    # driver-sized scalar: phrase df (count of matching docs)
+    df_phrase = tf.count()
+    ratio = (n_docs - df_phrase + 0.5) / (df_phrase + 0.5)
+    if df_phrase == 0 or ratio <= 0:
+        return tf.select(
+            id_col,
+            "phrase_tf",
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+    import math
+
+    idf = math.log(ratio)
+    scored = tf.join(lens, id_col)
+    tfn: Column = F.col("phrase_tf").cast("double") / F.col("doc_len")
+    denom = tfn + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avg_len)
+    )
+    return (
+        scored.select(
+            F.col(id_col),
+            F.col("phrase_tf"),
+            F.round(F.lit(idf) * tfn * F.lit(k1 + 1.0) / denom, 6)
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(limit)
+    )
