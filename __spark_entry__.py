@@ -203,6 +203,88 @@ occ AS (
 tfd AS (SELECT doc_id, count(*) AS phrase_tf FROM occ GROUP BY 1)
 """
 
+
+def _gram_cte(n: int) -> str:
+    """grams{n}/cnt{n}/agg{n} CTE chain over a ``base(doc_id,
+    toklist)`` relation — mirrors operators/curation._gram_counts."""
+    return f"""
+grams{n} AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(greatest(len(toklist) - {n - 1}, 0)),
+           i -> array_to_string(toklist[i+1:i+{n}], ' '))) AS gram
+  FROM base),
+cnt{n} AS (
+  SELECT doc_id, gram, count(*) AS c FROM grams{n} GROUP BY 1, 2),
+agg{n} AS (
+  SELECT doc_id, max(c) AS max_c,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+  FROM cnt{n} GROUP BY 1)
+"""
+
+
+def _frac_sql(col: str, n: int, len_expr: str = "l.n_tokens") -> str:
+    """curation._frac in SQL: coverage fraction, capped, null→0."""
+    return (
+        f"round(CASE WHEN {col} IS NULL OR {len_expr} <= 0 THEN 0.0 "
+        f"ELSE least({col} * {n}.0 / {len_expr}, 1.0) END, 6)"
+    )
+
+
+def _gopher_gate_sql(toks_list: str, stopword_list: str) -> str:
+    from search_engine_spark.operators.curation import (
+        GATE_MAX_DUP3GRAM_FRAC,
+        GATE_MAX_MEAN_WORD_LEN,
+        GATE_MAX_SYMBOL_RATIO,
+        GATE_MAX_TOKENS,
+        GATE_MAX_TOP2GRAM_FRAC,
+        GATE_MIN_MEAN_WORD_LEN,
+        GATE_MIN_STOPWORDS,
+        GATE_MIN_TOKENS,
+    )
+
+    return f"""
+        WITH base AS (
+          SELECT doc_id, lower(text) AS low,
+                 {toks_list} AS toklist
+          FROM documents),
+        {_gram_cte(2)}, {_gram_cte(3)},
+        m AS (
+          SELECT b.doc_id,
+                 CAST(len(toklist) AS BIGINT) AS n_tokens,
+                 round(CASE WHEN len(toklist) > 0
+                       THEN list_aggregate(
+                              list_transform(toklist, t -> length(t)),
+                              'sum') * 1.0 / len(toklist)
+                       ELSE 0.0 END, 6) AS mean_word_len,
+                 round(CASE WHEN length(low) > 0
+                       THEN length(regexp_replace(
+                              low, '[a-z0-9а-яё\\s]', '', 'g'))
+                            * 1.0 / length(low)
+                       ELSE 0.0 END, 6) AS symbol_ratio,
+                 CAST(len(list_filter(
+                   toklist, t -> t IN ({stopword_list})))
+                   AS BIGINT) AS n_stopwords,
+                 {_frac_sql('a2.max_c', 2, 'len(b.toklist)')}
+                   AS top_2gram_frac,
+                 {_frac_sql('a3.dup_c', 3, 'len(b.toklist)')}
+                   AS dup_3gram_frac
+          FROM base b
+          LEFT JOIN agg2 a2 USING (doc_id)
+          LEFT JOIN agg3 a3 USING (doc_id))
+        SELECT *,
+               (n_tokens >= {GATE_MIN_TOKENS}
+                AND n_tokens <= {GATE_MAX_TOKENS}
+                AND mean_word_len >= {GATE_MIN_MEAN_WORD_LEN}
+                AND mean_word_len <= {GATE_MAX_MEAN_WORD_LEN}
+                AND symbol_ratio <= {GATE_MAX_SYMBOL_RATIO}
+                AND n_stopwords >= {GATE_MIN_STOPWORDS}
+                AND top_2gram_frac <= {GATE_MAX_TOP2GRAM_FRAC}
+                AND dup_3gram_frac <= {GATE_MAX_DUP3GRAM_FRAC})
+                 AS keep
+        FROM m
+    """
+
 _LENS = """
 lens AS (
   SELECT d.doc_id, d.source AS site, coalesce(t.c, 0) AS doc_len
@@ -792,6 +874,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("doc_len_q", 6).alias("doc_len_q"),
         )
 
+    def ngram_repetition_q(spark, sf):  # Gopher repetition signals
+        from search_engine_spark.operators.curation import (
+            ngram_repetition,
+        )
+
+        return ngram_repetition(_docs_enriched(spark, sf), n=2)
+
+    def gopher_gate_q(spark, sf):  # composite quality gate
+        from search_engine_spark.operators.curation import gopher_gate
+
+        return gopher_gate(_docs_enriched(spark, sf))
+
+    def unigram_logprob_q(spark, sf):  # unigram-LM perplexity proxy
+        from search_engine_spark.operators.curation import (
+            unigram_logprob,
+        )
+
+        return unigram_logprob(_docs_enriched(spark, sf))
+
+    def assign_split_q(spark, sf):  # deterministic train/val/test
+        from search_engine_spark.operators.curation import assign_split
+
+        return assign_split(
+            _read(spark, sf, "documents"), train=0.8, val=0.1
+        ).select("doc_id", "split")
+
+    def site_lang_rollup(spark, sf):  # one-pass multi-level totals
+        from search_engine_spark.plans.statistics import corpus_rollup
+
+        return corpus_rollup(_read(spark, sf, "documents"))
+
     return {
         "tokenize_doclen": tokenize_doclen,
         "postings": postings_q,
@@ -841,6 +954,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": phrase_match_q,
         "phrase_search": phrase_search_q,
         "doclen_quantiles": doclen_quantiles,
+        "ngram_repetition": ngram_repetition_q,
+        "gopher_gate": gopher_gate_q,
+        "unigram_logprob": unigram_logprob_q,
+        "assign_split": assign_split_q,
+        "site_lang_rollup": site_lang_rollup,
     }
 
 
@@ -1323,5 +1441,48 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 0.99,
                 quantile_cont(CAST(doc_len AS DOUBLE), 0.99) FROM lens
             )
+        """,
+        "ngram_repetition": f"""
+            WITH base AS (
+              SELECT doc_id, {toks_list} AS toklist FROM documents),
+            {_gram_cte(2)},
+            lens AS (
+              SELECT doc_id, len(toklist) AS n_tokens FROM base)
+            SELECT l.doc_id,
+                   CAST(l.n_tokens AS BIGINT) AS n_tokens,
+                   {_frac_sql('a.max_c', 2)} AS top_ngram_frac,
+                   {_frac_sql('a.dup_c', 2)} AS dup_ngram_frac
+            FROM lens l LEFT JOIN agg2 a USING (doc_id)
+        """,
+        "gopher_gate": _gopher_gate_sql(toks_list, stopword_list),
+        "unigram_logprob": f"""
+            WITH {_TOKS},
+            tf AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+            tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM toks),
+            per AS (
+              SELECT doc_id, -ln(tf.c / tot.t) AS nlp
+              FROM toks JOIN tf USING (term) CROSS JOIN tot)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(nlp), 6) AS nll,
+                   round(exp(avg(nlp)), 6) AS ppl
+            FROM per GROUP BY 1
+        """,
+        "assign_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substr(
+                        md5(CAST(doc_id AS VARCHAR) || 'v1'),
+                        18, 15))::BIGINT % 10000 AS b
+              FROM documents)
+        """,
+        "site_lang_rollup": """
+            SELECT source, lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM documents GROUP BY ROLLUP(source, lang)
         """,
     }

@@ -149,6 +149,9 @@ def main() -> None:
         "dedup_clusters",
         "training_pipeline",
         "text_quality",
+        "phrase_search",
+        "gopher_gate",
+        "unigram_logprob",
         "agg_sum_by_key",
         "join_revenue_topk",
         "window_pagination",

@@ -1,0 +1,313 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Four operators a web-scale (100 TB) training-data pipeline runs after
+dedup and before tokenization — no reference counterpart (the
+reference is a search engine); semantics follow the published
+curation literature (Gopher / Rae et al. 2021 §A1.1, C4 / Raffel et
+al. 2020 §2.2, CCNet / Wenzek et al. 2020):
+
+- :func:`ngram_repetition` — per-doc top-n-gram and duplicated-n-gram
+  token-coverage fractions (the Gopher repetition signals).  One
+  explode + two map-side-combined aggregations; the groupBy key
+  ``(doc, gram-hash)`` is near-unique, so the shuffle is skew-free
+  regardless of how Zipf-skewed the grams themselves are, and grams
+  cross the wire as fixed-width ``xxhash64`` keys, never strings.
+- :func:`gopher_metrics` / :func:`gopher_gate` — the composite
+  per-document quality record (length, mean word length, symbol
+  ratio, stopword evidence, repetition fractions) and the boolean
+  keep/drop gate over it.  Everything except the two repetition
+  fractions is a pure JVM column expression on the row itself;
+  the repetition fractions come from ONE shared gram shuffle (both
+  n-gram sizes ride the same aggregation, keyed by ``(doc, n,
+  hash)``).
+- :func:`unigram_logprob` — unigram-LM negative log-likelihood and
+  perplexity per document (the cheap stand-in for CCNet's KenLM
+  scoring): corpus term frequencies are ONE count aggregation reused
+  across every document; the per-token probability join shuffles on
+  ``term``, Zipf-skewed, so it rides AQE skew-join splitting (and the
+  term-count table is broadcast when small).
+- :func:`assign_split` — deterministic, seed-salted train/val/test
+  assignment via the integer value of an md5 substring: stable across
+  runs, engines and cluster sizes (no ``rand()``), reproducible
+  bit-for-bit in any SQL engine for auditing.  Pure column
+  expression — no shuffle at all.
+
+Every operator is closed-form deterministic so the DuckDB oracle in
+``__spark_entry__.py`` reproduces it exactly (hash-match, not just
+row-count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.analysis import (
+    QUALITY_STOPWORDS,
+    mean_word_len,
+)
+from search_engine_spark.operators.dedup import shingles_col
+
+# Gopher-style gate thresholds (Rae et al. 2021, table A1 spirit;
+# values adapted to this engine's tokenizer and frozen for the oracle)
+GATE_MIN_TOKENS = 25
+GATE_MAX_TOKENS = 100_000
+GATE_MIN_MEAN_WORD_LEN = 2.0
+GATE_MAX_MEAN_WORD_LEN = 12.0
+GATE_MAX_SYMBOL_RATIO = 0.10
+GATE_MIN_STOPWORDS = 1
+GATE_MAX_TOP2GRAM_FRAC = 0.20
+GATE_MAX_DUP3GRAM_FRAC = 0.60
+
+SPLIT_BUCKETS = 10_000
+
+
+def _gram_counts(
+    df: DataFrame,
+    id_col: str,
+    tokens_col_name: str,
+    ns: list[int],
+) -> DataFrame:
+    """``(<id>, n, max_c, dup_c)`` per document per n-gram size.
+
+    All requested sizes share one explode→aggregate pass (one
+    shuffle); grams travel as xxhash64 longs.  ``max_c`` is the count
+    of the most frequent n-gram, ``dup_c`` the total occurrences of
+    grams appearing more than once.
+    """
+    toks = F.col(tokens_col_name)
+    per_n = [
+        df.select(
+            F.col(id_col),
+            F.lit(n).alias("n"),
+            F.explode(shingles_col(toks, n)).alias("gram"),
+        )
+        for n in ns
+    ]
+    grams = per_n[0]
+    for p in per_n[1:]:
+        grams = grams.unionByName(p)
+    cnt = (
+        grams.select(id_col, "n", F.xxhash64("gram").alias("g"))
+        .groupBy(id_col, "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cnt.groupBy(id_col, "n").agg(
+        F.max("c").alias("max_c"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+        .alias("dup_c"),
+    )
+
+
+def _frac(cnt: Column, n: int, n_tokens: Column) -> Column:
+    """Token-coverage fraction ``cnt·n / n_tokens``, capped at 1.
+
+    NULL count (doc had no n-grams) or zero tokens → 0.0.  The
+    null/zero guard sits OUTSIDE the cap because Spark's ``least``
+    skips NULL arguments rather than propagating them.
+    """
+    raw = cnt.cast("double") * n / n_tokens.cast("double")
+    return F.round(
+        F.when(
+            cnt.isNull() | (n_tokens <= 0), F.lit(0.0)
+        ).otherwise(F.least(raw, F.lit(1.0))),
+        6,
+    )
+
+
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    n: int = 2,
+) -> DataFrame:
+    """``(<id>, n_tokens, top_ngram_frac, dup_ngram_frac)``.
+
+    ``top_ngram_frac`` — fraction of the document's tokens covered by
+    its single most frequent n-gram (occurrences × n / n_tokens,
+    capped at 1); ``dup_ngram_frac`` — same coverage for ALL n-grams
+    occurring more than once.  Documents shorter than ``n`` tokens
+    score 0 on both.  Gopher's repetition signals re-expressed over
+    the engine's tokenizer.
+    """
+    lens = df.select(
+        F.col(id_col), F.size(F.col(tokens_col_name)).alias("n_tokens")
+    )
+    agg = _gram_counts(df, id_col, tokens_col_name, [n]).drop("n")
+    return lens.join(agg, id_col, "left").select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        _frac(F.col("max_c"), n, F.col("n_tokens")).alias(
+            "top_ngram_frac"
+        ),
+        _frac(F.col("dup_c"), n, F.col("n_tokens")).alias(
+            "dup_ngram_frac"
+        ),
+    )
+
+
+def symbol_ratio(text: Column) -> Column:
+    """Fraction of characters that are neither alphanumeric (latin or
+    cyrillic) nor whitespace (double)."""
+    low = F.lower(text)
+    total = F.length(low)
+    sym = F.length(
+        F.regexp_replace(low, "[a-z0-9\\u0430-\\u044f\\u0451\\s]", "")
+    )
+    return F.when(
+        total > 0, sym.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_count(tokens: Column) -> Column:
+    """Number of tokens in the frozen stopword list (long)."""
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    return F.size(
+        F.filter(tokens, lambda t: F.array_contains(stop_arr, t))
+    ).cast("long")
+
+
+def gopher_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col_name: str = "tokens",
+) -> DataFrame:
+    """Per-document quality record.
+
+    ``(<id>, n_tokens, mean_word_len, symbol_ratio, n_stopwords,
+    top_2gram_frac, dup_3gram_frac)`` — row-local metrics are pure
+    column expressions; the two repetition fractions share one gram
+    shuffle (both sizes aggregated together, see :func:`_gram_counts`).
+    """
+    toks = F.col(tokens_col_name)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(mean_word_len(toks), 6).alias("mean_word_len"),
+        F.round(symbol_ratio(F.col(text_col)), 6).alias("symbol_ratio"),
+        stopword_count(toks).alias("n_stopwords"),
+    )
+    rep = (
+        _gram_counts(df, id_col, tokens_col_name, [2, 3])
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col("n") == 2, F.col("max_c"))).alias("m2"),
+            F.max(F.when(F.col("n") == 3, F.col("dup_c"))).alias("d3"),
+        )
+    )
+    return base.join(rep, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        "mean_word_len",
+        "symbol_ratio",
+        "n_stopwords",
+        _frac(F.col("m2"), 2, F.col("n_tokens")).alias("top_2gram_frac"),
+        _frac(F.col("d3"), 3, F.col("n_tokens")).alias("dup_3gram_frac"),
+    )
+
+
+def gopher_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col_name: str = "tokens",
+) -> DataFrame:
+    """:func:`gopher_metrics` plus a boolean ``keep`` column.
+
+    A document is kept when every signal is inside its threshold
+    (module constants, frozen for the oracle).  The gate is the
+    pre-tokenization corpus filter; join ``keep`` back to the corpus
+    or semi-join to materialize the filtered table.
+    """
+    m = gopher_metrics(df, id_col, text_col, tokens_col_name)
+    keep = (
+        (F.col("n_tokens") >= GATE_MIN_TOKENS)
+        & (F.col("n_tokens") <= GATE_MAX_TOKENS)
+        & (F.col("mean_word_len") >= GATE_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GATE_MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_ratio") <= GATE_MAX_SYMBOL_RATIO)
+        & (F.col("n_stopwords") >= GATE_MIN_STOPWORDS)
+        & (F.col("top_2gram_frac") <= GATE_MAX_TOP2GRAM_FRAC)
+        & (F.col("dup_3gram_frac") <= GATE_MAX_DUP3GRAM_FRAC)
+    )
+    return m.withColumn("keep", keep)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """``(<id>, n_tokens, nll, ppl)`` — unigram-LM scoring.
+
+    ``nll`` is the mean negative log-probability of the document's
+    tokens under the corpus's own unigram distribution; ``ppl`` its
+    exponential.  High ppl = tokens rare for this corpus (noise,
+    wrong language); low ppl = heavy boilerplate.  The cheap
+    deterministic stand-in for CCNet's KenLM filter.
+
+    Plan shape: corpus term counts are one map-side-combined
+    aggregation; the per-token probability join keys on ``term``
+    (Zipf-skewed → AQE skew-split; the count table is explicitly
+    broadcast below the threshold since a term dictionary is tiny
+    next to the token stream).  Docs with zero tokens are absent from
+    the result (no distribution to score under).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.col(tokens_col_name)).alias("term")
+    )
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()
+    n_terms = tf.count()
+    tf_j = F.broadcast(tf) if n_terms <= broadcast_threshold else tf
+    per = tok.join(tf_j, "term").select(
+        id_col,
+        (-F.log(F.col("c").cast("double") / F.lit(float(total)))).alias(
+            "nlp"
+        ),
+    )
+    return per.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("nlp"), 6).alias("nll"),
+        F.round(F.exp(F.avg("nlp")), 6).alias("ppl"),
+    )
+
+
+def split_bucket_col(id_col: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, SPLIT_BUCKETS): integer value of an
+    md5 substring (15 hex digits = 60 bits, exact in a long), salted
+    so re-splitting with a new salt is a fresh assignment."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(salt)))
+    return (
+        F.conv(F.substring(h, 18, 15), 16, 10).cast("long")
+        % SPLIT_BUCKETS
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.98,
+    val: float = 0.01,
+    salt: str = "v1",
+) -> DataFrame:
+    """Adds a ``split`` column: 'train' | 'val' | 'test'.
+
+    Assignment is a pure column expression over the id — no shuffle,
+    no rand(), stable under re-runs, repartitioning and cluster size,
+    and reproducible in any SQL engine for audit (the property a
+    training pipeline needs so val/test never leak into train across
+    incremental rebuilds).  Fractions are in bucket units of
+    1/SPLIT_BUCKETS.
+    """
+    b = split_bucket_col(F.col(id_col), salt)
+    t_hi = int(round(train * SPLIT_BUCKETS))
+    v_hi = t_hi + int(round(val * SPLIT_BUCKETS))
+    return df.withColumn(
+        "split",
+        F.when(b < t_hi, F.lit("train"))
+        .when(b < v_hi, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

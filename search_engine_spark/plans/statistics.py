@@ -76,3 +76,22 @@ def statistics_report(index) -> dict:
         },
         "detailed": detailed,
     }
+
+
+def corpus_rollup(
+    docs: DataFrame,
+    dims: tuple[str, ...] = ("source", "lang"),
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Multi-level corpus totals in ONE pass: ``ROLLUP(dims)`` →
+    (dim…, n_docs, chars) with NULL dims on subtotal/grand-total rows.
+
+    The R22 per-site report generalized the way a 100 TB corpus
+    dashboard needs it: Catalyst expands the rollup into a single
+    partial-aggregated shuffle (``Expand`` + one hash aggregate), so
+    per-(site, lang), per-site and grand totals cost one job instead
+    of three."""
+    return docs.rollup(*[F.col(d) for d in dims]).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(chars_col)).cast("long").alias("chars"),
+    )

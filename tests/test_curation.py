@@ -1,0 +1,163 @@
+"""Curation operators vs brute-force Python on a hand-built corpus."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.curation import (
+    GATE_MIN_STOPWORDS,
+    GATE_MIN_TOKENS,
+    SPLIT_BUCKETS,
+    assign_split,
+    gopher_gate,
+    gopher_metrics,
+    ngram_repetition,
+    unigram_logprob,
+)
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog near the quick brown fox",
+    "spam spam spam spam spam spam spam spam",
+    "a b",
+    "",
+    "one two three four five six seven eight nine ten",
+    "x",
+]
+
+
+def _docs(spark, rows=CORPUS):
+    return spark.createDataFrame(
+        [(i, t, t.split()) for i, t in enumerate(rows)],
+        "doc_id long, text string, tokens array<string>",
+    )
+
+
+def _brute_rep(tokens: list[str], n: int) -> tuple[float, float]:
+    grams = [
+        " ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)
+    ]
+    if not grams or not tokens:
+        return 0.0, 0.0
+    c = Counter(grams)
+    top = max(c.values()) * n / len(tokens)
+    dup = sum(v for v in c.values() if v > 1) * n / len(tokens)
+    return round(min(top, 1.0), 6), round(min(dup, 1.0), 6)
+
+
+def test_ngram_repetition_vs_brute(spark):
+    for n in (1, 2, 3):
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["top_ngram_frac"],
+                r["dup_ngram_frac"],
+            )
+            for r in ngram_repetition(_docs(spark), n=n).collect()
+        }
+        for i, t in enumerate(CORPUS):
+            toks = t.split()
+            top, dup = _brute_rep(toks, n)
+            assert got[i] == (len(toks), top, dup), (n, i, got[i])
+
+
+def test_repetition_extremes(spark):
+    # all-identical doc: the repeated bigram covers everything
+    rows = ["w " * 50]
+    r = ngram_repetition(_docs(spark, rows), n=2).collect()[0]
+    assert r["top_ngram_frac"] == 1.0 and r["dup_ngram_frac"] == 1.0
+
+
+def test_gopher_metrics_and_gate(spark):
+    rows = [
+        # kept: long, prosey, has stopwords, varied
+        "the cat sat on a mat and then the dog ran to the park while "
+        "a bird flew over the quiet green field during one fine day "
+        "more words follow here to pass the minimum length easily now",
+        # dropped: no stopwords at all
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+        "psi omega alef bet gimel dalet he vav zayin het tet yod",
+        # dropped: too short
+        "the tiny one",
+        # dropped: pure repetition
+        ("the spam " * 40).strip(),
+    ]
+    m = {
+        r["doc_id"]: r for r in gopher_gate(_docs(spark, rows)).collect()
+    }
+    assert m[0]["keep"] is True
+    assert m[1]["keep"] is False and m[1]["n_stopwords"] < GATE_MIN_STOPWORDS
+    assert m[2]["keep"] is False and m[2]["n_tokens"] < GATE_MIN_TOKENS
+    assert m[3]["keep"] is False and m[3]["top_2gram_frac"] > 0.2
+    # metrics agree with brute force on doc 3
+    toks = rows[3].split()
+    top2, _ = _brute_rep(toks, 2)
+    _, dup3 = _brute_rep(toks, 3)
+    assert m[3]["top_2gram_frac"] == top2
+    assert m[3]["dup_3gram_frac"] == dup3
+
+
+def test_gopher_metrics_symbol_ratio(spark):
+    rows = ["@@@@ #### $$$$ %%%% the cat sat"]
+    r = gopher_metrics(_docs(spark, rows)).collect()[0]
+    brute = sum(
+        1 for ch in rows[0] if not (ch.isalnum() or ch.isspace())
+    ) / len(rows[0])
+    assert abs(r["symbol_ratio"] - brute) < 1e-6
+
+
+def test_unigram_logprob_vs_brute(spark):
+    res = {
+        r["doc_id"]: r for r in unigram_logprob(_docs(spark)).collect()
+    }
+    alltok = [t for row in CORPUS for t in row.split()]
+    tf = Counter(alltok)
+    total = len(alltok)
+    for i, t in enumerate(CORPUS):
+        toks = t.split()
+        if not toks:
+            assert i not in res
+            continue
+        nll = sum(-math.log(tf[x] / total) for x in toks) / len(toks)
+        assert res[i]["n_tokens"] == len(toks)
+        assert abs(res[i]["nll"] - nll) < 1e-5
+        assert abs(res[i]["ppl"] - math.exp(nll)) < 1e-4
+
+
+def test_unigram_logprob_unbroadcast_path(spark):
+    a = unigram_logprob(_docs(spark)).collect()
+    b = unigram_logprob(_docs(spark), broadcast_threshold=0).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_assign_split_deterministic_and_proportional(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    out = assign_split(df, train=0.8, val=0.1).cache()
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = 20_000
+    assert abs(counts["train"] / n - 0.8) < 0.02
+    assert abs(counts["val"] / n - 0.1) < 0.01
+    assert abs(counts["test"] / n - 0.1) < 0.01
+    # stable across runs, matches driver-side md5 arithmetic
+    sample = out.filter(F.col("doc_id") < 50).collect()
+    for r in sample:
+        h = hashlib.md5(f"{r['doc_id']}v1".encode()).hexdigest()
+        b = int(h[17:32], 16) % SPLIT_BUCKETS
+        want = (
+            "train" if b < 8000 else "val" if b < 9000 else "test"
+        )
+        assert r["split"] == want
+    # a different salt reshuffles assignments
+    out2 = assign_split(df, train=0.8, val=0.1, salt="v2")
+    joined = out.select("doc_id", "split").join(
+        out2.select("doc_id", F.col("split").alias("s2")), "doc_id"
+    )
+    diff = joined.filter(F.col("split") != F.col("s2")).count()
+    assert diff > 1000
