@@ -538,6 +538,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs = emb.filter(F.col("vec_id") < 3)
         return cosine_topk_lsh(emb, qs, k=5)
 
+    def ann_cosine_ivfpq(spark, sf):  # rows-only (PQ-compressed ANN)
+        from search_engine_spark.operators.similarity import (
+            cosine_topk_ivfpq,
+        )
+
+        emb = _read(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 3)
+        return cosine_topk_ivfpq(
+            emb, qs, k=5, n_lists=16, n_probe=8, m=8, n_codes=64,
+            refine=4,
+        )
+
     def text_quality(spark, sf):
         docs = _docs_enriched(spark, sf)
         return docs.select(
@@ -930,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": simhash_pairs,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_lsh": ann_cosine_lsh,
+        "ann_cosine_ivfpq": ann_cosine_ivfpq,
         "text_quality": text_quality,
         "lang_id": lang_id_q,
         "fingerprint": fingerprint_q,

@@ -375,3 +375,269 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (product quantization — the compressed 100 TB ANN path)
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 12,
+    seed: int = 7,
+) -> "np.ndarray":
+    """Per-subspace L2 k-means codebooks, shape ``(m, n_codes, d/m)``.
+
+    Classic product quantization (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011): split the (unit-
+    normalized) vector into ``m`` contiguous subspaces, k-means each
+    independently.  Training runs driver-side on a seeded sample —
+    standard practice, the sample is tiny relative to the corpus and
+    the result is a broadcast constant; ENCODING is the distributed
+    part.  ``n_codes <= 256`` so a code is one byte: a 64-dim float32
+    vector (256 B) compresses to ``m`` bytes (32x at m=8) — the
+    difference between an ANN index that fits executor memory at
+    10^12 vectors and one that doesn't.
+    """
+    if n_codes > 256:
+        raise ValueError("n_codes > 256 would not fit one byte/code")
+    rows = (
+        corpus.select(vec_col)
+        .sample(fraction=1.0, seed=seed)
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        k = min(n_codes, len(xs))
+        cents = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (
+                (xs * xs).sum(1)[:, None]
+                - 2.0 * xs @ cents.T
+                + (cents * cents).sum(1)[None, :]
+            )
+            a = d2.argmin(axis=1)
+            for c in range(k):
+                msk = a == c
+                if msk.any():  # empty cluster keeps its old centroid
+                    cents[c] = xs[msk].mean(axis=0)
+        if k < n_codes:  # tiny corpus: pad by repeating, codes unused
+            cents = np.vstack([cents, cents[: n_codes - k]])[:n_codes]
+        books[j] = cents
+    return books
+
+
+def _pq_encode_udf(spark, books: "np.ndarray"):
+    """Arrow-vectorized PQ encoder: vector → ``m`` uint8 codes as one
+    BINARY value.  One ``(batch × n_codes)`` distance matrix per
+    subspace per Arrow batch; the codebook rides a broadcast."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(
+        np.ascontiguousarray(books, dtype=np.float64)
+    )
+
+    @pandas_udf(T.BinaryType())
+    def encode(vecs: pd.Series) -> pd.Series:
+        cb = bc.value
+        m, n_codes, dsub = cb.shape
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            xs = x[:, j * dsub : (j + 1) * dsub]
+            d2 = -2.0 * xs @ cb[j].T + (cb[j] * cb[j]).sum(1)[None, :]
+            codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return encode
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(<id>, pq_code binary)`` — the at-rest compressed index
+    payload (write partitioned by ``ivf_list`` alongside it)."""
+    enc = _pq_encode_udf(corpus.sparkSession, books)
+    return corpus.select(
+        F.col(id_col), enc(F.col(vec_col)).alias("pq_code")
+    )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 256,
+    refine: int = 4,
+    centroids: "np.ndarray | None" = None,
+    books: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF-PQ approximate cosine top-k — the full compressed ANN
+    pipeline a 10^12-vector corpus needs:
+
+    1. coarse quantizer routes each corpus vector to an ``ivf_list``
+       (broadcast-matrix pandas UDF, plan size flat in n_lists);
+    2. vectors are PQ-encoded to ``m`` bytes (32x smaller shuffle /
+       storage than raw float32 — the candidate join moves CODES, not
+       vectors);
+    3. each query scans only its ``n_probe`` lists, scoring
+       candidates by asymmetric distance (ADC): a per-query
+       ``(m × n_codes)`` lookup table of subspace dot products is
+       broadcast, and a candidate's approximate cosine is ``m`` table
+       lookups — no floating-point vector math on the scan;
+    4. the ADC top ``k·refine`` are re-ranked EXACTLY (join back the
+       raw vectors for just those few rows, JVM-side cosine) so the
+       returned ``sim`` values are true cosines — ADC error only
+       costs recall, never score fidelity.  ``refine=0`` skips the
+       rerank and returns raw ADC scores (column ``sim`` is then the
+       ADC approximation).
+
+    Tie-break everywhere: score desc, neighbor_id asc.
+    """
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_lists, vec_col, seed=7
+        )
+    if books is None:
+        books = train_pq_codebooks(
+            corpus, m=m, n_codes=n_codes, vec_col=vec_col
+        )
+
+    assign = _ivf_assign_udf(spark, centroids)
+    enc = _pq_encode_udf(spark, books)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("ivf_list", assign(F.col("cvec"))).withColumn(
+        "pq_code", enc(F.col("cvec"))
+    )
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).collect()
+    qx = np.array([r["qvec"] for r in qrows], dtype=np.float64)
+    qx = qx / np.linalg.norm(qx, axis=1, keepdims=True)
+    probes = np.argsort(-(qx @ centroids.T), axis=1)[:, :n_probe]
+
+    # per-query ADC lookup tables: lut[j, code] = q_sub_j . codeword
+    mm, n_c, dsub = books.shape
+    luts = {}
+    for i, r in enumerate(qrows):
+        lut = np.empty((mm, n_c), dtype=np.float64)
+        for j in range(mm):
+            lut[j] = books[j] @ qx[i, j * dsub : (j + 1) * dsub]
+        luts[int(r["query_id"])] = lut
+    bc_luts = spark.sparkContext.broadcast(luts)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def adc_score(qids: pd.Series, codes: pd.Series) -> pd.Series:
+        tabs = bc_luts.value
+        n = len(codes)
+        cm = np.frombuffer(
+            b"".join(codes.tolist()), dtype=np.uint8
+        ).reshape(n, -1)
+        out = np.empty(n, dtype=np.float64)
+        qarr = qids.to_numpy()
+        rows_j = np.arange(cm.shape[1])
+        for qid in np.unique(qarr):
+            msk = qarr == qid
+            out[msk] = tabs[int(qid)][rows_j[None, :], cm[msk]].sum(
+                axis=1
+            )
+        return pd.Series(out)
+
+    probe_rows = [
+        (int(r["query_id"]), r["qvec"], [int(p) for p in probes[i]])
+        for i, r in enumerate(qrows)
+    ]
+    q = spark.createDataFrame(
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("qvec", T.ArrayType(T.FloatType()), False),
+                T.StructField(
+                    "probe_lists", T.ArrayType(T.IntegerType()), False
+                ),
+            ]
+        ),
+    ).select(
+        "query_id", "qvec", F.explode("probe_lists").alias("ivf_list")
+    )
+
+    # candidate scan joins CODES only (qvec is dropped before the
+    # window; the wide column re-enters only for the k·refine rerank)
+    cand = (
+        c.join(F.broadcast(q.select("query_id", "ivf_list")), "ivf_list")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adc", adc_score(F.col("query_id"), F.col("pq_code"))
+        )
+        .select("query_id", "neighbor_id", "adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    if refine <= 0:
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round("adc", 6).alias("sim"),
+                "rank",
+            )
+        )
+    short = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k * refine)
+        .drop("rank")
+    )
+    qv = spark.createDataFrame(
+        [(int(r["query_id"]), r["qvec"]) for r in qrows],
+        "query_id long, qvec array<float>",
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    exact = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "sim", F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 6)
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
