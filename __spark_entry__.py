@@ -231,24 +231,11 @@ def _frac_sql(col: str, n: int, len_expr: str = "l.n_tokens") -> str:
     )
 
 
-def _gopher_gate_sql(toks_list: str, stopword_list: str) -> str:
-    from search_engine_spark.operators.curation import (
-        GATE_MAX_DUP3GRAM_FRAC,
-        GATE_MAX_MEAN_WORD_LEN,
-        GATE_MAX_SYMBOL_RATIO,
-        GATE_MAX_TOKENS,
-        GATE_MAX_TOP2GRAM_FRAC,
-        GATE_MIN_MEAN_WORD_LEN,
-        GATE_MIN_STOPWORDS,
-        GATE_MIN_TOKENS,
-    )
-
-    return f"""
-        WITH base AS (
-          SELECT doc_id, lower(text) AS low,
-                 {toks_list} AS toklist
-          FROM documents),
-        {_gram_cte(2)}, {_gram_cte(3)},
+def _gopher_core_sql(stopword_list: str) -> str:
+    """gram2/gram3/m CTE chain over a ``base(doc_id, low, toklist)``
+    relation — the metric block shared by the standalone gate oracle
+    and the composed-pipeline oracle."""
+    return f"""{_gram_cte(2)}, {_gram_cte(3)},
         m AS (
           SELECT b.doc_id,
                  CAST(len(toklist) AS BIGINT) AS n_tokens,
@@ -271,18 +258,39 @@ def _gopher_gate_sql(toks_list: str, stopword_list: str) -> str:
                    AS dup_3gram_frac
           FROM base b
           LEFT JOIN agg2 a2 USING (doc_id)
-          LEFT JOIN agg3 a3 USING (doc_id))
-        SELECT *,
-               (n_tokens >= {GATE_MIN_TOKENS}
+          LEFT JOIN agg3 a3 USING (doc_id))"""
+
+
+def _gopher_keep_cond() -> str:
+    from search_engine_spark.operators.curation import (
+        GATE_MAX_DUP3GRAM_FRAC,
+        GATE_MAX_MEAN_WORD_LEN,
+        GATE_MAX_SYMBOL_RATIO,
+        GATE_MAX_TOKENS,
+        GATE_MAX_TOP2GRAM_FRAC,
+        GATE_MIN_MEAN_WORD_LEN,
+        GATE_MIN_STOPWORDS,
+        GATE_MIN_TOKENS,
+    )
+
+    return f"""(n_tokens >= {GATE_MIN_TOKENS}
                 AND n_tokens <= {GATE_MAX_TOKENS}
                 AND mean_word_len >= {GATE_MIN_MEAN_WORD_LEN}
                 AND mean_word_len <= {GATE_MAX_MEAN_WORD_LEN}
                 AND symbol_ratio <= {GATE_MAX_SYMBOL_RATIO}
                 AND n_stopwords >= {GATE_MIN_STOPWORDS}
                 AND top_2gram_frac <= {GATE_MAX_TOP2GRAM_FRAC}
-                AND dup_3gram_frac <= {GATE_MAX_DUP3GRAM_FRAC})
-                 AS keep
-        FROM m
+                AND dup_3gram_frac <= {GATE_MAX_DUP3GRAM_FRAC})"""
+
+
+def _gopher_gate_sql(toks_list: str, stopword_list: str) -> str:
+    return f"""
+        WITH base AS (
+          SELECT doc_id, lower(text) AS low,
+                 {toks_list} AS toklist
+          FROM documents),
+        {_gopher_core_sql(stopword_list)}
+        SELECT *, {_gopher_keep_cond()} AS keep FROM m
     """
 
 _LENS = """
@@ -735,6 +743,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, cfg=PipelineConfig(min_quality=0.6, min_tokens=25)
         )
 
+    def training_pipeline_curated(spark, sf):
+        # the FULL composition: + Gopher repetition gate between the
+        # row-local filters and the dedup shuffle, + deterministic
+        # train/val/test split as the final stage — still
+        # oracle-checked end-to-end
+        from search_engine_spark.plans.pipeline import (
+            PipelineConfig,
+            prepare_training_data,
+        )
+
+        docs = _read(spark, sf, "documents").withColumn(
+            "text",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), r"\bdup\b", " "),
+                    r"\s+", " ",
+                )
+            ),
+        )
+        return prepare_training_data(
+            docs,
+            cfg=PipelineConfig(
+                min_quality=0.6, min_tokens=25, gopher=True,
+                split=(0.8, 0.1, "v1"),
+            ),
+        )
+
     # ---- relational operator checks over the TPC-H-ish tables ----
 
     def agg_sum_by_key(spark, sf):  # R9: sum-by-key (TPC-H Q1 shape)
@@ -949,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "dedup_keep_longest": dedup_keep_longest,
         "training_pipeline": training_pipeline,
+        "training_pipeline_curated": training_pipeline_curated,
         "event_sessions": event_sessions,
         "asof_join_events": asof_join_events,
         "range_join_events": range_join_events,
@@ -1285,6 +1321,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, lang, source, n_chars,
                    n_tokens, lang_guess, quality
             FROM gated WHERE doc_id IN (SELECT doc_id FROM win)
+        """.replace("{toks}", toks_list).replace(
+            "{stops}", stopword_list
+        ),
+        # full composition: + Gopher repetition gate + split column
+        "training_pipeline_curated": f"""
+            WITH nrm AS (
+              SELECT doc_id, lang, source, n_chars,
+                     trim(regexp_replace(
+                       regexp_replace(text, '\\bdup\\b', ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS text
+              FROM documents),
+            lt AS (
+              SELECT doc_id, text, lang, source, n_chars,
+                     {{toks}} AS tokens
+              FROM nrm),
+            ann AS (
+              SELECT doc_id, text, lang, source, n_chars, tokens,
+                     len(tokens) AS n_tokens,
+                     CASE
+                       WHEN length(regexp_replace(lower(text),
+                              '[^a-z]', '', 'g')) = 0
+                        AND length(regexp_replace(lower(text),
+                              '[^а-яё]', '', 'g')) = 0 THEN 'unknown'
+                       WHEN length(regexp_replace(lower(text),
+                              '[^а-яё]', '', 'g'))
+                          > length(regexp_replace(lower(text),
+                              '[^a-z]', '', 'g'))
+                       THEN 'ru' ELSE 'en' END AS lang_guess,
+                     round(
+                       0.4 * least(len(tokens)::DOUBLE / 100.0, 1.0)
+                       + 0.3 * (CASE WHEN length(lower(text)) > 0
+                           THEN length(regexp_replace(lower(text),
+                                '[^a-z]', '', 'g'))::DOUBLE
+                                / length(lower(text))
+                           ELSE 0.0 END)
+                       + 0.3 * (1.0 - abs((CASE WHEN len(tokens) > 0
+                           THEN len(list_filter(tokens,
+                                t -> t IN ({{stops}})))::DOUBLE
+                                / len(tokens)
+                           ELSE 0.0 END) - 0.15) / 0.85), 6)
+                       AS quality,
+                     md5(text) AS fp
+              FROM lt),
+            gated AS (
+              SELECT * FROM ann
+              WHERE lang_guess IN ('en') AND quality >= 0.6
+                AND n_tokens >= 25),
+            base AS (
+              SELECT doc_id, lower(text) AS low, tokens AS toklist
+              FROM gated),
+            {_gopher_core_sql(stopword_list)},
+            gkeep AS (
+              SELECT doc_id FROM m WHERE {_gopher_keep_cond()}),
+            gated2 AS (
+              SELECT * FROM gated
+              WHERE doc_id IN (SELECT doc_id FROM gkeep)),
+            win AS (
+              SELECT min(doc_id) AS doc_id FROM gated2 GROUP BY fp)
+            SELECT doc_id, text, lang, source, n_chars,
+                   n_tokens, lang_guess, quality,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT *,
+                     ('0x' || substr(
+                        md5(CAST(doc_id AS VARCHAR) || 'v1'),
+                        18, 15))::BIGINT % 10000 AS b
+              FROM gated2
+              WHERE doc_id IN (SELECT doc_id FROM win))
         """.replace("{toks}", toks_list).replace(
             "{stops}", stopword_list
         ),

@@ -56,6 +56,13 @@ class PipelineConfig:
     near_dup: str | None = None
     keep: str = "min_id"
     near_dup_kwargs: dict = field(default_factory=dict)
+    # optional Gopher-style repetition/symbol/stopword gate
+    # (operators/curation.py thresholds), applied after the cheap
+    # row-local gates and BEFORE any dedup shuffle
+    gopher: bool = False
+    # optional deterministic split assignment appended as the final
+    # stage: (train_frac, val_frac, salt) -> adds a ``split`` column
+    split: tuple[float, float, str] | None = None
 
 
 def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -121,6 +128,17 @@ def prepare_training_data(
     ann = annotate(df, text_col)
     kept = quality_filter(ann, cfg)
 
+    if cfg.gopher:
+        # repetition-aware gate: metrics cost one gram shuffle over
+        # the ALREADY length/lang/quality-filtered remnant only
+        from search_engine_spark.operators.curation import gopher_gate
+
+        gk = gopher_gate(kept, id_col, text_col, "tokens")
+        kept = kept.join(
+            gk.filter(F.col("keep")).select(id_col), id_col,
+            "left_semi",
+        )
+
     # exact dedup: keep the smallest id per fingerprint — one
     # hash-groupBy on a uniform key + a semi join back
     winners = kept.groupBy("fp").agg(F.min(id_col).alias(id_col))
@@ -141,4 +159,12 @@ def prepare_training_data(
             priority_col=None if cfg.keep == "min_id" else cfg.keep,
         )
 
-    return kept.drop("tokens", "fp")
+    kept = kept.drop("tokens", "fp")
+    if cfg.split is not None:
+        from search_engine_spark.operators.curation import assign_split
+
+        train, val, salt = cfg.split
+        kept = assign_split(
+            kept, id_col, train=train, val=val, salt=salt
+        )
+    return kept

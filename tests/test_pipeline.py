@@ -99,3 +99,53 @@ def test_deterministic(spark):
     a = prepare_training_data(_docs(spark)).collect()
     b = prepare_training_data(_docs(spark)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_gopher_stage_drops_repetition(spark):
+    rows = [
+        (0, "the cat sat on a mat and then the dog ran to the park "
+            "while a bird flew over the quiet green field during one "
+            "fine day more words follow here to reach the minimum "
+            "length easily now"),
+        (1, ("the spam " * 40).strip()),  # passes length, fails gate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = prepare_training_data(
+        docs, cfg=PipelineConfig(min_quality=0.0, min_tokens=10)
+    )
+    assert sorted(r["doc_id"] for r in base.collect()) == [0, 1]
+    gated = prepare_training_data(
+        docs,
+        cfg=PipelineConfig(min_quality=0.0, min_tokens=10, gopher=True),
+    )
+    assert sorted(r["doc_id"] for r in gated.collect()) == [0]
+
+
+def test_split_stage(spark):
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox document number %d with plenty of "
+             "distinct words to pass the basic gates easily" % i)
+         for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = prepare_training_data(
+        docs,
+        cfg=PipelineConfig(
+            min_quality=0.0, min_tokens=5, split=(0.8, 0.1, "v1")
+        ),
+    )
+    assert "split" in out.columns
+    vals = {r["split"] for r in out.select("split").collect()}
+    assert vals <= {"train", "val", "test"} and "train" in vals
+    # deterministic across runs
+    a = sorted((r["doc_id"], r["split"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in prepare_training_data(
+            docs,
+            cfg=PipelineConfig(
+                min_quality=0.0, min_tokens=5, split=(0.8, 0.1, "v1")
+            ),
+        ).collect()
+    )
+    assert a == b
