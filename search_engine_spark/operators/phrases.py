@@ -128,16 +128,22 @@ def phrase_search(
     ``doc_lens`` path in plans/search for the query-engine route —
     this function is the standalone oracle-checkable form.
     """
+    # cache: ``lens`` feeds the corpus-scalar agg AND the score join,
+    # ``tf`` feeds the df count AND the score join — uncached, each
+    # consumer would re-tokenize the corpus (4 full passes instead
+    # of 2).  Both frames are narrow (id + one int / one count).
     lens = enriched.select(
         F.col(id_col), F.size(F.col(tokens_col_name)).alias("doc_len")
-    )
+    ).cache()
     agg = lens.agg(
         F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
     ).collect()[0]
     n_docs = int(agg["n"])
     avg_len = (int(agg["s"]) / n_docs) if n_docs else 0.0
 
-    tf = phrase_match(enriched, phrase_terms, id_col, tokens_col_name)
+    tf = phrase_match(
+        enriched, phrase_terms, id_col, tokens_col_name
+    ).cache()
     # driver-sized scalar: phrase df (count of matching docs)
     df_phrase = tf.count()
     ratio = (n_docs - df_phrase + 0.5) / (df_phrase + 0.5)
