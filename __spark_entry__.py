@@ -283,6 +283,56 @@ def _gopher_keep_cond() -> str:
                 AND dup_3gram_frac <= {GATE_MAX_DUP3GRAM_FRAC})"""
 
 
+def _extract_links_sql() -> str:
+    """DuckDB mirror of functions/textproc.extract_links_col over the
+    same synthesized per-doc HTML as the ``extract_links`` query."""
+    from search_engine_spark.functions.textproc import (
+        FORBIDDEN_URL_TYPES,
+    )
+
+    forb = ", ".join(f"'{t}'" for t in FORBIDDEN_URL_TYPES)
+    return f"""
+        WITH pg AS (
+          SELECT doc_id,
+                 'https://' || source || '.example' AS root,
+                 'https://' || source || '.example/p' || doc_id AS url,
+                 '<html><body><a href="/sec/' || (doc_id % 5)
+                   || '">r</a><a href="https://' || source
+                   || '.example/page' || (doc_id % 7)
+                   || '">a</a><a href="https://other.example/q">o</a>'
+                   || '<a href="/img/' || doc_id
+                   || '.png">i</a><a href="/sec/' || (doc_id % 5)
+                   || '">dup</a><a href="https://' || source
+                   || '.example/p' || doc_id
+                   || '">self</a></body></html>' AS html
+          FROM documents),
+        raw AS (
+          SELECT doc_id, root, url,
+                 regexp_extract_all(html,
+                   '(?is)<a\\s[^>]*?href\\s*=\\s*["'']([^"'']*)["'']',
+                   1) AS hrefs
+          FROM pg),
+        absolutized AS (
+          SELECT doc_id, root, url,
+                 list_transform(hrefs, h -> CASE
+                    WHEN starts_with(h, 'http') THEN h
+                    WHEN starts_with(h, '/') THEN root || h
+                    END) AS links
+          FROM raw),
+        kept AS (
+          SELECT doc_id,
+                 list_distinct(list_filter(links, h ->
+                    h IS NOT NULL
+                    AND starts_with(h, root || '/')
+                    AND h <> root || '/'
+                    AND h <> url
+                    AND len(list_filter([{forb}],
+                          t -> contains(h, t))) = 0)) AS links
+          FROM absolutized)
+        SELECT doc_id, unnest(links) AS link FROM kept
+    """
+
+
 def _gopher_gate_sql(toks_list: str, stopword_list: str) -> str:
     return f"""
         WITH base AS (
@@ -952,6 +1002,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return corpus_rollup(_read(spark, sf, "documents"))
 
+    def extract_links(spark, sf):
+        # S2 link extraction over deterministically synthesized HTML:
+        # per doc — a root-relative link and an absolute same-site
+        # link (kept), plus an off-site link, a forbidden-extension
+        # link, a self link and a duplicate (all dropped)
+        from search_engine_spark.functions.textproc import (
+            extract_links_col,
+        )
+
+        d = F.col("doc_id").cast("string")
+        root = F.concat(F.lit("https://"), F.col("source"),
+                        F.lit(".example"))
+        url = F.concat(root, F.lit("/p"), d)
+        html = F.concat(
+            F.lit('<html><body><a href="/sec/'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('">r</a><a href="'),
+            root, F.lit("/page"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('">a</a><a href="https://other.example/q">o</a>'
+                  '<a href="/img/'),
+            d,
+            F.lit('.png">i</a><a href="/sec/'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('">dup</a><a href="'),
+            url,
+            F.lit('">self</a></body></html>'),
+        )
+        pages = _read(spark, sf, "documents").select(
+            "doc_id",
+            url.alias("url"),
+            F.encode(html, "UTF-8").alias("html"),
+        )
+        return pages.select(
+            "doc_id",
+            F.explode(
+                extract_links_col(F.col("html"), F.col("url"))
+            ).alias("link"),
+        )
+
     return {
         "tokenize_doclen": tokenize_doclen,
         "postings": postings_q,
@@ -1008,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": unigram_logprob_q,
         "assign_split": assign_split_q,
         "site_lang_rollup": site_lang_rollup,
+        "extract_links": extract_links,
     }
 
 
@@ -1604,4 +1695,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS chars
             FROM documents GROUP BY ROLLUP(source, lang)
         """,
+        "extract_links": _extract_links_sql(),
     }

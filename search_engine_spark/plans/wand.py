@@ -64,9 +64,14 @@ def _score_candidate_blocks(
     terms: list[str],
     idf: dict[str, float],
     sites: list[str] | None,
+    qpost: DataFrame | None = None,
 ) -> DataFrame:
     """Decode the selected rarest-term blocks, join the other query
-    terms' postings, BM25-score → (doc_id, score)."""
+    terms' postings, BM25-score → (doc_id, score).
+
+    ``qpost`` lets the two-phase WAND path pass ONE cached decode of
+    the query terms' postings; without it the seed and survivor
+    phases would each pay the full Arrow block-decode again."""
     seg_r = _segs_for_terms(cidx, [rarest])
     if block_keys is not None:
         # O(1)-depth predicate: pack (shard, block_id) into one long
@@ -97,7 +102,8 @@ def _score_candidate_blocks(
             "doc_id",
         )  # R2: site restriction prunes candidates
 
-    qpost = decode_segments(_segs_for_terms(cidx, terms))
+    if qpost is None:
+        qpost = decode_segments(_segs_for_terms(cidx, terms))
 
     k1, b = cidx.config.bm25.k1, cidx.config.bm25.b
     return (
@@ -146,6 +152,7 @@ def search_compact(
     k = offset + limit
 
     selected: list[tuple[int, int]] | None = None
+    qpost_shared: DataFrame | None = None
     metadata_valid = (
         cidx.blocks_avg_len is not None
         and abs(cidx.blocks_avg_len - cidx.avg_len) < 1e-12
@@ -206,10 +213,17 @@ def search_compact(
             if cum >= k:
                 break
         if len(seed) < len(blocks):
+            # the seed phase and the final survivor phase both join
+            # the query terms' postings — decode them once, cached
+            # (narrow: (term, doc_id, tf) for the query terms only)
+            qpost_shared = decode_segments(
+                _segs_for_terms(cidx, terms)
+            ).cache()
             seed_keys = [key for _, _, key in seed]
             seed_scores = (
                 _score_candidate_blocks(
-                    cidx, rarest, seed_keys, terms, idf, sites
+                    cidx, rarest, seed_keys, terms, idf, sites,
+                    qpost=qpost_shared,
                 )
                 .orderBy(F.desc("score"))
                 .limit(k)
@@ -226,7 +240,8 @@ def search_compact(
         # else: every block needed anyway → selected stays None (all)
 
     scored = _score_candidate_blocks(
-        cidx, rarest, selected, terms, idf, sites
+        cidx, rarest, selected, terms, idf, sites,
+        qpost=qpost_shared,
     )
 
     resolved = scored.join(
