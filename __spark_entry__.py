@@ -1002,6 +1002,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return corpus_rollup(_read(spark, sf, "documents"))
 
+    def topk_per_site(spark, sf):  # grouped top-k via window
+        from pyspark.sql import Window
+
+        docs = _read(spark, sf, "documents")
+        w = Window.partitionBy("source").orderBy(
+            F.desc("n_chars"), F.asc("doc_id")
+        )
+        return (
+            docs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("source", "doc_id",
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.col("rnk").cast("int").alias("rnk"))
+        )
+
+    def intersect_customers(spark, sf):  # INTERSECT (distinct)
+        cust = _read(spark, sf, "customer").select(
+            F.col("c_custkey").alias("custkey")
+        )
+        orders = _read(spark, sf, "orders").select(
+            F.col("o_custkey").alias("custkey")
+        )
+        return cust.intersect(orders)
+
+    def except_customers(spark, sf):  # EXCEPT (distinct)
+        # customers minus those with a completed ('F') order — a
+        # non-empty difference at every SF
+        cust = _read(spark, sf, "customer").select(
+            F.col("c_custkey").alias("custkey")
+        )
+        done = (
+            _read(spark, sf, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select(F.col("o_custkey").alias("custkey"))
+        )
+        return cust.exceptAll(done.distinct()).distinct()
+
+    def site_doclen_quantiles(spark, sf):  # per-group percentiles
+        lens = _docs_enriched(spark, sf).select(
+            "site", F.col("doc_len").cast("long").alias("doc_len")
+        )
+        return lens.groupBy("site").agg(
+            F.round(F.percentile("doc_len", F.lit(0.5)), 6)
+            .alias("p50"),
+            F.round(F.percentile("doc_len", F.lit(0.9)), 6)
+            .alias("p90"),
+        )
+
     def extract_links(spark, sf):
         # S2 link extraction over deterministically synthesized HTML:
         # per doc — a root-relative link and an absolute same-site
@@ -1099,6 +1147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_split": assign_split_q,
         "site_lang_rollup": site_lang_rollup,
         "extract_links": extract_links,
+        "topk_per_site": topk_per_site,
+        "intersect_customers": intersect_customers,
+        "except_customers": except_customers,
+        "site_doclen_quantiles": site_doclen_quantiles,
     }
 
 
@@ -1696,4 +1748,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY ROLLUP(source, lang)
         """,
         "extract_links": _extract_links_sql(),
+        "topk_per_site": """
+            SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(rnk AS INT) AS rnk
+            FROM (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC) AS rnk
+              FROM documents)
+            WHERE rnk <= 3
+        """,
+        "intersect_customers": """
+            SELECT c_custkey AS custkey FROM customer
+            INTERSECT
+            SELECT o_custkey AS custkey FROM orders
+        """,
+        "except_customers": """
+            SELECT c_custkey AS custkey FROM customer
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders
+            WHERE o_orderstatus = 'F'
+        """,
+        "site_doclen_quantiles": f"""
+            WITH {_TOKS}, {_LENS}
+            SELECT site,
+                   round(quantile_cont(CAST(doc_len AS DOUBLE), 0.5),
+                         6) AS p50,
+                   round(quantile_cont(CAST(doc_len AS DOUBLE), 0.9),
+                         6) AS p90
+            FROM lens GROUP BY site
+        """,
     }
