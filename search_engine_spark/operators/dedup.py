@@ -111,6 +111,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = 1000,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for all pairs with Jaccard >= threshold.
 
@@ -125,6 +126,27 @@ def ngram_jaccard_pairs(
     the same shingles), so the guard trades recall near the threshold
     for a bounded join — the standard web-dedup contract.  What was
     dropped is counted and logged, never silent.
+
+    ``prefix_filter`` applies AllPairs/PPJoin prefix filtering
+    (Bayardo et al., WWW 2007; Xiao et al., WWW 2008): under a global
+    rarest-first shingle order, a pair with Jaccard ≥ t MUST share a
+    shingle within each side's first ``|S| − ⌈t·|S|⌉ + 1`` shingles,
+    so the candidate self-join runs over those prefixes only — the
+    join fan-out concentrates on globally RARE shingles (tiny df)
+    instead of every co-occurring pair.  Candidates are then verified
+    exactly: each side's full shingle set travels once as a sorted
+    array and the true intersection is one JVM ``array_intersect``
+    per candidate pair.  Results are identical with the filter on or
+    off (pinned by tests).
+
+    WHEN TO ENABLE: real web text, whose shingle dfs are Zipf — the
+    rarest-first prefixes then hit the long tail of df≈1 shingles and
+    the candidate list collapses to near-dups (orders of magnitude
+    below the Σdf² co-occurrence rows the plain join aggregates).  It
+    defaults OFF because a uniform-vocabulary corpus (e.g. the
+    synthetic benchmark tables: every shingle df ≈ equal) is its
+    measured worst case — candidate reduction is only ~t² while the
+    ranking window + verify joins add fixed cost.
     """
     ds = _doc_shingles(df, id_col, tokens_col_name, n)
     # join on 8-byte shingle hashes, not ~n·wordlen strings: set
@@ -133,15 +155,15 @@ def ngram_jaccard_pairs(
     # ~2^-64-improbable), while the self-join's shuffle moves a
     # fixed-width key
     ds = ds.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    # global shingle df: feeds the hot-shingle guard AND (prefix path)
+    # the rarest-first global order — one aggregation, cached (small:
+    # one row per distinct shingle)
+    sdf = (
+        ds.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+    ).cache()
     if max_shingle_df is not None:
-        # cache: tiny (hot shingles only), and without it the logging
-        # count() below would run the full shingle aggregation twice
-        hot = (
-            ds.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("sdf"))
-            .filter(F.col("sdf") > max_shingle_df)
-            .select("shingle")
-        ).cache()
+        hot = sdf.filter(F.col("sdf") > max_shingle_df).select("shingle")
         n_hot = hot.count()
         if n_hot:
             _log.warning(
@@ -149,13 +171,72 @@ def ngram_jaccard_pairs(
                 "df > %d before the pair join (boilerplate guard)",
                 n_hot, max_shingle_df,
             )
-        ds = ds.join(hot, "shingle", "left_anti")
-    # cache: the (id, shingle) index feeds FOUR consumers (both self-
-    # join sides + both size lookups); uncached, the explode + guard
-    # lineage would run four times.  Default storage level spills to
-    # disk, so this holds at corpus scale too.
+            ds = ds.join(F.broadcast(hot), "shingle", "left_anti")
+    # cache: the (id, shingle) index feeds several consumers (join
+    # sides / prefix ranking / set arrays); uncached, the explode +
+    # guard lineage would re-run for each.  Default storage level
+    # spills to disk, so this holds at corpus scale too.
     ds = ds.cache()
     sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    if prefix_filter and threshold > 0:
+        from pyspark.sql import Window
+
+        # rarest-first global total order: (df asc, hash asc); each
+        # doc keeps its first n_sh - ceil(t*n_sh) + 1 shingles.  The
+        # rank window partitions by doc — skew-free regardless of
+        # shingle skew.
+        w = Window.partitionBy(id_col).orderBy("sdf", "shingle")
+        pre = (
+            ds.join(sdf, "shingle")
+            .withColumn("rn", F.row_number().over(w))
+            .join(sizes, id_col)
+            .filter(
+                F.col("rn")
+                <= F.col("n_sh")
+                - F.ceil(F.lit(float(threshold)) * F.col("n_sh"))
+                + 1
+            )
+            .select(id_col, "shingle")
+        )
+        cand = (
+            pre.select(F.col(id_col).alias("id_a"), "shingle")
+            .join(pre.select(F.col(id_col).alias("id_b"), "shingle"),
+                  "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # exact verify: full sets travel once as sorted arrays; the
+        # true intersection is one JVM array_intersect per candidate
+        setarr = ds.groupBy(id_col).agg(
+            F.sort_array(F.collect_list("shingle")).alias("arr"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        return (
+            cand.join(
+                setarr.select(F.col(id_col).alias("id_a"),
+                              F.col("arr").alias("arr_a"),
+                              F.col("n_sh").alias("n_a")), "id_a")
+            .join(
+                setarr.select(F.col(id_col).alias("id_b"),
+                              F.col("arr").alias("arr_b"),
+                              F.col("n_sh").alias("n_b")), "id_b")
+            .withColumn(
+                "inter",
+                F.size(F.array_intersect("arr_a", "arr_b")),
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
 
     a = ds.select(F.col(id_col).alias("id_a"), "shingle")
     b = ds.select(F.col(id_col).alias("id_b"), "shingle")

@@ -317,3 +317,39 @@ def test_enrich_pages_null_text_falls_back_to_html(spark):
         bytes(html)
     )
     assert body in got["http://s.example/nulltext"]
+
+
+def test_jaccard_prefix_filter_identical(spark):
+    """AllPairs prefix filtering must not change results — any pair,
+    any threshold (including docs shorter than the shingle width and
+    exact duplicates)."""
+    from search_engine_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (0, "a b c d e f g h i j"),
+        (1, "a b c d e f g h i x"),    # near-dup of 0
+        (2, "a b c d e f g h i j"),    # exact dup of 0
+        (3, "z y x w v u t s r q"),
+        (4, "z y x w v u t s r j"),    # near-dup of 3
+        (5, "m n"),                    # shorter than shingle width
+        (6, "completely different words here that share nothing"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t.split()) for i, t in rows],
+        "doc_id long, tokens array<string>",
+    )
+    for t in (0.3, 0.5, 0.8, 1.0):
+        on = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                docs, threshold=t, prefix_filter=True
+            ).collect()
+        }
+        off = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                docs, threshold=t, prefix_filter=False
+            ).collect()
+        }
+        assert on == off, (t, on ^ off)
+    assert (0, 2, 1.0) in on or t != 1.0
