@@ -1002,6 +1002,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return corpus_rollup(_read(spark, sf, "documents"))
 
+    def bm25f_topk_q(spark, sf):  # field-weighted (title+body) BM25F
+        from search_engine_spark.functions.textproc import tokens_col
+        from search_engine_spark.plans.search import bm25f_topk
+
+        docs = _read(spark, sf, "documents").select(
+            "doc_id", "text", "lang",
+            F.substring("text", 1, 50).alias("title"),
+        )
+        enriched = docs.select(
+            "doc_id",
+            tokens_col(F.col("text"), F.col("lang")).alias("tokens"),
+            tokens_col(F.col("title"), F.col("lang")).alias(
+                "title_tokens"
+            ),
+        )
+        return bm25f_topk(
+            enriched, FLAGSHIP_TERMS, title_weight=2.0,
+            k1=K1, b=B, limit=10,
+        )
+
     def topk_per_site(spark, sf):  # grouped top-k via window
         from pyspark.sql import Window
 
@@ -1147,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_split": assign_split_q,
         "site_lang_rollup": site_lang_rollup,
         "extract_links": extract_links,
+        "bm25f_topk": bm25f_topk_q,
         "topk_per_site": topk_per_site,
         "intersect_customers": intersect_customers,
         "except_customers": except_customers,
@@ -1748,6 +1769,43 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY ROLLUP(source, lang)
         """,
         "extract_links": _extract_links_sql(),
+        "bm25f_topk": f"""
+            WITH base AS (
+              SELECT doc_id, text, substr(text, 1, 50) AS title
+              FROM documents),
+            lists AS (
+              SELECT doc_id, {toks_list} AS bt,
+                     {toks_list.replace("lower(text)",
+                                        "lower(title)")} AS tt
+              FROM base),
+            stream AS (
+              SELECT doc_id, unnest(bt) AS term, 1.0 AS wt FROM lists
+              UNION ALL
+              SELECT doc_id, unnest(tt) AS term, 2.0 AS wt FROM lists),
+            wl AS (
+              SELECT doc_id, len(bt) + 2.0 * len(tt) AS wlen
+              FROM lists),
+            nn AS (
+              SELECT count(*) AS n, avg(wlen) AS avg_wlen FROM wl),
+            qtf AS (
+              SELECT doc_id, term, sum(wt) AS wtf FROM stream
+              WHERE term IN (
+                {", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)})
+              GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*) AS df FROM qtf GROUP BY 1)
+            SELECT doc_id, round(sum(contrib), 6) AS score FROM (
+              SELECT q.doc_id,
+                     ln((nn.n - d.df + 0.5) / (d.df + 0.5))
+                       * (q.wtf / w.wlen) * ({K1} + 1)
+                       / (q.wtf / w.wlen
+                          + {K1} * (1 - {B}
+                                    + {B} * w.wlen / nn.avg_wlen))
+                       AS contrib
+              FROM qtf q JOIN dfq d USING (term)
+              JOIN wl w USING (doc_id) CROSS JOIN nn)
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
         "topk_per_site": """
             SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
                    CAST(rnk AS INT) AS rnk

@@ -204,3 +204,108 @@ def search_total(
         .join(doc_lens.select(index.id_col), index.id_col)
         .count()
     )
+
+
+def bm25f_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    body_col: str = "tokens",
+    title_col: str = "title_tokens",
+    title_weight: float = 2.0,
+    k1: float = 1.5,
+    b: float = 0.75,
+    limit: int = 10,
+) -> DataFrame:
+    """Simple-BM25F top-k: field-weighted term frequencies scored
+    with the engine's tf-normalized BM25 variant.
+
+    Robertson's "simple BM25F" (Robertson & Zaragoza, "The
+    Probabilistic Relevance Framework: BM25 and Beyond", 2009 §6):
+    fields are merged BEFORE saturation — a title occurrence counts
+    ``title_weight`` times, so weighted tf ``wtf = tf_body +
+    w·tf_title`` and weighted length ``wlen = len_body + w·len_title``
+    feed the ordinary BM25 formula (here the engine's tf = wtf/wlen
+    variant, plans/search.py:83 semantics; Robertson IDF over
+    docs-containing-the-term-in-any-field, negatives kept).  The
+    reference scores body text only (SearchServiceImpl.java:154-210);
+    this is the standard field-aware extension of that scorer, not a
+    second ranking model.
+
+    Plan shape: both fields explode into ONE (doc, term, weight)
+    stream — weighted tf and weighted length are then a single
+    map-side-combined aggregation each; the per-term totals for IDF
+    ride a tiny broadcast.  No UDFs anywhere.  Returns
+    ``(<id>, score)`` top-``limit``, ties broken id asc
+    (TakeOrderedAndProject — no global sort).
+    """
+    spark = df.sparkSession
+    terms = sorted(set(query_terms))
+    if not terms:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+
+    w = float(title_weight)
+    body = df.select(
+        F.col(id_col),
+        F.explode(F.col(body_col)).alias("term"),
+        F.lit(1.0).alias("wt"),
+    )
+    title = df.select(
+        F.col(id_col),
+        F.explode(F.col(title_col)).alias("term"),
+        F.lit(w).alias("wt"),
+    )
+    stream = body.unionByName(title)
+
+    # weighted doc length over ALL terms (one map-side-combined agg);
+    # docs with empty fields keep wlen 0 via the left join
+    wlens = df.select(
+        F.col(id_col),
+        (
+            F.size(F.col(body_col)).cast("double")
+            + F.lit(w) * F.size(F.col(title_col)).cast("double")
+        ).alias("wlen"),
+    )
+    scalars = wlens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("wlen").alias("avg_wlen")
+    ).collect()[0]
+    n_docs, avg_wlen = int(scalars["n"]), float(scalars["avg_wlen"])
+
+    qtf = (
+        stream.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.sum("wt").alias("wtf"))
+    )
+    dfreq = {
+        r["term"]: r["df"]
+        for r in qtf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    }
+    import math
+
+    idf = {
+        t: math.log((n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+        for t in terms
+        if t in dfreq
+    }
+    if not idf:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+
+    idf_col = F.create_map(
+        *[x for t in sorted(idf) for x in (F.lit(t), F.lit(idf[t]))]
+    )[F.col("term")]
+    scored = qtf.join(wlens, id_col)
+    tfn = F.col("wtf") / F.col("wlen")
+    denom = tfn + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("wlen") / F.lit(avg_wlen)
+    )
+    return (
+        scored.withColumn(
+            "contrib", idf_col * tfn * F.lit(k1 + 1.0) / denom
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(limit)
+    )

@@ -131,3 +131,34 @@ def test_df_quirk_site_restriction_changes_scores(
 def test_empty_query_returns_empty(spark_index):
     assert search(spark_index, "").count() == 0
     assert search(spark_index, "...!!!").count() == 0
+
+
+def test_bm25f_title_boost(spark):
+    from search_engine_spark.plans.search import bm25f_topk
+
+    rows = [
+        # same body tf for 'spark'; doc 1 also has it in the title.
+        # enough non-matching docs that idf stays positive (df=2,
+        # n=6 → ln(4.5/2.5) > 0; Robertson negatives are kept by
+        # design, which would invert the comparison)
+        (0, ["spark", "query", "engine", "fast"], ["other", "title"]),
+        (1, ["spark", "query", "engine", "slow"], ["spark", "title"]),
+        (2, ["nothing", "relevant", "here", "at"], ["all", "today"]),
+        (3, ["more", "filler", "content", "words"], ["some", "page"]),
+        (4, ["yet", "another", "plain", "doc"], ["boring", "one"]),
+        (5, ["final", "padding", "row", "data"], ["last", "entry"]),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, tokens array<string>, "
+              "title_tokens array<string>",
+    )
+    got = bm25f_topk(df, ["spark"], title_weight=2.0, limit=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids[0] == 1 and 2 not in ids  # title hit wins; non-match absent
+    # weight 0 → pure body scoring: equal tf, equal len → id tiebreak
+    flat = bm25f_topk(df, ["spark"], title_weight=0.0, limit=10).collect()
+    assert [r["doc_id"] for r in flat] == [0, 1]
+    assert flat[0]["score"] == flat[1]["score"]
+    # empty query and absent term degrade to empty results
+    assert bm25f_topk(df, [], limit=5).count() == 0
+    assert bm25f_topk(df, ["zzz"], limit=5).count() == 0
