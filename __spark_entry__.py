@@ -1002,6 +1002,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return corpus_rollup(_read(spark, sf, "documents"))
 
+    def cms_term_counts(spark, sf):  # rows-only (hash-bucketed sketch)
+        from search_engine_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+        )
+
+        toks = _docs_enriched(spark, sf).select(
+            F.explode("tokens").alias("term")
+        )
+        sk = cms_build(toks, "term")
+        return cms_estimate(sk, FLAGSHIP_TERMS + ["zzz_absent"])
+
     def bm25f_topk_q(spark, sf):  # field-weighted (title+body) BM25F
         from search_engine_spark.functions.textproc import tokens_col
         from search_engine_spark.plans.search import bm25f_topk
@@ -1168,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_lang_rollup": site_lang_rollup,
         "extract_links": extract_links,
         "bm25f_topk": bm25f_topk_q,
+        "cms_term_counts": cms_term_counts,
         "topk_per_site": topk_per_site,
         "intersect_customers": intersect_customers,
         "except_customers": except_customers,

@@ -1,0 +1,107 @@
+"""Count-Min Sketch: guarantees, linearity, streaming merge."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.sketches import (
+    cms_build,
+    cms_error_bound,
+    cms_estimate,
+    cms_merge,
+)
+
+WORDS = (
+    ["spark"] * 500 + ["query"] * 200 + ["index"] * 50
+    + [f"tail{i}" for i in range(300)]
+)
+
+
+def _tokens_df(spark, words=WORDS):
+    return spark.createDataFrame([(w,) for w in words], "term string")
+
+
+def test_cms_overestimates_never_under(spark):
+    df = _tokens_df(spark)
+    sk = cms_build(df, "term").cache()
+    true = Counter(WORDS)
+    probes = ["spark", "query", "index", "tail0", "absent"]
+    est = {
+        r["key"]: r["est"]
+        for r in cms_estimate(sk, probes).collect()
+    }
+    bound = cms_error_bound(len(WORDS))
+    for k in probes:
+        assert est[k] >= true[k]          # one-sided error
+        assert est[k] <= true[k] + bound  # CM guarantee (d=5 → w.h.p.)
+
+
+def test_cms_cell_budget(spark):
+    sk = cms_build(_tokens_df(spark), "term", depth=4, width=64)
+    assert sk.count() <= 4 * 64
+    assert sk.agg(F.sum("cnt")).collect()[0][0] == 4 * len(WORDS)
+
+
+def test_cms_linearity_merge_equals_whole(spark):
+    """CMS is linear: sketch(A ∪ B) == merge(sketch(A), sketch(B))
+    cell-for-cell — the property streaming/partial aggregation relies
+    on."""
+    half = len(WORDS) // 2
+    a = cms_build(_tokens_df(spark, WORDS[:half]), "term")
+    b = cms_build(_tokens_df(spark, WORDS[half:]), "term")
+    whole = cms_build(_tokens_df(spark), "term")
+    merged = cms_merge(a, b)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_weighted(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 3), ("a", 5)], "term string, n int"
+    )
+    est = {
+        r["key"]: r["est"]
+        for r in cms_estimate(
+            cms_build(df, "term", weight_col="n"), ["a", "b"]
+        ).collect()
+    }
+    assert est["a"] >= 15 and est["b"] >= 3
+
+
+def test_cms_streaming_foreachbatch_merge(spark, tmp_path):
+    """Micro-batch sketches merged via foreachBatch equal the batch
+    sketch over the full stream — constant state per trigger."""
+    src = str(tmp_path / "src")
+    half = len(WORDS) // 2
+    _tokens_df(spark, WORDS[:half]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _tokens_df(spark, WORDS[half:]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out_dir = str(tmp_path / "cells")
+
+    def sink(batch_df, batch_id):
+        cms_build(batch_df, "term").write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema("term string").parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = (
+        spark.read.parquet(out_dir)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(_tokens_df(spark), "term")
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
