@@ -64,6 +64,22 @@ _LAZY = {
     "user_activity_sketch": "search_engine_spark.operators.sessions",
     "asof_join": "search_engine_spark.operators.asof",
     "range_join": "search_engine_spark.operators.range",
+    "phrase_match": "search_engine_spark.operators.phrases",
+    "phrase_search": "search_engine_spark.operators.phrases",
+    "positional_postings": "search_engine_spark.operators.phrases",
+    "gopher_gate": "search_engine_spark.operators.curation",
+    "gopher_metrics": "search_engine_spark.operators.curation",
+    "ngram_repetition": "search_engine_spark.operators.curation",
+    "unigram_logprob": "search_engine_spark.operators.curation",
+    "assign_split": "search_engine_spark.operators.curation",
+    "bm25f_topk": "search_engine_spark.plans.search",
+    "corpus_rollup": "search_engine_spark.plans.statistics",
+    "cosine_topk_ivfpq": "search_engine_spark.operators.similarity",
+    "pq_encode": "search_engine_spark.operators.similarity",
+    "train_pq_codebooks": "search_engine_spark.operators.similarity",
+    "cms_build": "search_engine_spark.operators.sketches",
+    "cms_merge": "search_engine_spark.operators.sketches",
+    "cms_estimate": "search_engine_spark.operators.sketches",
 }
 
 
