@@ -139,14 +139,18 @@ def ngram_jaccard_pairs(
     per candidate pair.  Results are identical with the filter on or
     off (pinned by tests).
 
-    WHEN TO ENABLE: real web text, whose shingle dfs are Zipf — the
-    rarest-first prefixes then hit the long tail of df≈1 shingles and
-    the candidate list collapses to near-dups (orders of magnitude
-    below the Σdf² co-occurrence rows the plain join aggregates).  It
-    defaults OFF because a uniform-vocabulary corpus (e.g. the
-    synthetic benchmark tables: every shingle df ≈ equal) is its
-    measured worst case — candidate reduction is only ~t² while the
-    ranking window + verify joins add fixed cost.
+    WHEN TO ENABLE: corpora whose shingle-df distribution has a long
+    df≈1 tail — real web text, where nearly every 3-gram is unique to
+    its page.  The rarest-first prefixes then collapse the candidate
+    list to near-dups, orders of magnitude below the Σdf²
+    co-occurrence rows the plain join aggregates; measured on the
+    small-vocabulary synthetic corpora (where even "rare" shingles
+    repeat) the two paths are at parity warm (~9 s OFF vs ~12 s ON at
+    5k Zipf pages) but the plain join's shuffle grows quadratically
+    sooner (it failed with shuffle-spill pressure at 20k pages where
+    the prefix path completed).  Defaults OFF to keep the
+    small-corpus benchmark on the cheaper plan; flip it on where the
+    shingle space is large relative to the corpus.
     """
     ds = _doc_shingles(df, id_col, tokens_col_name, n)
     # join on 8-byte shingle hashes, not ~n·wordlen strings: set
