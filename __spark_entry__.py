@@ -1002,6 +1002,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return corpus_rollup(_read(spark, sf, "documents"))
 
+    def bm25_batch(spark, sf):  # whole query set in ONE job
+        from search_engine_spark.plans.search import search_many
+
+        idx = _docs_index(spark, sf)
+        res = search_many(
+            idx,
+            [FLAGSHIP_QUERY, "window spark", "sort query big", "hash table"],
+            limit=10,
+            analyzer="tokens",
+        )
+        return res.select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
     def cms_term_counts(spark, sf):  # rows-only (hash-bucketed sketch)
         from search_engine_spark.operators.sketches import (
             cms_build,
@@ -1180,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_lang_rollup": site_lang_rollup,
         "extract_links": extract_links,
         "bm25f_topk": bm25f_topk_q,
+        "bm25_batch": bm25_batch,
         "cms_term_counts": cms_term_counts,
         "topk_per_site": topk_per_site,
         "intersect_customers": intersect_customers,
@@ -1294,6 +1312,13 @@ def oracle_sql() -> dict[str, str]:
             extra_cte=lemma_cte + ", ",
         ),
         # WAND/compact path must equal the exact path — same oracles
+        "bm25_batch": " UNION ALL ".join(
+            f"SELECT {i} AS query_id, * FROM ({_bm25_sql(terms)})"
+            for i, terms in enumerate(
+                [FLAGSHIP_TERMS, ["window", "spark"],
+                 ["sort", "query", "big"], ["hash", "table"]]
+            )
+        ),
         "bm25_wand_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
         "bm25_wand_pagination": _bm25_sql(
             FLAGSHIP_TERMS, offset=3, limit=5

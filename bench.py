@@ -136,6 +136,7 @@ def main() -> None:
         "bm25_site_restricted",
         "bm25_pagination",
         "bm25_wand_topk",
+        "bm25_batch",
         "embedding_near_dup",
         "site_statistics",
         "bm25_topk_lemma",

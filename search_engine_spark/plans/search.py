@@ -309,3 +309,125 @@ def bm25f_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(limit)
     )
+
+
+def search_many(
+    index: InvertedIndex,
+    queries: list[str],
+    sites: list[str] | None = None,
+    limit: int = 20,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+) -> DataFrame:
+    """Batch query evaluation: the whole query SET in ONE job —
+    ``(query_id, <id>, site, score, rn)``, rank-identical per query
+    to :func:`search` (pinned by tests).
+
+    A query server replays the reference query set as q/s; running
+    each query as its own Spark job bills fixed job overhead
+    (scheduling, scan setup, shuffle barriers) per query.  Batch
+    evaluation is the Spark-native alternative: ONE pass over the
+    postings serves every query —
+
+    - all queries' term IDFs come from one broadcast-stats lookup;
+    - the rarest-term candidate generation (R13) for all queries is
+      one filtered scan joined to a broadcast (query_id, rarest-term)
+      frame;
+    - the TF fetch (R5) for all queries is one filtered scan joined
+      to the broadcast (query_id, term, idf) frame — a posting row
+      shared by k queries fans out k times, which is the point: the
+      scan and shuffle happen once;
+    - per-query ranking is one window partitioned by query_id
+      (skew-free: each query's candidate set is top-k-sized).
+
+    Queries with no surviving terms yield no rows (the reference's
+    empty response).  ``query_id`` is the position in ``queries``.
+    """
+    id_col = index.id_col
+    k1, b = index.config.bm25.k1, index.config.bm25.b
+    spark = index.postings.sparkSession
+
+    stop = set(index.stoplist) if use_stoplist else set()
+    per_query: dict[int, list[str]] = {}
+    for qid, q in enumerate(queries):
+        terms = [
+            t for t in analyze_query(q, lang, analyzer) if t not in stop
+        ]
+        per_query[qid] = terms
+    all_terms = sorted({t for ts in per_query.values() for t in ts})
+    idf_all = query_term_idf(index, all_terms, sites)
+
+    rows = []
+    for qid, terms in per_query.items():
+        terms = [t for t in terms if t in idf_all]
+        if not terms:
+            continue
+        rarest = sorted(terms, key=lambda t: (-idf_all[t], t))[0]
+        for t in terms:
+            rows.append((qid, t, float(idf_all[t]), t == rarest))
+    if not rows:
+        return (
+            index.doc_lens.select(id_col, "site")
+            .limit(0)
+            .withColumn("query_id", F.lit(0))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rn", F.lit(0))
+            .select("query_id", id_col, "site", "score", "rn")
+        )
+    qterm = spark.createDataFrame(
+        rows, "query_id int, term string, idf double, is_rarest boolean"
+    )
+    used_terms = sorted({r[1] for r in rows})
+    rarest_terms = sorted({r[1] for r in rows if r[3]})
+
+    doc_lens = index.doc_lens
+    if sites:
+        doc_lens = doc_lens.filter(F.col("site").isin(sites))
+
+    cand = (
+        index.postings.filter(F.col("term").isin(rarest_terms))
+        .join(
+            F.broadcast(
+                qterm.filter(F.col("is_rarest")).select(
+                    "query_id", "term"
+                )
+            ),
+            "term",
+        )
+        .select("query_id", id_col)
+        .join(doc_lens.select(id_col, "site", "doc_len"), id_col)
+    )
+
+    qpost = index.postings.filter(F.col("term").isin(used_terms)).join(
+        F.broadcast(qterm.select("query_id", "term", "idf")), "term"
+    )
+
+    tfn = F.col("tf").cast("double") / F.col("doc_len")
+    term_score = (
+        F.col("idf")
+        * tfn
+        * F.lit(k1 + 1.0)
+        / (
+            tfn
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("doc_len") / F.lit(index.avg_len)
+            )
+        )
+    )
+    scored = (
+        cand.join(qpost, ["query_id", id_col], "inner")
+        .withColumn("term_score", term_score)
+        .groupBy("query_id", id_col, "site")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= limit)
+        .select("query_id", id_col, "site", "score", "rn")
+    )

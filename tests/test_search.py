@@ -162,3 +162,43 @@ def test_bm25f_title_boost(spark):
     # empty query and absent term degrade to empty results
     assert bm25f_topk(df, [], limit=5).count() == 0
     assert bm25f_topk(df, ["zzz"], limit=5).count() == 0
+
+
+def test_search_many_rank_identical_per_query(spark_index):
+    from search_engine_spark.plans.search import search, search_many
+
+    idx = spark_index
+    queries = [
+        "crystal meadow",
+        "crystals meadows rivers",
+        "zzzqqq",                 # no surviving terms → absent
+        "spark query index",      # all stop-listed head terms
+        "velvet",
+    ]
+    batch = search_many(idx, queries, limit=7).collect()
+    by_q: dict = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rn"], r["url"], r["site"], round(r["score"], 9))
+        )
+    for qid, q in enumerate(queries):
+        single = [
+            (r["rn"], r["url"], r["site"], round(r["score"], 9))
+            for r in search(idx, q, limit=7).collect()
+        ]
+        got = sorted(by_q.get(qid, []))
+        assert got == sorted(single), (qid, q)
+
+
+def test_search_many_site_restriction(spark_index):
+    from search_engine_spark.plans.search import search, search_many
+
+    idx = spark_index
+    sites = ["site00.example"]
+    batch = search_many(
+        idx, ["crystal meadow"], sites=sites, limit=5
+    ).collect()
+    single = search(idx, "crystal meadow", sites=sites, limit=5).collect()
+    assert {(r["url"], r["rn"]) for r in batch} == {
+        (r["url"], r["rn"]) for r in single
+    }
