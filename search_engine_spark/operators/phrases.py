@@ -171,3 +171,81 @@ def phrase_search(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(limit)
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted positional index (phrase queries without re-tokenizing)
+# ---------------------------------------------------------------------------
+
+
+def write_positional_index(
+    enriched: DataFrame,
+    out_dir: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+) -> dict:
+    """Materialize ``(term, <id>, pos)`` bucket-partitioned by term.
+
+    The at-rest twin of the tf index's bucket layout
+    (operators/compact.py): ``bucket = crc32(term) % n_buckets`` so a
+    phrase query's scan is partition-pruned to the query terms'
+    buckets before any IO.  Positions add one int column per posting
+    — the shuffle shape is identical to the tf build (same term keys,
+    same skew profile, same salting applies upstream if needed).
+    Returns {n_buckets, rows}.
+    """
+    from search_engine_spark.operators.compact import bucket_col
+
+    pp = positional_postings(enriched, id_col, tokens_col_name)
+    pp = pp.withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+    (
+        pp.repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    spark = enriched.sparkSession
+    n = spark.read.parquet(out_dir).count()
+    return {"n_buckets": n_buckets, "rows": n}
+
+
+def read_positional_index(
+    spark,
+    out_dir: str,
+    terms: list[str] | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Positional postings scan, partition-pruned to ``terms``'s
+    buckets when given (the bucket predicate reaches the parquet
+    source as partition pruning; the term filter as a pushed
+    predicate)."""
+    from search_engine_spark.operators.compact import bucket_of
+
+    df = spark.read.parquet(out_dir)
+    if terms:
+        buckets = sorted({bucket_of(t, n_buckets) for t in terms})
+        df = df.filter(F.col("bucket").isin(buckets)).filter(
+            F.col("term").isin(sorted(set(terms)))
+        )
+    return df.drop("bucket")
+
+
+def phrase_match_indexed(
+    spark,
+    out_dir: str,
+    phrase_terms: list[str],
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(<id>, phrase_tf)`` straight off the persisted positional
+    index — no tokenization, no corpus scan; IO is the query terms'
+    buckets only.  Same alignment semantics as :func:`phrase_match`
+    (pinned by tests)."""
+    pp = read_positional_index(
+        spark, out_dir, phrase_terms, n_buckets
+    )
+    occ = phrase_occurrences(pp, phrase_terms, id_col)
+    return occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("phrase_tf")
+    )

@@ -127,3 +127,40 @@ def test_phrase_search_scoring(spark):
 def test_phrase_search_absent(spark):
     docs = _docs(spark, CORPUS)
     assert phrase_search(docs, ["no", "such", "phrase"]).count() == 0
+
+
+def test_positional_index_roundtrip(spark, tmp_path):
+    from search_engine_spark.operators.phrases import (
+        phrase_match,
+        phrase_match_indexed,
+        read_positional_index,
+        write_positional_index,
+    )
+
+    docs = _docs(spark, CORPUS)
+    out = str(tmp_path / "posidx")
+    meta = write_positional_index(docs, out, n_buckets=8)
+    want_rows = sum(len(t.split()) for t in CORPUS)
+    assert meta == {"n_buckets": 8, "rows": want_rows}
+
+    for phrase in (["quick", "brown"], ["value", "value"], ["quick"]):
+        mem = {
+            (r["doc_id"], r["phrase_tf"])
+            for r in phrase_match(docs, phrase).collect()
+        }
+        idx = {
+            (r["doc_id"], r["phrase_tf"])
+            for r in phrase_match_indexed(
+                spark, out, phrase, n_buckets=8
+            ).collect()
+        }
+        assert idx == mem, phrase
+
+    # pruned read only touches the phrase terms' buckets
+    pruned = read_positional_index(
+        spark, out, ["quick", "brown"], n_buckets=8
+    )
+    terms = {r["term"] for r in pruned.select("term").distinct().collect()}
+    assert terms == {"quick", "brown"}
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "bucket" in plan
