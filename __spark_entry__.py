@@ -1002,6 +1002,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return corpus_rollup(_read(spark, sf, "documents"))
 
+    def novel_documents_q(spark, sf):  # cross-corpus exact novelty
+        from search_engine_spark.operators.dedup import novel_documents
+
+        docs = _read(spark, sf, "documents").withColumn(
+            "text",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), r"\bdup\b", " "),
+                    r"\s+", " ",
+                )
+            ),
+        )
+        base = docs.filter(F.col("doc_id") < 250)
+        new = docs.filter(F.col("doc_id") >= 250)
+        return novel_documents(new, base).select("doc_id")
+
     def bm25_batch(spark, sf):  # whole query set in ONE job
         from search_engine_spark.plans.search import search_many
 
@@ -1198,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": extract_links,
         "bm25f_topk": bm25f_topk_q,
         "bm25_batch": bm25_batch,
+        "novel_documents": novel_documents_q,
         "cms_term_counts": cms_term_counts,
         "topk_per_site": topk_per_site,
         "intersect_customers": intersect_customers,
@@ -1312,6 +1329,18 @@ def oracle_sql() -> dict[str, str]:
             extra_cte=lemma_cte + ", ",
         ),
         # WAND/compact path must equal the exact path — same oracles
+        "novel_documents": r"""
+            WITH nrm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(text, '\bdup\b', ' ', 'g'),
+                       '\s+', ' ', 'g')) AS t
+              FROM documents)
+            SELECT doc_id FROM nrm n
+            WHERE n.doc_id >= 250
+              AND md5(n.t) NOT IN
+                  (SELECT md5(t) FROM nrm WHERE doc_id < 250)
+        """,
         "bm25_batch": " UNION ALL ".join(
             f"SELECT {i} AS query_id, * FROM ({_bm25_sql(terms)})"
             for i, terms in enumerate(

@@ -300,6 +300,39 @@ def minhash_signatures(
     )
 
 
+def _banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    tokens_col_name: str,
+    n: int,
+    k: int,
+    bands: int,
+) -> DataFrame:
+    """(id, sig, band, bh) — each doc exploded into its LSH band
+    hashes (cached: both sides of a banded join reuse it)."""
+    assert k % bands == 0
+    r = k // bands
+    sigs = minhash_signatures(df, id_col, tokens_col_name, n, k).cache()
+    return sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            *[F.col("sig")[j]
+                              for j in range(i * r, (i + 1) * r)]
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bh")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -314,26 +347,9 @@ def minhash_lsh_pairs(
     sig agreement fraction estimates Jaccard; pairs sharing >= 1 of the
     ``bands`` band-hashes are candidates (the only join is per-bucket).
     """
-    assert k % bands == 0
-    r = k // bands
-    sigs = minhash_signatures(df, id_col, tokens_col_name, n, k).cache()
-    banded = sigs.select(
-        F.col(id_col),
-        F.col("sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[j] for j in range(i * r, (i + 1) * r)]
-                        ).alias("bh"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "sig", "bb.band", "bb.bh")
+    banded = _banded_signatures(
+        df, id_col, tokens_col_name, n, k, bands
+    )
 
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
@@ -516,3 +532,96 @@ def simhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus dedup (novelty detection for incremental ingest)
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs_against(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """``(new_id, base_id, est_jaccard)`` — near-dups of NEW against
+    BASE only.
+
+    The incremental-ingest shape: a fresh crawl batch is deduped
+    against the standing corpus without re-pairing the corpus with
+    itself (new×base candidate join only — no base×base work, which
+    at 100 TB is the difference between a batch-sized job and a full
+    recompute).  Same banded-LSH candidate generation and estimated-
+    Jaccard verification as :func:`minhash_lsh_pairs`; at rest the
+    base side's band hashes are a persisted table keyed (band, bh),
+    so each batch joins against it directly.
+    """
+    a = _banded_signatures(
+        new_df, id_col, tokens_col_name, n, k, bands
+    ).select(
+        F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a"),
+        "band", "bh",
+    )
+    b = _banded_signatures(
+        base_df, id_col, tokens_col_name, n, k, bands
+    ).select(
+        F.col(id_col).alias("base_id"), F.col("sig").alias("sig_b"),
+        "band", "bh",
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .select("new_id", "base_id", "sig_a", "sig_b")
+        .dropDuplicates(["new_id", "base_id"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"),
+                       lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        cand.withColumn(
+            "est_jaccard",
+            F.round(agree.cast("double") / F.lit(float(k)), 6),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "base_id", "est_jaccard")
+    )
+
+
+def novel_documents(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col_name: str = "tokens",
+    near_dup: bool = False,
+    **near_dup_kwargs,
+) -> DataFrame:
+    """Rows of ``new_df`` that are NOT in the base corpus.
+
+    Stage 1 (always): exact-content anti-join on the md5 fingerprint
+    — one hash anti-join, uniform key.  Stage 2 (``near_dup=True``):
+    additionally drop new docs with a banded-MinHash match in the
+    base (:func:`minhash_lsh_pairs_against`).  Duplicates WITHIN the
+    batch are kept — batch-internal dedup is a separate, composable
+    concern (``exact_dedup`` / the pipeline plan).
+    """
+    base_fp = base_df.select(
+        F.md5(F.col(text_col)).alias("__fp")
+    ).distinct()
+    fresh = new_df.withColumn("__fp", F.md5(F.col(text_col))).join(
+        base_fp, "__fp", "left_anti"
+    ).drop("__fp")
+    if not near_dup:
+        return fresh
+    matches = minhash_lsh_pairs_against(
+        fresh, base_df, id_col, tokens_col_name, **near_dup_kwargs
+    ).select(F.col("new_id").alias(id_col)).distinct()
+    return fresh.join(matches, id_col, "left_anti")

@@ -353,3 +353,48 @@ def test_jaccard_prefix_filter_identical(spark):
         }
         assert on == off, (t, on ^ off)
     assert (0, 2, 1.0) in on or t != 1.0
+
+
+def test_novel_documents_exact_and_near(spark):
+    from search_engine_spark.operators.dedup import (
+        minhash_lsh_pairs_against,
+        novel_documents,
+    )
+
+    base_rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "an entirely different document about spark data pipelines"),
+    ]
+    new_rows = [
+        # exact dup of base 0
+        (10, "the quick brown fox jumps over the lazy dog again and again"),
+        # near-dup of base 0 (one word changed)
+        (11, "the quick brown fox leaps over the lazy dog again and again"),
+        # fresh
+        (12, "совершенно новый документ with unique words nobody wrote"),
+        # exact dup WITHIN the batch of 12 — must be KEPT (batch-
+        # internal dedup is a separate stage)
+        (13, "совершенно новый документ with unique words nobody wrote"),
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t, t.split()) for i, t in rows],
+            "doc_id long, text string, tokens array<string>",
+        )
+
+    base, new = mk(base_rows), mk(new_rows)
+
+    exact = novel_documents(new, base)
+    assert sorted(r["doc_id"] for r in exact.collect()) == [11, 12, 13]
+
+    pairs = minhash_lsh_pairs_against(
+        new, base, n=2, threshold=0.3
+    ).collect()
+    assert any(r["new_id"] == 11 and r["base_id"] == 0 for r in pairs)
+    assert not any(r["new_id"] == 12 for r in pairs)
+
+    both = novel_documents(
+        new, base, near_dup=True, n=2, threshold=0.3
+    )
+    assert sorted(r["doc_id"] for r in both.collect()) == [12, 13]
