@@ -1155,6 +1155,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("link"),
         )
 
+    def pii_scan(spark, sf):
+        # documents.text carries no digits, so deterministic PII-shaped
+        # suffixes derived from doc_id are injected (identically in the
+        # DuckDB oracle) to exercise detection + redaction for real.
+        from search_engine_spark.functions.pii import annotate_pii
+
+        did = F.col("doc_id")
+        seg_email = F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" mail user"), did.cast("string"),
+                     F.lit("@example.com")),
+        ).otherwise(F.lit(""))
+        seg_ip = F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" ip 10."), (did % 256).cast("string"),
+                     F.lit("."), ((did * 3) % 256).cast("string"),
+                     F.lit("."), (did % 100).cast("string")),
+        ).otherwise(F.lit(""))
+        seg_ssn = F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" ssn "), (100 + did % 900).cast("string"),
+                     F.lit("-"), (10 + did % 90).cast("string"),
+                     F.lit("-"), (1000 + did % 9000).cast("string")),
+        ).otherwise(F.lit(""))
+        seg_phone = F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" call +1 555 "),
+                     (1000 + (did * 13) % 9000).cast("string")),
+        ).otherwise(F.lit(""))
+        seg_cc = F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" card 4111 1111 1111 "),
+                     (1000 + (did * 17) % 9000).cast("string")),
+        ).otherwise(F.lit(""))
+        docs = _read(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(F.col("text"), seg_email, seg_ip, seg_ssn,
+                     seg_phone, seg_cc).alias("itext"),
+        )
+        return annotate_pii(docs, "itext").select(
+            "doc_id", "n_email", "n_ipv4", "n_ssn", "n_credit_card",
+            "n_phone", "n_pii", "redacted",
+        )
+
+    def decontaminate_q(spark, sf):
+        from search_engine_spark.operators.dedup import contaminated_ids
+
+        docs = _docs_enriched(spark, sf)
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        corpus = docs.filter(F.col("doc_id") % 50 != 0)
+        return contaminated_ids(corpus, bench, "doc_id", "tokens", n=8)
+
+    def c4_span_dups(spark, sf):
+        # documents.text is one long unpunctuated line; synthesize
+        # sentence breaks deterministically (' the ' -> '. ', same
+        # regexp_replace in the oracle) so the span machinery is
+        # exercised on real multi-sentence input.
+        from search_engine_spark.operators.curation import (
+            duplicate_spans,
+        )
+
+        docs = _read(spark, sf, "documents").select(
+            "doc_id",
+            F.regexp_replace(F.col("text"), " the ", ". ").alias(
+                "stext"
+            ),
+        )
+        return duplicate_spans(docs, "doc_id", "stext").select(
+            "span_fp",
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+
+    def tfidf_keywords_q(spark, sf):
+        from search_engine_spark.operators.curation import tfidf_keywords
+
+        return tfidf_keywords(
+            _docs_enriched(spark, sf), "doc_id", "tokens", k=3
+        ).select(
+            "doc_id", "term", F.col("tf").cast("long").alias("tf"),
+            "score", "rank",
+        )
+
     return {
         "tokenize_doclen": tokenize_doclen,
         "postings": postings_q,
@@ -1188,6 +1271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_longest": dedup_keep_longest,
         "training_pipeline": training_pipeline,
         "training_pipeline_curated": training_pipeline_curated,
+        "pii_scan": pii_scan,
+        "decontaminate": decontaminate_q,
+        "c4_span_dedup": c4_span_dups,
+        "tfidf_keywords": tfidf_keywords_q,
         "event_sessions": event_sessions,
         "asof_join_events": asof_join_events,
         "range_join_events": range_join_events,
@@ -1292,6 +1379,23 @@ def oracle_sql() -> dict[str, str]:
         "list_filter(string_split_regex(trim(regexp_replace(lower(text), "
         r"'[^a-z\s]', ' ', 'g')), '\s+'), t -> t <> '')"
     )
+
+    # --- PII oracle fragments, generated from the engine's own pattern
+    # table so the two sides cannot drift ---
+    from search_engine_spark.functions.pii import PII_PATTERNS
+
+    pii_counts_sql = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(itext, '{pat}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    pii_total_sql = " + ".join(f"n_{name}" for name, _ in PII_PATTERNS)
+    pii_redacted_sql = "itext"
+    for name, pat in PII_PATTERNS:
+        pii_redacted_sql = (
+            f"regexp_replace({pii_redacted_sql}, '{pat}', "
+            f"'<{name.upper()}>', 'g')"
+        )
 
     return {
         "tokenize_doclen": f"""
@@ -1625,6 +1729,100 @@ def oracle_sql() -> dict[str, str]:
         """.replace("{toks}", toks_list).replace(
             "{stops}", stopword_list
         ),
+        "pii_scan": f"""
+            WITH inj AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 2 = 0 THEN ' mail user'
+                          || CAST(doc_id AS VARCHAR) || '@example.com'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0 THEN ' ip 10.'
+                          || CAST(doc_id % 256 AS VARCHAR) || '.'
+                          || CAST((doc_id * 3) % 256 AS VARCHAR) || '.'
+                          || CAST(doc_id % 100 AS VARCHAR)
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN ' ssn '
+                          || CAST(100 + doc_id % 900 AS VARCHAR) || '-'
+                          || CAST(10 + doc_id % 90 AS VARCHAR) || '-'
+                          || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                        ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' call +1 555 '
+                          || CAST(1000 + (doc_id * 13) % 9000 AS VARCHAR)
+                        ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                        THEN ' card 4111 1111 1111 '
+                          || CAST(1000 + (doc_id * 17) % 9000 AS VARCHAR)
+                        ELSE '' END AS itext
+              FROM documents),
+            counted AS (
+              SELECT doc_id, itext,
+                   {pii_counts_sql}
+              FROM inj)
+            SELECT doc_id, n_email, n_ipv4, n_ssn, n_credit_card,
+                   n_phone,
+                   CAST({pii_total_sql} AS BIGINT) AS n_pii,
+                   {pii_redacted_sql} AS redacted
+            FROM counted
+        """,
+        "c4_span_dedup": r"""
+            WITH sdoc AS (
+              SELECT doc_id,
+                     regexp_replace(text, ' the ', '. ', 'g') AS stext
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(
+                         string_split_regex(stext, '[.!?]\s+'),
+                         x -> trim(x)),
+                       x -> x <> '') AS sents
+              FROM sdoc),
+            sp AS (
+              SELECT doc_id,
+                     md5(array_to_string(sents[i:i+2], ' ')) AS span_fp
+              FROM s, unnest(range(1, len(sents) - 1)) AS r(i)
+              WHERE len(sents) >= 3)
+            SELECT span_fp, count(*) AS n_occ,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM sp GROUP BY 1 HAVING count(*) > 1
+        """,
+        "decontaminate": f"""
+            WITH lt AS (SELECT doc_id, {toks_list} AS tokens
+                        FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(tokens[i:i+7], ' ') AS shingle
+              FROM lt, unnest(range(1, len(tokens) - 6)) AS r(i)
+              WHERE len(tokens) >= 8
+            ),
+            bench AS (SELECT DISTINCT shingle FROM sh
+                      WHERE doc_id % 50 = 0),
+            corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0)
+            SELECT DISTINCT c.doc_id
+            FROM corpus c JOIN bench b USING (shingle)
+        """,
+        "tfidf_keywords": f"""
+            WITH {_TOKS},
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+            nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     round(CAST(tf.tf AS DOUBLE)
+                           * (ln(CAST(nn.n + 1 AS DOUBLE)
+                                 / CAST(dft.df_t + 1 AS DOUBLE)) + 1.0),
+                           6) AS score
+              FROM tf JOIN dft USING (term) CROSS JOIN nn),
+            ranked AS (
+              SELECT doc_id, term, tf, score,
+                     CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+              FROM scored)
+            SELECT doc_id, term, tf, score, rank
+            FROM ranked WHERE rank <= 3
+        """,
         # Spark session_window semantics (measured, pinned by
         # tests/test_sessions.py): a gap of EXACTLY the window merges,
         # break only when gap > 30 min; session_end = last event + gap

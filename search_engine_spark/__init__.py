@@ -77,6 +77,11 @@ _LAZY = {
     "cosine_topk_ivfpq": "search_engine_spark.operators.similarity",
     "pq_encode": "search_engine_spark.operators.similarity",
     "train_pq_codebooks": "search_engine_spark.operators.similarity",
+    "annotate_pii": "search_engine_spark.functions.pii",
+    "redact_pii": "search_engine_spark.functions.pii",
+    "contaminated_ids": "search_engine_spark.operators.dedup",
+    "decontaminate": "search_engine_spark.operators.dedup",
+    "tfidf_keywords": "search_engine_spark.operators.curation",
     "cms_build": "search_engine_spark.operators.sketches",
     "cms_merge": "search_engine_spark.operators.sketches",
     "cms_estimate": "search_engine_spark.operators.sketches",

@@ -39,7 +39,7 @@ row-count).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.functions.analysis import (
@@ -311,3 +311,189 @@ def assign_split(
         .when(b < v_hi, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    k: int = 5,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """``(<id>, term, tf, score, rank)`` — top-``k`` TF-IDF keywords
+    per document (smooth sklearn-style idf: ln((N+1)/(df+1)) + 1).
+
+    Plan shape at scale: per-doc term counts are one map-side-combined
+    aggregation keyed (doc, term) — near-unique key, no skew.  The
+    document-frequency table is vocabulary-sized (tiny next to the
+    token stream) and is broadcast below ``broadcast_threshold``, so
+    the idf join adds no shuffle; N arrives as a broadcast 1-row cross
+    join, never a driver collect.  The final top-k is a row_number
+    window partitioned by doc — one doc-keyed shuffle, uniform.
+    Deterministic tiebreak: score desc, term asc.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.col(tokens_col_name)).alias("term")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("__n")
+    )
+    dft = dft.crossJoin(F.broadcast(n_docs))
+    dft = dft.withColumn(
+        "idf",
+        F.log((F.col("__n") + 1).cast("double")
+              / (F.col("df_t") + 1).cast("double")) + F.lit(1.0),
+    ).select("term", "idf")
+    n_terms = dft.count()
+    dft_j = F.broadcast(dft) if n_terms <= broadcast_threshold else dft
+    scored = tf.join(dft_j, "term").select(
+        F.col(id_col), "term", "tf",
+        F.round(F.col("tf").cast("double") * F.col("idf"), 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style duplicate-span removal (Raffel et al. 2020 §2.2: "discard all
+# but one of any three-sentence span occurring more than once")
+# ---------------------------------------------------------------------------
+
+# Oracle-safe sentence split: RE2 (DuckDB) has no lookbehind, so the
+# terminator is consumed by the split on BOTH sides (deterministic,
+# identical) rather than kept via (?<=[.!?]).
+SENTENCE_SPLIT_RE = r"[.!?]\s+"
+
+
+def sentences_col(text: Column) -> Column:
+    """array<string> of sentences (terminator-consumed split, trimmed,
+    empties dropped) — shared by the span operators and their oracle."""
+    return F.filter(
+        F.transform(F.split(text, SENTENCE_SPLIT_RE), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+
+
+def span_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_sentences: int = 3,
+) -> DataFrame:
+    """``(<id>, span_idx, span_fp)`` — every consecutive
+    ``n_sentences``-sentence span, fingerprinted with md5 (exactly
+    SQL-reproducible, unlike xxhash64, so the oracle can check it).
+
+    Plan shape: a narrow per-row explode — span count per doc is
+    (sentences - n + 1), so the stream is ~1 row per sentence; no
+    shuffle until a consumer aggregates.
+    """
+    n = n_sentences
+    sents = sentences_col(F.col(text_col))
+    spans = F.when(
+        F.size(sents) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(sents) - n),
+            lambda i: F.array_join(F.slice(sents, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.posexplode(spans).alias("span_idx", "__span")
+    ).select(
+        id_col, "span_idx", F.md5(F.col("__span")).alias("span_fp")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_sentences: int = 3,
+) -> DataFrame:
+    """``(span_fp, n_occ, n_docs)`` for spans occurring more than once
+    corpus-wide.  One map-side-combined aggregation on the 16-byte
+    fingerprint — uniform key, no skew (a single span repeated
+    millions of times at web scale partial-aggregates per partition
+    before the shuffle)."""
+    return (
+        span_table(df, id_col, text_col, n_sentences)
+        .groupBy("span_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+        )
+        .filter(F.col("n_occ") > 1)
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_sentences: int = 3,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4 three-sentence-span dedup: for every span occurring more than
+    once corpus-wide, keep the single occurrence in the lowest
+    ``(<id>, span_idx)`` and drop the sentences of every other
+    occurrence; sentences survive unless covered by a dropped span.
+
+    Plan shape at 100 TB: span fingerprints shuffle once (uniform md5
+    key, map-side combined); the keeper choice is a min-struct
+    aggregate on the same shuffle; dropped-occurrence indices come
+    back to docs via ONE join keyed on the doc id (near-unique key).
+    Reassembly is pure JVM array ops — no Python, no second pass over
+    text.
+    """
+    n = n_sentences
+    spans = span_table(df, id_col, text_col, n).withColumn(
+        "__occ", F.struct(F.col(id_col), F.col("span_idx"))
+    )
+    agg = spans.groupBy("span_fp").agg(
+        F.count(F.lit(1)).alias("n_occ"), F.min("__occ").alias("__keep")
+    )
+    dropped = (
+        spans.join(agg.filter(F.col("n_occ") > 1), "span_fp")
+        .filter(F.col("__occ") != F.col("__keep"))
+        .groupBy(id_col)
+        .agg(F.collect_set("span_idx").alias("__bad_spans"))
+    )
+    sents = sentences_col(F.col(text_col))
+    out = (
+        df.join(dropped, id_col, "left")
+        .withColumn("__sents", sents)
+        .withColumn(
+            "__bad_sents",
+            F.when(
+                F.col("__bad_spans").isNotNull(),
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            F.col("__bad_spans"),
+                            lambda j: F.sequence(j, j + n - 1),
+                        )
+                    )
+                ),
+            ).otherwise(F.array().cast("array<int>")),
+        )
+        .withColumn(
+            out_col,
+            F.array_join(
+                F.filter(
+                    F.col("__sents"),
+                    lambda s, i: ~F.array_contains(
+                        F.col("__bad_sents"), i
+                    ),
+                ),
+                ". ",
+            ),
+        )
+    )
+    return out.drop("__bad_spans", "__sents", "__bad_sents")

@@ -625,3 +625,60 @@ def novel_documents(
         fresh, base_df, id_col, tokens_col_name, **near_dup_kwargs
     ).select(F.col("new_id").alias(id_col)).distinct()
     return fresh.join(matches, id_col, "left_anti")
+
+
+def contaminated_ids(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    n: int = 8,
+    broadcast_bench: bool = True,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """Ids of docs sharing >= 1 exact ``n``-token shingle with a
+    benchmark set — test-set decontamination, the standard exact-overlap
+    criterion (e.g. GPT-3 appendix C / PaLM style n-gram collision).
+
+    Plan shape: benchmark shingles are DISTINCT and tiny next to the
+    corpus (a test set is KBs-MBs at 100 TB corpus scale), so they
+    broadcast — the corpus-side shingle stream is filtered map-side by
+    a broadcast semi-join: ZERO shuffle of corpus data.  With
+    ``hash_shingles`` the join key is xxhash64(shingle) (8 B instead of
+    ~50 B per key); collisions only over-flag (conservative for
+    decontamination) at ~2^-64 rates.
+    """
+    key = (
+        (lambda c: F.xxhash64(c)) if hash_shingles else (lambda c: c)
+    )
+    bench_sh = (
+        _doc_shingles(bench_df, id_col, tokens_col_name, n)
+        .select(key(F.col("shingle")).alias("__sh"))
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_sh = F.broadcast(bench_sh)
+    doc_sh = _doc_shingles(df, id_col, tokens_col_name, n).select(
+        F.col(id_col), key(F.col("shingle")).alias("__sh")
+    )
+    return (
+        doc_sh.join(bench_sh, "__sh", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    n: int = 8,
+    **kwargs,
+) -> DataFrame:
+    """Corpus with benchmark-contaminated documents removed
+    (anti-join against :func:`contaminated_ids`)."""
+    bad = contaminated_ids(
+        df, bench_df, id_col, tokens_col_name, n, **kwargs
+    )
+    return df.join(bad, id_col, "left_anti")
