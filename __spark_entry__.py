@@ -1207,6 +1207,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = docs.filter(F.col("doc_id") % 50 != 0)
         return contaminated_ids(corpus, bench, "doc_id", "tokens", n=8)
 
+    def fuzzy_terms_q(spark, sf):
+        # SymSpell deletion-neighborhood candidates + JVM levenshtein
+        # verify == brute-force scan (the oracle) for d=1, by the
+        # deletion-collision argument (operators/fuzzy.py docstring).
+        from search_engine_spark.operators.fuzzy import fuzzy_terms
+
+        ts = _docs_index(spark, sf).term_stats.select("term", "df")
+        return fuzzy_terms(ts, "quer", max_dist=1).select(
+            "term", F.col("df").cast("long").alias("df"), "dist"
+        )
+
     def c4_span_dups(spark, sf):
         # documents.text is one long unpunctuated line; synthesize
         # sentence breaks deterministically (' the ' -> '. ', same
@@ -1274,6 +1285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": pii_scan,
         "decontaminate": decontaminate_q,
         "c4_span_dedup": c4_span_dups,
+        "fuzzy_terms": fuzzy_terms_q,
         "tfidf_keywords": tfidf_keywords_q,
         "event_sessions": event_sessions,
         "asof_join_events": asof_join_events,
@@ -1763,6 +1775,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST({pii_total_sql} AS BIGINT) AS n_pii,
                    {pii_redacted_sql} AS redacted
             FROM counted
+        """,
+        "fuzzy_terms": f"""
+            WITH {_TOKS}, {_POSTINGS}, {_TSTATS}
+            SELECT term, CAST(df AS BIGINT) AS df,
+                   CAST(levenshtein(term, 'quer') AS INTEGER) AS dist
+            FROM tstats
+            WHERE levenshtein(term, 'quer') <= 1
         """,
         "c4_span_dedup": r"""
             WITH sdoc AS (

@@ -150,6 +150,10 @@ def main() -> None:
         "dedup_clusters",
         "training_pipeline",
         "text_quality",
+        "pii_scan",
+        "tfidf_keywords",
+        "c4_span_dedup",
+        "decontaminate",
         "phrase_search",
         "gopher_gate",
         "unigram_logprob",

@@ -77,6 +77,9 @@ _LAZY = {
     "cosine_topk_ivfpq": "search_engine_spark.operators.similarity",
     "pq_encode": "search_engine_spark.operators.similarity",
     "train_pq_codebooks": "search_engine_spark.operators.similarity",
+    "fuzzy_terms": "search_engine_spark.operators.fuzzy",
+    "build_variant_index": "search_engine_spark.operators.fuzzy",
+    "correct_query_terms": "search_engine_spark.operators.fuzzy",
     "annotate_pii": "search_engine_spark.functions.pii",
     "redact_pii": "search_engine_spark.functions.pii",
     "contaminated_ids": "search_engine_spark.operators.dedup",

@@ -1,0 +1,153 @@
+"""Fuzzy term matching: SymSpell-style deletion-neighborhood index.
+
+Finds dictionary terms within Levenshtein distance ``d`` of a query
+term without scanning the vocabulary: every term's deletion variants
+(the term with up to ``d`` single characters removed) are exploded into
+an inverted variant table once; a query probes it with its own (tiny,
+driver-generated) variant set via a broadcast semi-join, then the
+candidate set — provably a superset of the true d-neighborhood (Garbe's
+SymSpell argument: any substitution/insertion/deletion at distance <= d
+collapses to a shared deletion variant) — is verified with the JVM
+``levenshtein`` built-in, so results are EXACT.
+
+Scale shape: the variant table is vocabulary-sized × (1 + avg_len)
+rows for d=1 (a few GB for a billion-term web vocabulary) — built once
+per index, equi-joined on a uniform string key; per-query work is a
+broadcast probe of |query_term|+1 variants, never a dictionary scan.
+No Python anywhere.
+
+Reference parity note: the reference has no fuzzy matching
+(SearchServiceImpl.java drops unknown lemmas silently); this extends
+the query surface the way Lucene's FuzzyQuery does, re-expressed as
+DataFrame joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _deletions_py(term: str, d: int) -> set[str]:
+    """Driver-side deletion neighborhood (query side — tiny)."""
+    out = {term}
+    frontier = {term}
+    for _ in range(d):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _one_deletions_col(term: Column) -> Column:
+    """array<string>: every string with exactly one char removed."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(term)),
+        lambda i: F.concat(
+            term.substr(F.lit(1), i - 1),
+            term.substr(i + 1, F.length(term)),
+        ),
+    )
+
+
+def deletion_variants_col(term: Column, d: int = 1) -> Column:
+    """array<string>: the term plus all <= ``d``-char-deletion variants
+    (distinct).  d is a plan-time constant; d=2 composes the d=1
+    transform once more (len^2 variants — opt-in, same plan shape)."""
+    vars1 = F.array_union(F.array(term), _one_deletions_col(term))
+    if d == 1:
+        return vars1
+    if d == 2:
+        vars2 = F.flatten(
+            F.transform(vars1, lambda v: _one_deletions_col(v))
+        )
+        return F.array_union(vars1, F.array_distinct(vars2))
+    raise ValueError("max_dist must be 1 or 2")
+
+
+def build_variant_index(
+    term_stats: DataFrame, term_col: str = "term", d: int = 1
+) -> DataFrame:
+    """``(variant, term)`` inverted deletion table for the dictionary.
+
+    Persist/bucket this by ``variant`` alongside the index for repeated
+    query workloads; at local scale it pipelines into the probe join.
+    """
+    return term_stats.select(
+        F.explode(
+            deletion_variants_col(F.col(term_col), d)
+        ).alias("variant"),
+        F.col(term_col).alias("term"),
+    ).distinct()
+
+
+def fuzzy_terms(
+    term_stats: DataFrame,
+    query_term: str,
+    max_dist: int = 1,
+    term_col: str = "term",
+    variant_index: DataFrame | None = None,
+) -> DataFrame:
+    """``(term, df, dist)`` — every dictionary term within Levenshtein
+    ``max_dist`` of ``query_term`` (exact; see module docstring).
+
+    Pass a persisted ``variant_index`` to skip rebuilding the deletion
+    table; otherwise it is derived inline (Catalyst pipelines it).
+    """
+    if variant_index is None:
+        variant_index = build_variant_index(term_stats, term_col, max_dist)
+    probes = sorted(_deletions_py(query_term, max_dist))
+    cand = (
+        variant_index.filter(F.col("variant").isin(probes))
+        .select("term")
+        .distinct()
+    )
+    verified = cand.withColumn(
+        "dist", F.levenshtein(F.col("term"), F.lit(query_term))
+    ).filter(F.col("dist") <= max_dist)
+    return (
+        verified.join(
+            term_stats.select(F.col(term_col).alias("term"), "df"), "term"
+        )
+        .select("term", "df", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def correct_query_terms(
+    term_stats: DataFrame,
+    terms: list[str],
+    max_dist: int = 1,
+    term_col: str = "term",
+) -> dict[str, str | None]:
+    """Map each query term to its best dictionary term: itself if
+    present, else the fuzzy match with (min dist, max df, min term) —
+    deterministic; None when nothing is within ``max_dist``.
+
+    Driver-side result by design: a user query has a handful of terms
+    and the per-term candidate set is tiny (the collect is bounded by
+    |terms| × |d-neighborhood|, unrelated to corpus size).
+    """
+    out: dict[str, str | None] = {}
+    known = {
+        r["term"]
+        for r in term_stats.filter(
+            F.col(term_col).isin(list(terms))
+        ).collect()
+    }
+    vidx = build_variant_index(term_stats, term_col, max_dist)
+    for t in terms:
+        if t in known:
+            out[t] = t
+            continue
+        cands = fuzzy_terms(
+            term_stats, t, max_dist, term_col, variant_index=vidx
+        ).collect()
+        if not cands:
+            out[t] = None
+            continue
+        best = min(cands, key=lambda r: (r["dist"], -r["df"], r["term"]))
+        out[t] = best["term"]
+    return out

@@ -113,16 +113,33 @@ def search(
     lang: str = "english",
     analyzer: str = "lemma",
     use_stoplist: bool = True,
+    fuzzy: bool = False,
+    fuzzy_max_dist: int = 1,
 ) -> DataFrame:
     """Top-(offset+limit) BM25 results: (id, site, score, rn).
 
     Returns an EMPTY frame (same schema) when no query term survives
     analysis/stop-removal — mirroring the reference's empty response.
+
+    ``fuzzy=True`` rewrites out-of-dictionary query terms to their
+    best SymSpell match within ``fuzzy_max_dist`` (min edit distance,
+    then max df, then lexical — deterministic) BEFORE stop-removal;
+    unknown terms with no match stay absent, exactly like the
+    reference's silent unknown-lemma drop.
     """
     id_col = index.id_col
     k1, b = index.config.bm25.k1, index.config.bm25.b
 
     terms = analyze_query(query, lang, analyzer)
+    if fuzzy:
+        from search_engine_spark.operators.fuzzy import (
+            correct_query_terms,
+        )
+
+        fixes = correct_query_terms(
+            index.term_stats, terms, max_dist=fuzzy_max_dist
+        )
+        terms = sorted({v for v in (fixes[t] for t in terms) if v})
     if use_stoplist:
         stop = set(index.stoplist)
         terms = [t for t in terms if t not in stop]  # R14/R19
