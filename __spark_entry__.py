@@ -1207,6 +1207,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = docs.filter(F.col("doc_id") % 50 != 0)
         return contaminated_ids(corpus, bench, "doc_id", "tokens", n=8)
 
+    def pagerank_q(spark, sf):
+        # deterministic synthetic link graph over the first 200 docs
+        # (docs ending in 9 are dangling sinks; two affine out-edges
+        # each, duplicates = parallel-edge weighting) — identical
+        # construction in the chained-CTE oracle.
+        from search_engine_spark.operators.graph import pagerank
+
+        docs = (
+            _read(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 200)
+        )
+        nodes = docs.select(F.col("doc_id").alias("node_id"))
+        src = docs.filter(F.col("doc_id") % 10 != 9)
+        edges = src.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 1) % 200).alias("dst"),
+        ).unionByName(
+            src.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 13 + 3) % 200).alias("dst"),
+            )
+        )
+        pr = pagerank(nodes, edges, n_iter=6)
+        return pr.select("node_id", F.round("rank", 6).alias("rank"))
+
     def fuzzy_terms_q(spark, sf):
         # SymSpell deletion-neighborhood candidates + JVM levenshtein
         # verify == brute-force scan (the oracle) for d=1, by the
@@ -1286,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": decontaminate_q,
         "c4_span_dedup": c4_span_dups,
         "fuzzy_terms": fuzzy_terms_q,
+        "pagerank": pagerank_q,
         "tfidf_keywords": tfidf_keywords_q,
         "event_sessions": event_sessions,
         "asof_join_events": asof_join_events,
@@ -1775,6 +1802,151 @@ def oracle_sql() -> dict[str, str]:
                    CAST({pii_total_sql} AS BIGINT) AS n_pii,
                    {pii_redacted_sql} AS redacted
             FROM counted
+        """,
+        "pagerank": """
+            WITH nodes AS (
+              SELECT doc_id AS node_id FROM documents WHERE doc_id < 200),
+            srcd AS (
+              SELECT doc_id FROM documents
+              WHERE doc_id < 200 AND doc_id % 10 <> 9),
+            edges AS (
+              SELECT doc_id AS src, (doc_id * 7 + 1) % 200 AS dst
+              FROM srcd
+              UNION ALL
+              SELECT doc_id AS src, (doc_id * 13 + 3) % 200 AS dst
+              FROM srcd),
+            degs AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            r0 AS (
+              SELECT node_id, CAST(1.0 AS DOUBLE) / nn.n AS rank
+              FROM nodes CROSS JOIN nn),
+            r1 AS (
+              SELECT n.node_id,
+                     (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                     + CAST(0.85 AS DOUBLE)
+                       * (COALESCE(c.in_rank, CAST(0 AS DOUBLE))
+                          + d.dm / nn.n) AS rank
+              FROM nodes n
+              CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst AS node_id,
+                       sum(r.rank / dg.out_deg) AS in_rank
+                FROM edges e
+                JOIN r0 r ON r.node_id = e.src
+                JOIN degs dg ON dg.src = e.src
+                GROUP BY 1) c ON c.node_id = n.node_id
+              CROSS JOIN (
+                SELECT COALESCE(sum(r.rank), 0) AS dm
+                FROM r0 r
+                LEFT JOIN degs dg ON dg.src = r.node_id
+                WHERE dg.src IS NULL) d
+            ),
+            r2 AS (
+              SELECT n.node_id,
+                     (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                     + CAST(0.85 AS DOUBLE)
+                       * (COALESCE(c.in_rank, CAST(0 AS DOUBLE))
+                          + d.dm / nn.n) AS rank
+              FROM nodes n
+              CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst AS node_id,
+                       sum(r.rank / dg.out_deg) AS in_rank
+                FROM edges e
+                JOIN r1 r ON r.node_id = e.src
+                JOIN degs dg ON dg.src = e.src
+                GROUP BY 1) c ON c.node_id = n.node_id
+              CROSS JOIN (
+                SELECT COALESCE(sum(r.rank), 0) AS dm
+                FROM r1 r
+                LEFT JOIN degs dg ON dg.src = r.node_id
+                WHERE dg.src IS NULL) d
+            ),
+            r3 AS (
+              SELECT n.node_id,
+                     (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                     + CAST(0.85 AS DOUBLE)
+                       * (COALESCE(c.in_rank, CAST(0 AS DOUBLE))
+                          + d.dm / nn.n) AS rank
+              FROM nodes n
+              CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst AS node_id,
+                       sum(r.rank / dg.out_deg) AS in_rank
+                FROM edges e
+                JOIN r2 r ON r.node_id = e.src
+                JOIN degs dg ON dg.src = e.src
+                GROUP BY 1) c ON c.node_id = n.node_id
+              CROSS JOIN (
+                SELECT COALESCE(sum(r.rank), 0) AS dm
+                FROM r2 r
+                LEFT JOIN degs dg ON dg.src = r.node_id
+                WHERE dg.src IS NULL) d
+            ),
+            r4 AS (
+              SELECT n.node_id,
+                     (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                     + CAST(0.85 AS DOUBLE)
+                       * (COALESCE(c.in_rank, CAST(0 AS DOUBLE))
+                          + d.dm / nn.n) AS rank
+              FROM nodes n
+              CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst AS node_id,
+                       sum(r.rank / dg.out_deg) AS in_rank
+                FROM edges e
+                JOIN r3 r ON r.node_id = e.src
+                JOIN degs dg ON dg.src = e.src
+                GROUP BY 1) c ON c.node_id = n.node_id
+              CROSS JOIN (
+                SELECT COALESCE(sum(r.rank), 0) AS dm
+                FROM r3 r
+                LEFT JOIN degs dg ON dg.src = r.node_id
+                WHERE dg.src IS NULL) d
+            ),
+            r5 AS (
+              SELECT n.node_id,
+                     (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                     + CAST(0.85 AS DOUBLE)
+                       * (COALESCE(c.in_rank, CAST(0 AS DOUBLE))
+                          + d.dm / nn.n) AS rank
+              FROM nodes n
+              CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst AS node_id,
+                       sum(r.rank / dg.out_deg) AS in_rank
+                FROM edges e
+                JOIN r4 r ON r.node_id = e.src
+                JOIN degs dg ON dg.src = e.src
+                GROUP BY 1) c ON c.node_id = n.node_id
+              CROSS JOIN (
+                SELECT COALESCE(sum(r.rank), 0) AS dm
+                FROM r4 r
+                LEFT JOIN degs dg ON dg.src = r.node_id
+                WHERE dg.src IS NULL) d
+            ),
+            r6 AS (
+              SELECT n.node_id,
+                     (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+                     + CAST(0.85 AS DOUBLE)
+                       * (COALESCE(c.in_rank, CAST(0 AS DOUBLE))
+                          + d.dm / nn.n) AS rank
+              FROM nodes n
+              CROSS JOIN nn
+              LEFT JOIN (
+                SELECT e.dst AS node_id,
+                       sum(r.rank / dg.out_deg) AS in_rank
+                FROM edges e
+                JOIN r5 r ON r.node_id = e.src
+                JOIN degs dg ON dg.src = e.src
+                GROUP BY 1) c ON c.node_id = n.node_id
+              CROSS JOIN (
+                SELECT COALESCE(sum(r.rank), 0) AS dm
+                FROM r5 r
+                LEFT JOIN degs dg ON dg.src = r.node_id
+                WHERE dg.src IS NULL) d
+            )
+            SELECT node_id, round(rank, 6) AS rank FROM r6
         """,
         "fuzzy_terms": f"""
             WITH {_TOKS}, {_POSTINGS}, {_TSTATS}

@@ -154,6 +154,8 @@ def main() -> None:
         "tfidf_keywords",
         "c4_span_dedup",
         "decontaminate",
+        "fuzzy_terms",
+        "pagerank",
         "phrase_search",
         "gopher_gate",
         "unigram_logprob",

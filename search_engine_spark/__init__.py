@@ -77,6 +77,8 @@ _LAZY = {
     "cosine_topk_ivfpq": "search_engine_spark.operators.similarity",
     "pq_encode": "search_engine_spark.operators.similarity",
     "train_pq_codebooks": "search_engine_spark.operators.similarity",
+    "pagerank": "search_engine_spark.operators.graph",
+    "out_degrees": "search_engine_spark.operators.graph",
     "fuzzy_terms": "search_engine_spark.operators.fuzzy",
     "build_variant_index": "search_engine_spark.operators.fuzzy",
     "correct_query_terms": "search_engine_spark.operators.fuzzy",

@@ -46,6 +46,10 @@ AUDITED = [
     "event_hourly_window",
     "ann_cosine_topk",
     "site_lang_rollup",
+    "pii_scan",
+    "tfidf_keywords",
+    "c4_span_dedup",
+    "decontaminate",
 ]
 
 
