@@ -1207,6 +1207,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = docs.filter(F.col("doc_id") % 50 != 0)
         return contaminated_ids(corpus, bench, "doc_id", "tokens", n=8)
 
+    def suggest_terms_q(spark, sf):
+        from search_engine_spark.operators.fuzzy import suggest_terms
+
+        ts = _docs_index(spark, sf).term_stats.select("term", "df")
+        return suggest_terms(ts, "s", k=5).select(
+            "term", F.col("df").cast("long").alias("df")
+        )
+
+    def stratified_sample_q(spark, sf):
+        from search_engine_spark.operators.curation import (
+            stratified_sample,
+        )
+
+        docs = _read(spark, sf, "documents")
+        return stratified_sample(
+            docs,
+            {"en": 0.5, "de": 0.2},
+            stratum_col="lang",
+            default_fraction=0.1,
+            salt="v1",
+        ).select("doc_id", "lang")
+
     def pagerank_q(spark, sf):
         # deterministic synthetic link graph over the first 200 docs
         # (docs ending in 9 are dangling sinks; two affine out-edges
@@ -1313,6 +1335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_span_dedup": c4_span_dups,
         "fuzzy_terms": fuzzy_terms_q,
         "pagerank": pagerank_q,
+        "suggest_terms": suggest_terms_q,
+        "stratified_sample": stratified_sample_q,
         "tfidf_keywords": tfidf_keywords_q,
         "event_sessions": event_sessions,
         "asof_join_events": asof_join_events,
@@ -1802,6 +1826,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST({pii_total_sql} AS BIGINT) AS n_pii,
                    {pii_redacted_sql} AS redacted
             FROM counted
+        """,
+        "suggest_terms": f"""
+            WITH {_TOKS}, {_POSTINGS}, {_TSTATS}
+            SELECT term, CAST(df AS BIGINT) AS df FROM tstats
+            WHERE term LIKE 's%'
+            ORDER BY df DESC, term ASC LIMIT 5
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(
+                     md5(CAST(doc_id AS VARCHAR) || 'v1'),
+                     18, 15))::BIGINT % 10000
+                  < CASE lang WHEN 'en' THEN 5000
+                              WHEN 'de' THEN 2000
+                              ELSE 1000 END
         """,
         "pagerank": """
             WITH nodes AS (

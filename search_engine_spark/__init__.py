@@ -78,6 +78,8 @@ _LAZY = {
     "pq_encode": "search_engine_spark.operators.similarity",
     "train_pq_codebooks": "search_engine_spark.operators.similarity",
     "pagerank": "search_engine_spark.operators.graph",
+    "suggest_terms": "search_engine_spark.operators.fuzzy",
+    "stratified_sample": "search_engine_spark.operators.curation",
     "out_degrees": "search_engine_spark.operators.graph",
     "fuzzy_terms": "search_engine_spark.operators.fuzzy",
     "build_variant_index": "search_engine_spark.operators.fuzzy",

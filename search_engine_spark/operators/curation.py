@@ -497,3 +497,37 @@ def remove_duplicate_spans(
         )
     )
     return out.drop("__bad_spans", "__sents", "__bad_sents")
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic per-stratum subsample — the training-mix
+    constructor ("keep 50% of en, 20% of ru, drop the rest").
+
+    Membership is a pure function of ``(id, salt)`` via the same
+    md5-bucket as :func:`assign_split` (change the salt for a fresh
+    draw; identical salt -> identical sample on any cluster size or
+    partitioning).  Fractions are applied as integer bucket thresholds
+    out of ``SPLIT_BUCKETS`` (floor), so the expected rate is exact to
+    1/SPLIT_BUCKETS and SQL-reproducible.
+
+    Plan shape: a single filter over the scan — no shuffle, no
+    sampling RNG state, pushdown-friendly.
+    """
+    thresholds = {
+        k: int(v * SPLIT_BUCKETS) for k, v in fractions.items()
+    }
+    for k, t in thresholds.items():
+        if not 0 <= t <= SPLIT_BUCKETS:
+            raise ValueError(f"fraction out of [0,1] for {k!r}")
+    b = split_bucket_col(F.col(id_col), salt)
+    thr: Column = F.lit(int(default_fraction * SPLIT_BUCKETS))
+    for k, t in sorted(thresholds.items()):
+        thr = F.when(F.col(stratum_col) == k, F.lit(t)).otherwise(thr)
+    return df.filter(b < thr)

@@ -151,3 +151,24 @@ def correct_query_terms(
         best = min(cands, key=lambda r: (r["dist"], -r["df"], r["term"]))
         out[t] = best["term"]
     return out
+
+
+def suggest_terms(
+    term_stats: DataFrame,
+    prefix: str,
+    k: int = 10,
+    term_col: str = "term",
+) -> DataFrame:
+    """``(term, df)`` — top-``k`` dictionary completions of ``prefix``
+    by document frequency (ties broken lexically): the autocomplete
+    query.
+
+    ``startswith`` compiles to ``StartsWith`` (a pushable predicate —
+    on a term-sorted/bucketed dictionary the scan prunes to the prefix
+    range) and top-k is TakeOrderedAndProject: no global sort."""
+    return (
+        term_stats.filter(F.col(term_col).startswith(prefix))
+        .select(F.col(term_col).alias("term"), "df")
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+    )

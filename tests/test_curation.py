@@ -161,3 +161,56 @@ def test_assign_split_deterministic_and_proportional(spark):
     )
     diff = joined.filter(F.col("split") != F.col("s2")).count()
     assert diff > 1000
+
+
+def test_stratified_sample_deterministic_and_rates(spark):
+    from search_engine_spark.operators.curation import (
+        split_bucket_col,
+        stratified_sample,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = stratified_sample(
+        df, {"en": 0.5, "de": 0.1}, default_fraction=0.0, salt="s1"
+    )
+    rows = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in rows}
+    # md5 buckets: expect ~1000 en (of 2000) and ~200 de (of 2000)
+    assert 850 <= counts["en"] <= 1150
+    assert 140 <= counts["de"] <= 260
+    # deterministic: same salt = identical membership, on any layout
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(7), {"en": 0.5, "de": 0.1},
+            default_fraction=0.0, salt="s1",
+        ).collect()
+    )
+    assert a == b
+    # fresh salt = a different draw
+    c = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            df, {"en": 0.5, "de": 0.1}, default_fraction=0.0, salt="s2"
+        ).collect()
+    )
+    assert a != c
+    # membership is exactly the bucket rule
+    expect = sorted(
+        r["doc_id"]
+        for r in df.withColumn(
+            "b", split_bucket_col(F.col("doc_id"), "s1")
+        )
+        .filter(
+            (
+                (F.col("lang") == "en") & (F.col("b") < 5000)
+            ) | ((F.col("lang") == "de") & (F.col("b") < 1000))
+        )
+        .collect()
+    )
+    assert a == expect

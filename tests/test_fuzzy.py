@@ -110,3 +110,16 @@ def test_search_fuzzy_rank_identical_to_corrected(spark):
     assert [r[0] for r in fixed] == [r[0] for r in fuzzed]
     # without fuzzy, the typo (unknown term) returns nothing
     assert search(idx, typo, limit=5, analyzer="tokens").count() == 0
+
+
+def test_suggest_terms(spark, ts):
+    from search_engine_spark.operators.fuzzy import suggest_terms
+
+    got = [
+        (r["term"], r["df"])
+        for r in suggest_terms(ts, "sta", k=5).collect()
+    ]
+    assert got == [("stable", 8)]
+    got = [r["term"] for r in suggest_terms(ts, "sp", k=2).collect()]
+    assert got == ["spark", "spar"]  # df 100 then 9
+    assert suggest_terms(ts, "zzz", k=3).count() == 0
