@@ -1207,6 +1207,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = docs.filter(F.col("doc_id") % 50 != 0)
         return contaminated_ids(corpus, bench, "doc_id", "tokens", n=8)
 
+    def chunk_documents_q(spark, sf):
+        from search_engine_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        ch = chunk_documents(
+            _docs_enriched(spark, sf), "doc_id", "tokens",
+            chunk_len=64, overlap=16,
+        )
+        return ch.select(
+            "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_fp"),
+            "n_tokens",
+        )
+
+    def pack_sequences_q(spark, sf):
+        from search_engine_spark.operators.packing import pack_sequences
+
+        packs = pack_sequences(
+            _docs_enriched(spark, sf), seq_len=512,
+            id_col="doc_id", tokens_col_name="tokens",
+        )
+        return packs.select(
+            "pack_id", "n_tokens",
+            F.md5(F.array_join("tokens", " ")).alias("fp"),
+        )
+
     def suggest_terms_q(spark, sf):
         from search_engine_spark.operators.fuzzy import suggest_terms
 
@@ -1335,6 +1362,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_span_dedup": c4_span_dups,
         "fuzzy_terms": fuzzy_terms_q,
         "pagerank": pagerank_q,
+        "chunk_documents": chunk_documents_q,
+        "pack_sequences": pack_sequences_q,
         "suggest_terms": suggest_terms_q,
         "stratified_sample": stratified_sample_q,
         "tfidf_keywords": tfidf_keywords_q,
@@ -1826,6 +1855,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST({pii_total_sql} AS BIGINT) AS n_pii,
                    {pii_redacted_sql} AS redacted
             FROM counted
+        """,
+        "chunk_documents": f"""
+            WITH lt AS (SELECT doc_id, {toks_list} AS tokens
+                        FROM documents),
+            d AS (SELECT doc_id, tokens, len(tokens) AS n FROM lt),
+            nc AS (SELECT doc_id, tokens, n,
+                          CASE WHEN n <= 0 THEN 0
+                               ELSE (greatest(n - 64, 0) + 47) // 48 + 1
+                          END AS n_chunks
+                   FROM d),
+            ch AS (
+              SELECT doc_id,
+                     CAST(i AS INTEGER) AS chunk_idx,
+                     tokens[i * 48 + 1 : i * 48 + 64] AS chunk
+              FROM nc, unnest(range(0, n_chunks)) AS r(i))
+            SELECT doc_id, chunk_idx,
+                   md5(array_to_string(chunk, ' ')) AS chunk_fp,
+                   CAST(len(chunk) AS BIGINT) AS n_tokens
+            FROM ch
+        """,
+        "pack_sequences": f"""
+            WITH lt AS (SELECT doc_id, {toks_list} AS tokens
+                        FROM documents),
+            d AS (SELECT doc_id, tokens, len(tokens) AS n
+                  FROM lt WHERE len(tokens) > 0),
+            offs AS (
+              SELECT doc_id, tokens, n,
+                     COALESCE(sum(n) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS strt
+              FROM d),
+            seg AS (
+              SELECT p.pack_id,
+                     greatest(strt, p.pack_id * 512)
+                       - p.pack_id * 512 AS off,
+                     tokens[greatest(strt, p.pack_id * 512) - strt + 1
+                            : least(strt + n, (p.pack_id + 1) * 512)
+                              - strt] AS sg
+              FROM offs,
+                   unnest(range(CAST(strt // 512 AS BIGINT), CAST((strt + n - 1) // 512 + 1 AS BIGINT)))
+                     AS p(pack_id)),
+            packs AS (
+              SELECT pack_id,
+                     flatten(list(sg ORDER BY off ASC)) AS tokens
+              FROM seg GROUP BY 1)
+            SELECT pack_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(tokens, ' ')) AS fp
+            FROM packs
         """,
         "suggest_terms": f"""
             WITH {_TOKS}, {_POSTINGS}, {_TSTATS}

@@ -156,6 +156,7 @@ def main() -> None:
         "decontaminate",
         "fuzzy_terms",
         "pagerank",
+        "pack_sequences",
         "phrase_search",
         "gopher_gate",
         "unigram_logprob",

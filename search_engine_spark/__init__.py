@@ -77,6 +77,9 @@ _LAZY = {
     "cosine_topk_ivfpq": "search_engine_spark.operators.similarity",
     "pq_encode": "search_engine_spark.operators.similarity",
     "train_pq_codebooks": "search_engine_spark.operators.similarity",
+    "chunk_documents": "search_engine_spark.operators.packing",
+    "pack_sequences": "search_engine_spark.operators.packing",
+    "exclusive_prefix_sum": "search_engine_spark.operators.packing",
     "pagerank": "search_engine_spark.operators.graph",
     "suggest_terms": "search_engine_spark.operators.fuzzy",
     "stratified_sample": "search_engine_spark.operators.curation",
