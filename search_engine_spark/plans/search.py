@@ -115,6 +115,7 @@ def search(
     use_stoplist: bool = True,
     fuzzy: bool = False,
     fuzzy_max_dist: int = 1,
+    candidates: str = "rarest",
 ) -> DataFrame:
     """Top-(offset+limit) BM25 results: (id, site, score, rn).
 
@@ -126,6 +127,12 @@ def search(
     then max df, then lexical — deterministic) BEFORE stop-removal;
     unknown terms with no match stay absent, exactly like the
     reference's silent unknown-lemma drop.
+
+    ``candidates``: "rarest" (reference R13 semantics — AND-leaning
+    recall from the single max-IDF term's postings) or "union" (OR
+    semantics: any doc containing ANY query term scores; same BM25
+    arithmetic, one extra distinct over the query-term postings —
+    still O(query-term postings), never a corpus scan).
     """
     id_col = index.id_col
     k1, b = index.config.bm25.k1, index.config.bm25.b
@@ -157,17 +164,27 @@ def search(
         return empty
 
     # R13: candidates = postings of the single rarest (max-IDF) lemma;
-    # normative tie-break on equal IDF: term asc.
+    # normative tie-break on equal IDF: term asc.  "union" mode widens
+    # to any-term membership (OR semantics) for recall-oriented
+    # callers (more_like_this).
     rarest = sorted(terms, key=lambda t: (-idf[t], t))[0]
 
     doc_lens = index.doc_lens
     if sites:
         doc_lens = doc_lens.filter(F.col("site").isin(sites))  # R2
 
-    candidates = (
-        index.postings.filter(F.col("term") == rarest)
-        .select(id_col)
-        .join(doc_lens.select(id_col, "site", "doc_len"), id_col)
+    if candidates == "union":
+        cand_ids = (
+            index.postings.filter(F.col("term").isin(terms))
+            .select(id_col)
+            .distinct()
+        )
+    else:
+        cand_ids = index.postings.filter(
+            F.col("term") == rarest
+        ).select(id_col)
+    candidates = cand_ids.join(
+        doc_lens.select(id_col, "site", "doc_len"), id_col
     )
 
     # R5 collapsed: one join of candidates × all-query-term postings.
@@ -447,4 +464,72 @@ def search_many(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= limit)
         .select("query_id", id_col, "site", "score", "rn")
+    )
+
+
+def more_like_this(
+    index: InvertedIndex,
+    doc_id,
+    k: int = 10,
+    n_terms: int = 8,
+    sites: list[str] | None = None,
+) -> DataFrame:
+    """Documents most similar to ``doc_id`` — Lucene-MoreLikeThis
+    style: take the source document's ``n_terms`` highest-tf·idf
+    non-stop terms from the index (no re-tokenization — the postings
+    ARE the term vector), then BM25-rank the corpus against them,
+    excluding the source doc.
+
+    Plan shape: the term selection reads ONE doc's postings (an
+    id-keyed filter on the postings table — partition-prunable by the
+    same layout that serves tf point-probes) joined to the broadcast
+    term_stats; the ranking phase is the production ``search`` path
+    with its candidate-generation and broadcast-stats behavior —
+    per-query work stays O(query terms), never a corpus scan.
+
+    Deterministic: term pick orders by (tf·idf desc, term asc); result
+    keeps the search path's (score desc, id asc) ordering contract.
+    """
+    id_col = index.id_col
+    n_docs = index.doc_lens.count()
+    stop = set(index.stoplist)
+
+    doc_terms = (
+        index.postings.filter(F.col(id_col) == doc_id)
+        .join(F.broadcast(index.term_stats.select("term", "df")), "term")
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn("w", F.col("tf") * F.col("idf"))
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(n_terms + len(stop))
+        .collect()
+    )
+    # drop stop terms AND df==1 terms (unique to the source doc — they
+    # cannot match any OTHER document, and under rarest-term candidate
+    # generation they would collapse recall to the source itself)
+    terms = [
+        r["term"]
+        for r in doc_terms
+        if r["term"] not in stop and r["df"] > 1
+    ][:n_terms]
+    if not terms:
+        return (
+            index.doc_lens.select(id_col, "site")
+            .limit(0)
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rn", F.lit(0).cast("int"))
+        )
+    res = search(
+        index, " ".join(terms), sites=sites, limit=k + 1,
+        analyzer="tokens", use_stoplist=False, candidates="union",
+    )
+    return (
+        res.filter(F.col(id_col) != doc_id)
+        .orderBy(F.asc("rn"))
+        .limit(k)
     )
