@@ -50,6 +50,9 @@ AUDITED = [
     "tfidf_keywords",
     "c4_span_dedup",
     "decontaminate",
+    "pack_sequences",
+    "stratified_sample",
+    "chunk_documents",
 ]
 
 
