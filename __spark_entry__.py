@@ -1207,6 +1207,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = docs.filter(F.col("doc_id") % 50 != 0)
         return contaminated_ids(corpus, bench, "doc_id", "tokens", n=8)
 
+    def filter_urls_q(spark, sf):
+        # synthesized deterministic urls (same expression in the
+        # oracle), host blocklist + pattern blocklist
+        from search_engine_spark.operators.curation import filter_urls
+
+        url = F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example/p"),
+            F.col("doc_id").cast("string"),
+        )
+        docs = _read(spark, sf, "documents").select(
+            "doc_id", url.alias("url")
+        )
+        return filter_urls(
+            docs,
+            deny_hosts=["site3.example", "site7.example"],
+            deny_patterns=[".*0$"],
+        )
+
     def chunk_documents_q(spark, sf):
         from search_engine_spark.operators.packing import (
             chunk_documents,
@@ -1362,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_span_dedup": c4_span_dups,
         "fuzzy_terms": fuzzy_terms_q,
         "pagerank": pagerank_q,
+        "filter_urls": filter_urls_q,
         "chunk_documents": chunk_documents_q,
         "pack_sequences": pack_sequences_q,
         "suggest_terms": suggest_terms_q,
@@ -1855,6 +1876,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST({pii_total_sql} AS BIGINT) AS n_pii,
                    {pii_redacted_sql} AS redacted
             FROM counted
+        """,
+        "filter_urls": """
+            WITH u AS (
+              SELECT doc_id,
+                     'https://site' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example/p' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents),
+            h AS (SELECT doc_id, url,
+                         regexp_extract(url, '^https?://([^/]+)', 1)
+                           AS host
+                  FROM u)
+            SELECT doc_id, url FROM h
+            WHERE NOT (host = 'site3.example'
+                       OR host LIKE '%.site3.example'
+                       OR host = 'site7.example'
+                       OR host LIKE '%.site7.example')
+              AND NOT regexp_matches(url, '.*0$')
         """,
         "chunk_documents": f"""
             WITH lt AS (SELECT doc_id, {toks_list} AS tokens

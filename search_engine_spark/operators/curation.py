@@ -531,3 +531,46 @@ def stratified_sample(
     for k, t in sorted(thresholds.items()):
         thr = F.when(F.col(stratum_col) == k, F.lit(t)).otherwise(thr)
     return df.filter(b < thr)
+
+
+def filter_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    deny_hosts: list[str] | None = None,
+    deny_patterns: list[str] | None = None,
+    allow_hosts: list[str] | None = None,
+) -> DataFrame:
+    """Domain/URL blocklist filtering — the first gate of any web
+    curation pipeline.
+
+    - ``deny_hosts``: drop when the URL host equals a listed host or
+      is one of its subdomains (``host == h`` or ``endswith "." + h``);
+    - ``deny_patterns``: drop when the FULL url matches any regex
+      (RE2-safe patterns recommended so a SQL oracle can mirror them);
+    - ``allow_hosts``: when given, keep ONLY these hosts (+subdomains);
+      applied before the deny lists (deny wins inside the allowed set).
+
+    One filter over the scan (host extraction is ``parse_url``, a JVM
+    expression): no shuffle, pushdown-friendly, blocklist sizes up to
+    ~10^5 entries stay cheap as an in-plan literal set; beyond that,
+    broadcast-join a blocklist table instead.
+    """
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+
+    def _host_match(hosts: list[str]) -> Column:
+        cond = F.lit(False)
+        for h in hosts:
+            cond = cond | (host == h) | host.endswith("." + h)
+        return cond
+
+    out = df
+    if allow_hosts:
+        out = out.filter(_host_match(allow_hosts))
+    if deny_hosts:
+        out = out.filter(~_host_match(deny_hosts))
+    if deny_patterns:
+        bad = F.lit(False)
+        for pat in deny_patterns:
+            bad = bad | F.col(url_col).rlike(pat)
+        out = out.filter(~bad)
+    return out

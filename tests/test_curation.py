@@ -214,3 +214,34 @@ def test_stratified_sample_deterministic_and_rates(spark):
         .collect()
     )
     assert a == expect
+
+
+def test_filter_urls(spark):
+    from search_engine_spark.operators.curation import filter_urls
+
+    rows = [
+        (1, "https://good.example/page1"),
+        (2, "https://spam.example/page2"),
+        (3, "https://sub.spam.example/page3"),     # subdomain of deny
+        (4, "https://notspam.example/page4"),      # NOT a subdomain
+        (5, "https://good.example/tracker/pixel"),  # pattern deny
+        (6, "http://other.example/page6"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    kept = sorted(
+        r["doc_id"]
+        for r in filter_urls(
+            df,
+            deny_hosts=["spam.example"],
+            deny_patterns=[r".*/tracker/.*"],
+        ).collect()
+    )
+    assert kept == [1, 4, 6]
+    only = sorted(
+        r["doc_id"]
+        for r in filter_urls(
+            df, allow_hosts=["good.example"],
+            deny_patterns=[r".*/tracker/.*"],
+        ).collect()
+    )
+    assert only == [1]

@@ -14,7 +14,8 @@ from search_engine_spark.operators.packing import (
 
 def _tok_df(spark, docs):
     return spark.createDataFrame(
-        [(i, toks) for i, toks in docs], ["doc_id", "tokens"]
+        [(i, toks) for i, toks in docs],
+        "doc_id long, tokens array<string>",
     )
 
 
@@ -134,3 +135,34 @@ def test_pack_partitioning_invariant(spark):
         ).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: packing == python reference on arbitrary corpora
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=0, max_value=40), min_size=1, max_size=25
+    ),
+    L=st.integers(min_value=1, max_value=17),
+    bucket=st.integers(min_value=1, max_value=50),
+)
+def test_pack_sequences_hypothesis(spark, sizes, L, bucket):
+    docs = [
+        (i, [f"d{i}t{j}" for j in range(n)])
+        for i, n in enumerate(sizes)
+    ]
+    got = {
+        r["pack_id"]: r["tokens"]
+        for r in pack_sequences(
+            _tok_df(spark, docs), seq_len=L, bucket_size=bucket
+        ).collect()
+    }
+    want = _ref_pack([d for d in docs if d[1]], L)
+    assert got == want
