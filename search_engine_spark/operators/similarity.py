@@ -106,24 +106,49 @@ def cosine_topk_lsh(
     n_planes: int = 6,
     n_tables: int = 4,
     seed: int = 1234,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share an SRP bucket in at
     least one of ``n_tables`` hash tables; exact rescoring on the
-    (small) candidate set."""
+    (small) candidate set.
+
+    ``multi_probe`` (Lv et al. 2007): the QUERY side additionally
+    probes every Hamming-distance-1 bucket (flip each plane bit) —
+    n_planes extra probe rows per query per table, corpus side
+    untouched.  Equal-or-better recall lets ``n_tables`` shrink (the
+    corpus-side bucketing, the expensive half at 100 TB, scales with
+    n_tables; query-side probes are queries-sized — cheap)."""
     tables = [
         _hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
     ]
 
-    def bucketize(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        buckets = F.array(
+    def bucketize(
+        df: DataFrame, idname: str, vecname: str, probe: bool = False
+    ) -> DataFrame:
+        def probes(bucket):
+            if not probe:
+                return F.array(bucket)
+            return F.array(
+                bucket,
+                *[
+                    bucket.bitwiseXOR(F.lit(1 << b).cast("long"))
+                    for b in range(n_planes)
+                ],
+            )
+
+        buckets = F.flatten(F.array(
             *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    srp_bucket_col(F.col(vecname), tables[t]).alias("bucket"),
+                F.transform(
+                    probes(
+                        srp_bucket_col(F.col(vecname), tables[t])
+                    ),
+                    lambda bk: F.struct(
+                        F.lit(t).alias("table"), bk.alias("bucket")
+                    ),
                 )
                 for t in range(n_tables)
             ]
-        )
+        ))
         return df.select(
             F.col(idname), F.col(vecname), F.explode(buckets).alias("tb")
         ).select(idname, vecname, "tb.table", "tb.bucket")
@@ -131,7 +156,7 @@ def cosine_topk_lsh(
     q = bucketize(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("qvec")),
-        "query_id", "qvec",
+        "query_id", "qvec", probe=multi_probe,
     )
     c = bucketize(
         corpus.select(F.col(id_col).alias("neighbor_id"),
