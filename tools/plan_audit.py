@@ -77,6 +77,7 @@ def main() -> int:
 
     qs = entrymod.queries()
     failures = []
+    results = {}
     for name in AUDITED:
         if name_filter and name_filter not in name:
             continue
@@ -106,7 +107,25 @@ def main() -> int:
             f"bhj={bhj} smj={smj} pushed={pushed} arrow={arrow} "
             f"rowpy={py_rows}"
         )
+        results[name] = {
+            "status": status, "codegen_spans": wsc, "exchanges": exch,
+            "broadcast_joins": bhj, "sortmerge_joins": smj,
+            "pushed_filter_scans": pushed, "arrow_python": arrow,
+            "row_python": py_rows,
+        }
     spark.stop()
+    if not name_filter:
+        import json
+
+        with open(
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "PLAN_AUDIT.json"), "w"
+        ) as fh:
+            json.dump(
+                {"sf_dir": sf_dir, "clean": not failures,
+                 "queries": results},
+                fh, indent=1,
+            )
     if failures:
         print(f"\n{len(failures)} plan failure(s): {failures}")
         return 1
