@@ -1207,6 +1207,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = docs.filter(F.col("doc_id") % 50 != 0)
         return contaminated_ids(corpus, bench, "doc_id", "tokens", n=8)
 
+    def sample_per_group_q(spark, sf):
+        from search_engine_spark.operators.curation import (
+            sample_n_per_group,
+        )
+
+        return sample_n_per_group(
+            _read(spark, sf, "documents"), 5, "source", "doc_id",
+            salt="v1",
+        ).select("doc_id", "source")
+
     def filter_urls_q(spark, sf):
         # synthesized deterministic urls (same expression in the
         # oracle), host blocklist + pattern blocklist
@@ -1382,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_span_dedup": c4_span_dups,
         "fuzzy_terms": fuzzy_terms_q,
         "pagerank": pagerank_q,
+        "sample_per_group": sample_per_group_q,
         "filter_urls": filter_urls_q,
         "chunk_documents": chunk_documents_q,
         "pack_sequences": pack_sequences_q,
@@ -1876,6 +1887,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST({pii_total_sql} AS BIGINT) AS n_pii,
                    {pii_redacted_sql} AS redacted
             FROM counted
+        """,
+        "sample_per_group": """
+            WITH b AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(
+                        md5(CAST(doc_id AS VARCHAR) || 'v1'),
+                        18, 15))::BIGINT % 10000 AS bk
+              FROM documents),
+            r AS (
+              SELECT doc_id, source,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY bk, doc_id) AS rn
+              FROM b)
+            SELECT doc_id, source FROM r WHERE rn <= 5
         """,
         "filter_urls": """
             WITH u AS (

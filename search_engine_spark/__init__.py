@@ -94,6 +94,7 @@ _LAZY = {
     "decontaminate": "search_engine_spark.operators.dedup",
     "tfidf_keywords": "search_engine_spark.operators.curation",
     "filter_urls": "search_engine_spark.operators.curation",
+    "sample_n_per_group": "search_engine_spark.operators.curation",
     "cms_build": "search_engine_spark.operators.sketches",
     "cms_merge": "search_engine_spark.operators.sketches",
     "cms_estimate": "search_engine_spark.operators.sketches",

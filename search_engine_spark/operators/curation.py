@@ -574,3 +574,54 @@ def filter_urls(
             bad = bad | F.col(url_col).rlike(pat)
         out = out.filter(~bad)
     return out
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    n: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    prefilter_factor: float | None = None,
+) -> DataFrame:
+    """Deterministic at-most-``n``-rows-per-group subsample — balanced
+    corpus construction ("keep at most N pages per domain").
+
+    Rows rank within their group by ``(md5 bucket, id)`` — a salted,
+    uniform, partitioning-invariant order — and the first ``n``
+    survive.  Same salt => identical sample anywhere; new salt =>
+    fresh draw.
+
+    Scale note: the rank is a per-group window, so a head group (a
+    domain with 10^9 pages at web scale) is one task.  Pass
+    ``prefilter_factor`` (e.g. 4.0) to bucket-prune each group to
+    ~factor*n expected rows BEFORE the window (group counts are a tiny
+    broadcast aggregate): the window then ranks thousands, not
+    billions.  The prune keeps the window's winners with probability
+    ->1 for factor >= 4 (Chernoff on the uniform bucket), but is not
+    a hard guarantee — leave it off where exactness vs the unfiltered
+    semantics must hold.
+    """
+    b = split_bucket_col(F.col(id_col), salt)
+    work = df
+    if prefilter_factor is not None:
+        counts = df.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("__gc")
+        )
+        thr = F.least(
+            F.lit(SPLIT_BUCKETS),
+            F.ceil(
+                F.lit(float(n) * prefilter_factor)
+                / F.col("__gc") * SPLIT_BUCKETS
+            ),
+        )
+        work = df.join(
+            F.broadcast(counts.select(group_col, thr.alias("__thr"))),
+            group_col,
+        ).filter(b < F.col("__thr")).drop("__thr")
+    w = Window.partitionBy(group_col).orderBy(b.asc(), F.col(id_col).asc())
+    return (
+        work.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

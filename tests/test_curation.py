@@ -245,3 +245,47 @@ def test_filter_urls(spark):
         ).collect()
     )
     assert only == [1]
+
+
+def test_sample_n_per_group(spark):
+    from search_engine_spark.operators.curation import sample_n_per_group
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+    )
+    out = sample_n_per_group(df, 10, "source", "doc_id", salt="a")
+    counts = {
+        r["source"]: r["count"]
+        for r in out.groupBy("source").count().collect()
+    }
+    assert all(c == 10 for c in counts.values()) and len(counts) == 7
+    # small group: keeps everything
+    small = df.filter(F.col("doc_id") < 5)
+    assert sample_n_per_group(small, 10, "source", "doc_id").count() == 5
+    # deterministic + partitioning-invariant
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_n_per_group(
+            df.repartition(11), 10, "source", "doc_id", salt="a"
+        ).collect()
+    )
+    assert a == b
+    # different salt: different draw
+    c = sorted(
+        r["doc_id"]
+        for r in sample_n_per_group(
+            df, 10, "source", "doc_id", salt="b"
+        ).collect()
+    )
+    assert a != c
+    # prefiltered two-phase path agrees with the exact path here
+    d = sorted(
+        r["doc_id"]
+        for r in sample_n_per_group(
+            df, 10, "source", "doc_id", salt="a", prefilter_factor=6.0
+        ).collect()
+    )
+    assert d == a
