@@ -139,12 +139,13 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
-def _search_docs(spark, sf_dir, query, sites=None, offset=0, limit=10):
+def _search_docs(spark, sf_dir, query, sites=None, offset=0, limit=10,
+                 exclude_terms=None):
     from search_engine_spark.plans.search import search
 
     idx = _docs_index(spark, sf_dir)
     res = search(idx, query, sites=sites, offset=offset, limit=limit,
-                 analyzer="tokens")
+                 analyzer="tokens", exclude_terms=exclude_terms)
     return res.select(
         "doc_id", F.round("score", 6).alias("score"),
         F.col("rn").cast("int").alias("rn"),
@@ -360,8 +361,16 @@ _STOP = f"stop AS (SELECT term FROM tstats ORDER BY df DESC, term ASC LIMIT {STO
 def _bm25_sql(terms: list[str], sites: list[str] | None = None,
               offset: int = 0, limit: int = 10,
               postings_cte: str = _POSTINGS,
-              extra_cte: str = "") -> str:
+              extra_cte: str = "",
+              exclude: list[str] | None = None) -> str:
     term_list = ", ".join(f"'{t}'" for t in terms)
+    cand_not = ""
+    if exclude:
+        ex_list = ", ".join(f"'{t}'" for t in exclude)
+        cand_not = (
+            f"WHERE p.doc_id NOT IN (SELECT doc_id FROM postings "
+            f"WHERE term IN ({ex_list}))"
+        )
     if sites:
         site_list = ", ".join(f"'{s}'" for s in sites)
         n_expr = f"(SELECT count(*) FROM documents WHERE source IN ({site_list}))"
@@ -386,6 +395,7 @@ cand AS (
   SELECT p.doc_id FROM postings p
   JOIN rarest r ON p.term = r.term
   {cand_site}
+  {cand_not}
 ),
 scored AS (
   SELECT c.doc_id,
@@ -477,6 +487,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_topk(spark, sf):
         return _search_docs(spark, sf, FLAGSHIP_QUERY, limit=10)
+
+    def bm25_not_topk(spark, sf):
+        return _search_docs(
+            spark, sf, FLAGSHIP_QUERY, limit=10,
+            exclude_terms=["window"],
+        )
 
     def bm25_site_restricted(spark, sf):
         return _search_docs(
@@ -1362,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stoplist": stoplist_q,
         "query_idf": idf_q,
         "bm25_topk": bm25_topk,
+        "bm25_not_topk": bm25_not_topk,
         "bm25_site_restricted": bm25_site_restricted,
         "bm25_pagination": bm25_pagination,
         "postings_lemma": postings_lemma,
@@ -1543,6 +1560,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE term IN ({", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)})
         """,
         "bm25_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
+        "bm25_not_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10, exclude=["window"]),
         "bm25_site_restricted": _bm25_sql(
             FLAGSHIP_TERMS, sites=SITES_RESTRICTED, limit=10
         ),

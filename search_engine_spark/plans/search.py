@@ -116,6 +116,7 @@ def search(
     fuzzy: bool = False,
     fuzzy_max_dist: int = 1,
     candidates: str = "rarest",
+    exclude_terms: list[str] | None = None,
 ) -> DataFrame:
     """Top-(offset+limit) BM25 results: (id, site, score, rn).
 
@@ -133,6 +134,11 @@ def search(
     semantics: any doc containing ANY query term scores; same BM25
     arithmetic, one extra distinct over the query-term postings —
     still O(query-term postings), never a corpus scan).
+
+    ``exclude_terms``: NOT semantics — drop any candidate containing
+    one of these terms (analyzed with the same pipeline), via ONE
+    anti-join against the excluded terms' postings; cost is
+    O(excluded-term postings), never a corpus scan.
     """
     id_col = index.id_col
     k1, b = index.config.bm25.k1, index.config.bm25.b
@@ -183,6 +189,20 @@ def search(
         cand_ids = index.postings.filter(
             F.col("term") == rarest
         ).select(id_col)
+    if exclude_terms:
+        ex = [
+            t
+            for raw in exclude_terms
+            for t in analyze_query(raw, lang, analyzer)
+        ]
+        if ex:
+            cand_ids = cand_ids.join(
+                index.postings.filter(F.col("term").isin(ex)).select(
+                    id_col
+                ),
+                id_col,
+                "left_anti",
+            )
     candidates = cand_ids.join(
         doc_lens.select(id_col, "site", "doc_len"), id_col
     )

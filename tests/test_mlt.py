@@ -88,3 +88,25 @@ def test_union_candidates_superset_and_score_identical(spark, idx):
     scores_b = {r[idx.id_col]: r["score"] for r in b}
     for i in ids_a:
         assert scores_b[i] == pytest.approx(scores_a[i])
+
+
+def test_exclude_terms_not_semantics(spark, idx):
+    # baseline: "quantum" matches p0 and p5
+    base = search(idx, "quantum", limit=10, analyzer="tokens",
+                  use_stoplist=False).collect()
+    ids = {r[idx.id_col] for r in base}
+    assert len(ids) == 2
+    # NOT daily: p0 (contains 'daily') drops, p5 ('nightly') stays
+    out = search(idx, "quantum", limit=10, analyzer="tokens",
+                 use_stoplist=False, exclude_terms=["daily"]).collect()
+    kept = {r[idx.id_col] for r in out}
+    assert len(kept) == 1 and all("/p5" in i for i in kept)
+    # surviving doc's score unchanged by the exclusion
+    s_base = {r[idx.id_col]: r["score"] for r in base}
+    for r in out:
+        assert r["score"] == pytest.approx(s_base[r[idx.id_col]])
+    # excluding an unknown term is a no-op
+    noop = search(idx, "quantum", limit=10, analyzer="tokens",
+                  use_stoplist=False,
+                  exclude_terms=["zzzmissing"]).collect()
+    assert {r[idx.id_col] for r in noop} == ids
