@@ -1051,6 +1051,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rn").cast("int").alias("rn"),
         )
 
+    def bm25_batch_compact(spark, sf):  # batch over the PERSISTED index
+        from search_engine_spark.plans.wand import search_many_compact
+
+        cidx = _docs_compact(spark, sf)
+        res = search_many_compact(
+            cidx,
+            [FLAGSHIP_QUERY, "window spark", "sort query big", "hash table"],
+            limit=10,
+            analyzer="tokens",
+        )
+        return res.select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col(cidx.id_col).alias("doc_id"),
+            F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
     def cms_term_counts(spark, sf):  # rows-only (hash-bucketed sketch)
         from search_engine_spark.operators.sketches import (
             cms_build,
@@ -1442,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": extract_links,
         "bm25f_topk": bm25f_topk_q,
         "bm25_batch": bm25_batch,
+        "bm25_batch_compact": bm25_batch_compact,
         "novel_documents": novel_documents_q,
         "cms_term_counts": cms_term_counts,
         "topk_per_site": topk_per_site,
@@ -1587,6 +1605,13 @@ def oracle_sql() -> dict[str, str]:
               AND md5(n.t) NOT IN
                   (SELECT md5(t) FROM nrm WHERE doc_id < 250)
         """,
+        "bm25_batch_compact": " UNION ALL ".join(
+            f"SELECT {i} AS query_id, * FROM ({_bm25_sql(terms)})"
+            for i, terms in enumerate(
+                [FLAGSHIP_TERMS, ["window", "spark"],
+                 ["sort", "query", "big"], ["hash", "table"]]
+            )
+        ),
         "bm25_batch": " UNION ALL ".join(
             f"SELECT {i} AS query_id, * FROM ({_bm25_sql(terms)})"
             for i, terms in enumerate(

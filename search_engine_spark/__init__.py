@@ -36,6 +36,7 @@ _LAZY = {
     "compact_index": "search_engine_spark.operators.compact",
     "search": "search_engine_spark.plans.search",
     "search_compact": "search_engine_spark.plans.wand",
+    "search_many_compact": "search_engine_spark.plans.wand",
     "build_and_write": "search_engine_spark.plans.build",
     "load_compact_index": "search_engine_spark.plans.build",
     "open_index": "search_engine_spark.plans.incremental",

@@ -254,3 +254,71 @@ def search_compact(
         .filter(F.col("rn") > offset)
         .select(id_col, "site", "score", "rn")
     )
+
+
+def search_many_compact(
+    cidx: CompactIndex,
+    queries: list[str],
+    sites: list[str] | None = None,
+    limit: int = 20,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+) -> DataFrame:
+    """Batch query evaluation over the persisted compact index:
+    ``(query_id, <id_col>, site, score, rn)`` — rank-identical per
+    query to :func:`search_compact` (pinned by tests).
+
+    Plan: the union of every query's surviving terms prunes the
+    bucket-partitioned segment scan ONCE and decodes ONCE; the decoded
+    (term, id, tf) rows then feed the batched logical evaluator
+    (:func:`plans.search.search_many`) — one pass over the segments
+    serves the whole query set, vs one scan + decode per query when
+    looping ``search_compact``.  Block-max pruning is per-query state
+    and is intentionally skipped (batch wins come from scan/decode
+    sharing; the exact scorer matches WAND's ranks by construction).
+    """
+    from search_engine_spark.operators.postings import InvertedIndex
+    from search_engine_spark.plans.search import search_many
+
+    id_col = cidx.id_col
+    stop = set(cidx.stoplist) if use_stoplist else set()
+    all_terms = sorted(
+        {
+            t
+            for q in queries
+            for t in analyze_query(q, lang, analyzer)
+            if t not in stop
+        }
+    )
+    if not all_terms:
+        return (
+            cidx.doc_map.select(id_col, "site")
+            .limit(0)
+            .withColumn("query_id", F.lit(0))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rn", F.lit(0))
+            .select("query_id", id_col, "site", "score", "rn")
+        )
+    # decode once; re-key doc_id -> the public id so ranks (incl. the
+    # id tie-break) match search_compact exactly
+    qpost = (
+        decode_segments(_segs_for_terms(cidx, all_terms))
+        .join(cidx.doc_map.select("doc_id", id_col), "doc_id")
+        .select("term", id_col, "tf")
+    )
+    idx = InvertedIndex(
+        postings=qpost,
+        doc_lens=cidx.doc_map.select(id_col, "site", "doc_len"),
+        term_stats=cidx.term_stats,
+        site_stats=cidx.site_stats,
+        n_docs=cidx.n_docs,
+        avg_len=cidx.avg_len,
+        stoplist=cidx.stoplist,
+        id_col=id_col,
+        config=cidx.config,
+    )
+    return search_many(
+        idx, queries, sites=sites, limit=limit, lang=lang,
+        analyzer=analyzer, use_stoplist=use_stoplist,
+    )

@@ -353,3 +353,29 @@ def test_build_write_load_resume(spark, small_corpus, tmp_path):
                                     offset=offset, limit=limit).collect()
         ]
         assert a == b
+
+
+def test_search_many_compact_rank_identical(compacted):
+    from search_engine_spark.plans.wand import (
+        search_compact,
+        search_many_compact,
+    )
+
+    queries = [
+        "crystal meadow",
+        "crystals meadows rivers",
+        "zzzqqq",            # no surviving terms → absent from batch
+        "velvet",
+    ]
+    batch = search_many_compact(compacted, queries, limit=7).collect()
+    by_q: dict = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rn"], r["url"], r["site"], round(r["score"], 9))
+        )
+    for qid, q in enumerate(queries):
+        single = [
+            (r["rn"], r["url"], r["site"], round(r["score"], 9))
+            for r in search_compact(compacted, q, limit=7).collect()
+        ]
+        assert sorted(by_q.get(qid, [])) == sorted(single), (qid, q)
