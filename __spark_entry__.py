@@ -1051,6 +1051,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rn").cast("int").alias("rn"),
         )
 
+    def facet_counts_q(spark, sf):
+        from search_engine_spark.plans.search import facet_counts
+
+        idx = _docs_index(spark, sf)
+        return facet_counts(
+            idx, FLAGSHIP_QUERY, facet_col="site", analyzer="tokens"
+        ).select(F.col("site"), "hits")
+
     def bm25_batch_compact(spark, sf):  # batch over the PERSISTED index
         from search_engine_spark.plans.wand import search_many_compact
 
@@ -1460,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": bm25f_topk_q,
         "bm25_batch": bm25_batch,
         "bm25_batch_compact": bm25_batch_compact,
+        "facet_counts": facet_counts_q,
         "novel_documents": novel_documents_q,
         "cms_term_counts": cms_term_counts,
         "topk_per_site": topk_per_site,
@@ -1605,6 +1614,23 @@ def oracle_sql() -> dict[str, str]:
               AND md5(n.t) NOT IN
                   (SELECT md5(t) FROM nrm WHERE doc_id < 250)
         """,
+        "facet_counts": f"""
+            WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+            nn AS (SELECT (SELECT count(*) FROM documents) AS n),
+            qt AS (
+              SELECT ts.term, ts.df
+              FROM tstats ts CROSS JOIN nn
+              WHERE ts.term IN ({{term_list}})
+                AND ts.term NOT IN (SELECT term FROM stop)
+                AND (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0),
+            rarest AS (SELECT term FROM qt ORDER BY df ASC, term ASC
+                       LIMIT 1)
+            SELECT l.site, count(*) AS hits
+            FROM postings p
+            JOIN rarest r ON p.term = r.term
+            JOIN lens l ON l.doc_id = p.doc_id
+            GROUP BY 1
+        """.replace("{term_list}", ", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)),
         "bm25_batch_compact": " UNION ALL ".join(
             f"SELECT {i} AS query_id, * FROM ({_bm25_sql(terms)})"
             for i, terms in enumerate(

@@ -75,6 +75,7 @@ _LAZY = {
     "assign_split": "search_engine_spark.operators.curation",
     "bm25f_topk": "search_engine_spark.plans.search",
     "more_like_this": "search_engine_spark.plans.search",
+    "facet_counts": "search_engine_spark.plans.search",
     "corpus_rollup": "search_engine_spark.plans.statistics",
     "cosine_topk_ivfpq": "search_engine_spark.operators.similarity",
     "pq_encode": "search_engine_spark.operators.similarity",

@@ -553,3 +553,51 @@ def more_like_this(
         .orderBy(F.asc("rn"))
         .limit(k)
     )
+
+
+def facet_counts(
+    index: InvertedIndex,
+    query: str,
+    facet_col: str = "site",
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+    candidates: str = "rarest",
+) -> DataFrame:
+    """``(<facet>, hits)`` — how many matching documents per facet
+    value (the sidebar counts of a search UI), under the same
+    candidate semantics as :func:`search` ("rarest" reference R13 or
+    "union" OR-mode).
+
+    One candidate generation + one map-side-combined count — no
+    scoring, no window; cost is O(candidate postings).
+    """
+    terms = analyze_query(query, lang, analyzer)
+    if use_stoplist:
+        stop = set(index.stoplist)
+        terms = [t for t in terms if t not in stop]
+    idf = query_term_idf(index, terms)
+    terms = [t for t in terms if t in idf]
+    id_col = index.id_col
+    if not terms:
+        return (
+            index.doc_lens.select(facet_col)
+            .limit(0)
+            .withColumn("hits", F.lit(0).cast("long"))
+        )
+    if candidates == "union":
+        cand = (
+            index.postings.filter(F.col("term").isin(terms))
+            .select(id_col)
+            .distinct()
+        )
+    else:
+        rarest = sorted(terms, key=lambda t: (-idf[t], t))[0]
+        cand = index.postings.filter(F.col("term") == rarest).select(
+            id_col
+        )
+    return (
+        cand.join(index.doc_lens.select(id_col, facet_col), id_col)
+        .groupBy(facet_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )

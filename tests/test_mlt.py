@@ -110,3 +110,27 @@ def test_exclude_terms_not_semantics(spark, idx):
                   use_stoplist=False,
                   exclude_terms=["zzzmissing"]).collect()
     assert {r[idx.id_col] for r in noop} == ids
+
+
+def test_facet_counts(spark, idx):
+    from search_engine_spark.plans.search import facet_counts
+
+    got = {
+        r["site"]: r["hits"]
+        for r in facet_counts(
+            idx, "quantum", analyzer="tokens", use_stoplist=False
+        ).collect()
+    }
+    # p0 on s0, p5 on s1
+    assert got == {"s0.example": 1, "s1.example": 1}
+    # union mode over two terms counts any-term matches
+    u = {
+        r["site"]: r["hits"]
+        for r in facet_counts(
+            idx, "quantum gardening", analyzer="tokens",
+            use_stoplist=False, candidates="union",
+        ).collect()
+    }
+    assert u["s1.example"] >= 2  # p1 (gardening) + p5 (quantum)
+    # empty query -> no rows
+    assert facet_counts(idx, "", analyzer="tokens").count() == 0
