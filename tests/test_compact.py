@@ -379,3 +379,22 @@ def test_search_many_compact_rank_identical(compacted):
             for r in search_compact(compacted, q, limit=7).collect()
         ]
         assert sorted(by_q.get(qid, [])) == sorted(single), (qid, q)
+
+
+def test_index_report(spark, logical_index, tmp_path_factory):
+    from search_engine_spark.plans.build import build_and_write
+    from search_engine_spark.sources.fixtures import pages_df
+    from tools.index_report import report
+
+    out = str(tmp_path_factory.mktemp("idxrep"))
+    build_and_write(
+        spark, pages_df(spark, 120, n_sites=3, seed=3), out,
+        analyzer="tokens", n_segments=8,
+    )
+    r = report(spark, out)
+    assert r["n_docs"] == 120
+    assert r["postings"] > 0 and r["blocks"] > 0
+    assert 0 < r["payload_bytes_per_posting"] < 64
+    assert r["max_shard_postings"] >= r["mean_shard_postings"]
+    assert r["wand_pruning_sound"] is True
+    assert r["index_disk_bytes"] > 0
