@@ -137,6 +137,8 @@ def main() -> None:
         "bm25_pagination",
         "bm25_wand_topk",
         "bm25_batch",
+        "bm25_batch_compact",
+        "facet_counts",
         "embedding_near_dup",
         "site_statistics",
         "bm25_topk_lemma",
