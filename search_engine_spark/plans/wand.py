@@ -127,12 +127,25 @@ def search_compact(
     use_stoplist: bool = True,
     prune: bool = True,
     prune_min_candidates: int | None = None,
+    fuzzy: bool = False,
+    fuzzy_max_dist: int = 1,
 ) -> DataFrame:
     """Top-(offset..offset+limit) BM25 over the compacted index:
     ``(<id_col>, site, score, rn)`` — same contract as
-    :func:`plans.search.search`, same ranks."""
+    :func:`plans.search.search`, same ranks.  ``fuzzy`` rewrites
+    out-of-dictionary terms exactly like the logical path (the
+    compact index carries the same term_stats dictionary)."""
     id_col = cidx.id_col
     terms = analyze_query(query, lang, analyzer)
+    if fuzzy:
+        from search_engine_spark.operators.fuzzy import (
+            correct_query_terms,
+        )
+
+        fixes = correct_query_terms(
+            cidx.term_stats, terms, max_dist=fuzzy_max_dist
+        )
+        terms = sorted({v for v in (fixes[t] for t in terms) if v})
     if use_stoplist:
         stop = set(cidx.stoplist)
         terms = [t for t in terms if t not in stop]

@@ -398,3 +398,31 @@ def test_index_report(spark, logical_index, tmp_path_factory):
     assert r["max_shard_postings"] >= r["mean_shard_postings"]
     assert r["wand_pruning_sound"] is True
     assert r["index_disk_bytes"] > 0
+
+
+def test_search_compact_fuzzy(compacted):
+    from pyspark.sql import functions as F
+    from search_engine_spark.plans.wand import search_compact
+
+    term = (
+        compacted.term_stats.filter(
+            ~F.col("term").isin(list(compacted.stoplist))
+        )
+        .filter(F.length("term") >= 6)
+        .orderBy(F.col("df").desc(), "term")
+        .limit(1)
+        .collect()[0]["term"]
+    )
+    typo = term[:-1] + ("x" if term[-1] != "x" else "y")
+    fixed = search_compact(
+        compacted, term, limit=5, analyzer="tokens"
+    ).collect()
+    fuzzed = search_compact(
+        compacted, typo, limit=5, analyzer="tokens", fuzzy=True
+    ).collect()
+    assert [(r["url"], r["rn"]) for r in fixed] == [
+        (r["url"], r["rn"]) for r in fuzzed
+    ]
+    assert search_compact(
+        compacted, typo, limit=5, analyzer="tokens"
+    ).count() == 0

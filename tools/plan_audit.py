@@ -53,6 +53,10 @@ AUDITED = [
     "pack_sequences",
     "stratified_sample",
     "chunk_documents",
+    "facet_counts",
+    "bm25_batch_compact",
+    "fuzzy_terms",
+    "sample_per_group",
 ]
 
 
