@@ -81,16 +81,23 @@ def query_term_idf(
 
 
 def bm25_term_score_col(
-    idf_map: dict[str, float], k1: float, b: float, avg_len: float
+    idf_map: dict[str, float] | F.Column,
+    k1: float,
+    b: float,
+    avg_len: float,
 ) -> F.Column:
     """Per-posting BM25 contribution (R11+R12) as one JVM column
     expression over (term, tf, doc_len) — whole-stage codegen, shared
-    by the exploded-postings path and the compact/WAND path so both
-    are rank-identical by construction."""
-    terms = sorted(idf_map)
-    idf_col = F.create_map(
-        *[x for t in terms for x in (F.lit(t), F.lit(idf_map[t]))]
-    )[F.col("term")]
+    by the exploded-postings path, the compact/WAND path and the
+    percolator (which passes idf as a joined Column instead of a
+    literal map) so all are rank-identical by construction."""
+    if isinstance(idf_map, F.Column):
+        idf_col = idf_map
+    else:
+        terms = sorted(idf_map)
+        idf_col = F.create_map(
+            *[x for t in terms for x in (F.lit(t), F.lit(idf_map[t]))]
+        )[F.col("term")]
     tfn = F.col("tf").cast("double") / F.col("doc_len")
     return (
         idf_col
