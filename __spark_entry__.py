@@ -36,6 +36,17 @@ SITES_RESTRICTED = ["src1", "src2"]
 # exact-phrase flagship for the positional-postings surface: a bigram
 # that occurs in ~10% of docs at sf0.01 (selective but non-trivial)
 PHRASE_TERMS = ["table", "hash"]
+# percolator (reverse search) registered query set: rare + common
+# terms, an absent-term query and an all-stoplist query (both must
+# match nothing), exercising R13 rarest-membership per query
+PERCOLATE_QUERIES = [
+    (0, "dup fast"),
+    (1, "key line"),
+    (2, "vector column"),
+    (3, "zzznope unknownzz"),       # absent from the dictionary
+    (4, "table hash window"),       # every term stop-listed
+    (5, "dup value the query"),
+]
 
 # ---------------------------------------------------------------------------
 # shared helpers (Spark side)
@@ -419,6 +430,66 @@ WHERE rn > {offset} AND rn <= {offset + limit}
 """
 
 
+def _percolate_sql(queries: list[tuple[int, str]], mode: str) -> str:
+    """DuckDB mirror of plans/percolate.percolate over the documents
+    table (tokens analyzer): same stop-list removal, Robertson-IDF
+    positivity drop, R13 rarest-term membership (``mode='rarest'``)
+    or conjunctive containment (``mode='all'``), and the shared BM25
+    per-term arithmetic."""
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in queries
+        for t in sorted(set(q.split()))
+    )
+    cond = (
+        "matched_terms = n_terms" if mode == "all" else "has_rarest = 1"
+    )
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+nn AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*) FROM lens) AS avg_len),
+qraw(query_id, term) AS (VALUES {qvals}),
+qt AS (
+  SELECT qraw.query_id, ts.term, ts.df,
+         ln((nn.n - ts.df + 0.5) / (ts.df + 0.5)) AS idf
+  FROM qraw JOIN tstats ts USING (term) CROSS JOIN nn
+  WHERE ts.term NOT IN (SELECT term FROM stop)
+    AND (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0
+),
+qn AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY 1),
+rarest AS (
+  SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY idf DESC, term ASC) AS rn
+    FROM qt) WHERE rn = 1
+),
+matched AS (
+  SELECT qt.query_id, p.doc_id, l.site, qt.term,
+         qt.idf * (p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+           / ((p.tf::DOUBLE / l.doc_len)
+              + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len)) AS ts
+  FROM postings p
+  JOIN qt ON qt.term = p.term
+  JOIN lens l ON l.doc_id = p.doc_id
+  CROSS JOIN nn
+),
+agg AS (
+  SELECT m.query_id, m.doc_id, m.site,
+         sum(m.ts) AS score,
+         CAST(count(*) AS INTEGER) AS matched_terms,
+         max(CASE WHEN r.term IS NOT NULL THEN 1 ELSE 0 END) AS has_rarest
+  FROM matched m
+  LEFT JOIN rarest r ON r.query_id = m.query_id AND r.term = m.term
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(a.query_id AS BIGINT) AS query_id, a.doc_id, a.site,
+       round(a.score, 6) AS score, a.matched_terms
+FROM agg a JOIN qn USING (query_id)
+WHERE {cond}
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -520,6 +591,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _search_docs_wand(
             spark, sf, FLAGSHIP_QUERY, offset=3, limit=5
         )
+
+    def _percolate(spark, sf, mode):
+        from search_engine_spark.plans.percolate import percolate
+
+        idx = _docs_index(spark, sf)
+        hits = percolate(
+            idx, PERCOLATE_QUERIES, mode=mode, analyzer="tokens"
+        )
+        return hits.select(
+            "query_id",
+            "doc_id",
+            "site",
+            F.round("score", 6).alias("score"),
+            F.col("matched_terms").cast("int").alias("matched_terms"),
+        )
+
+    def percolate_rarest(spark, sf):  # reverse search, R13 membership
+        return _percolate(spark, sf, "rarest")
+
+    def percolate_all(spark, sf):  # conjunctive percolator
+        return _percolate(spark, sf, "all")
 
     def site_statistics_q(spark, sf):  # R22
         from search_engine_spark.plans.statistics import site_statistics
@@ -1410,6 +1502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_lemma": bm25_topk_lemma,
         "bm25_wand_topk": bm25_wand_topk,
         "bm25_wand_pagination": bm25_wand_pagination,
+        "percolate_rarest": percolate_rarest,
+        "percolate_all": percolate_all,
         "site_statistics": site_statistics_q,
         "embedding_near_dup": embedding_near_dup,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
@@ -1601,6 +1695,8 @@ def oracle_sql() -> dict[str, str]:
             postings_cte=_LPOSTINGS,
             extra_cte=lemma_cte + ", ",
         ),
+        "percolate_rarest": _percolate_sql(PERCOLATE_QUERIES, "rarest"),
+        "percolate_all": _percolate_sql(PERCOLATE_QUERIES, "all"),
         # WAND/compact path must equal the exact path — same oracles
         "novel_documents": r"""
             WITH nrm AS (
