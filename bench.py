@@ -138,6 +138,7 @@ def main() -> None:
         "bm25_wand_topk",
         "bm25_batch",
         "bm25_batch_compact",
+        "percolate_rarest",
         "facet_counts",
         "embedding_near_dup",
         "site_statistics",

@@ -57,6 +57,7 @@ AUDITED = [
     "bm25_batch_compact",
     "fuzzy_terms",
     "sample_per_group",
+    "percolate_rarest",
 ]
 
 
