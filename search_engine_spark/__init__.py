@@ -46,6 +46,12 @@ _LAZY = {
     "vacuum": "search_engine_spark.plans.incremental",
     "enrich_pages": "search_engine_spark.sources.pages",
     "read_pages": "search_engine_spark.sources.pages",
+    "read_wet": "search_engine_spark.sources.wet",
+    "write_wet": "search_engine_spark.sources.wet",
+    "percolate": "search_engine_spark.plans.percolate",
+    "percolate_pages": "search_engine_spark.plans.percolate",
+    "percolate_stream": "search_engine_spark.plans.percolate",
+    "prepare_queries": "search_engine_spark.plans.percolate",
     "statistics_report": "search_engine_spark.plans.statistics",
     "attach_snippets": "search_engine_spark.plans.snippets",
     "extract_links_col": "search_engine_spark.functions.textproc",
