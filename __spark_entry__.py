@@ -490,6 +490,57 @@ WHERE {cond}
 """
 
 
+def _canonical_urls_sql() -> str:
+    """DuckDB mirror of operators/curation.canonical_url_col over the
+    same deterministically-synthesized messy URLs (tracking strip-list
+    imported from the engine so the two sides cannot drift)."""
+    from search_engine_spark.operators.curation import TRACKING_PARAMS
+
+    tracked = ", ".join(f"'{t.lower()}'" for t in TRACKING_PARAMS)
+    return rf"""
+WITH messy AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example:443//p//'
+                  || CAST(doc_id AS VARCHAR) || '/?utm_source=x&b=2&a=1'
+      WHEN 1 THEN 'http://' || source || '.example.:80/p/'
+                  || CAST(doc_id AS VARCHAR) || '?fbclid=zz&z=9&y=#sec'
+      WHEN 2 THEN 'HTTP://' || upper(source) || '.EXAMPLE/P//'
+                  || CAST(doc_id AS VARCHAR)
+      ELSE 'https://' || source || '.example/p/'
+           || CAST(doc_id AS VARCHAR) || '/?b=2&a=1&ref=tw'
+    END AS u
+  FROM documents),
+parts AS (
+  SELECT doc_id, u,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS host0,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path0,
+    regexp_extract(u, '\?([^#]*)', 1) AS query0
+  FROM messy),
+norm AS (
+  SELECT doc_id, u, scheme,
+    regexp_replace(regexp_replace(
+      CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+           ELSE host0 END, '\.$', ''), '^www\.', '') AS host,
+    regexp_replace(regexp_replace(path0, '/{{2,}}', '/', 'g'), '/+$', '') AS path,
+    list_sort(list_filter(string_split(query0, '&'),
+      p -> p <> ''
+        AND NOT starts_with(lower(split_part(p, '=', 1)), 'utm_')
+        AND lower(split_part(p, '=', 1)) NOT IN ({tracked})
+    )) AS params
+  FROM parts)
+SELECT doc_id,
+  CASE WHEN scheme IN ('http', 'https') THEN
+    scheme || '://' || host || path ||
+    CASE WHEN len(params) > 0
+         THEN '?' || array_to_string(params, '&') ELSE '' END
+  ELSE trim(u) END AS canonical_url
+FROM norm
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -609,6 +660,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def percolate_rarest(spark, sf):  # reverse search, R13 membership
         return _percolate(spark, sf, "rarest")
+
+    def canonical_urls(spark, sf):
+        from search_engine_spark.operators.curation import (
+            canonical_url_col,
+        )
+
+        d = F.col("doc_id").cast("string")
+        src = F.col("source")
+        m = F.col("doc_id") % 4
+        messy = (
+            F.when(m == 0, F.concat(
+                F.lit("HTTPS://WWW."), src,
+                F.lit(".Example:443//p//"), d,
+                F.lit("/?utm_source=x&b=2&a=1")))
+            .when(m == 1, F.concat(
+                F.lit("http://"), src, F.lit(".example.:80/p/"), d,
+                F.lit("?fbclid=zz&z=9&y=#sec")))
+            .when(m == 2, F.concat(
+                F.lit("HTTP://"), F.upper(src), F.lit(".EXAMPLE/P//"),
+                d))
+            .otherwise(F.concat(
+                F.lit("https://"), src, F.lit(".example/p/"), d,
+                F.lit("/?b=2&a=1&ref=tw")))
+        )
+        return _read(spark, sf, "documents").select(
+            "doc_id", canonical_url_col(messy).alias("canonical_url")
+        )
 
     def percolate_all(spark, sf):  # conjunctive percolator
         return _percolate(spark, sf, "all")
@@ -1504,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_pagination": bm25_wand_pagination,
         "percolate_rarest": percolate_rarest,
         "percolate_all": percolate_all,
+        "canonical_urls": canonical_urls,
         "site_statistics": site_statistics_q,
         "embedding_near_dup": embedding_near_dup,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
@@ -1697,6 +1776,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "percolate_rarest": _percolate_sql(PERCOLATE_QUERIES, "rarest"),
         "percolate_all": _percolate_sql(PERCOLATE_QUERIES, "all"),
+        "canonical_urls": _canonical_urls_sql(),
         # WAND/compact path must equal the exact path — same oracles
         "novel_documents": r"""
             WITH nrm AS (

@@ -46,6 +46,8 @@ _LAZY = {
     "vacuum": "search_engine_spark.plans.incremental",
     "enrich_pages": "search_engine_spark.sources.pages",
     "read_pages": "search_engine_spark.sources.pages",
+    "canonical_url_col": "search_engine_spark.operators.curation",
+    "canonicalize_urls": "search_engine_spark.operators.curation",
     "read_wet": "search_engine_spark.sources.wet",
     "write_wet": "search_engine_spark.sources.wet",
     "percolate": "search_engine_spark.plans.percolate",

@@ -576,6 +576,103 @@ def filter_urls(
     return out
 
 
+# query parameters that never change page identity — the standard
+# tracker strip-list (mirrored verbatim into the DuckDB oracle so the
+# two sides cannot drift); any `utm_*` key is stripped by prefix rule
+TRACKING_PARAMS = [
+    "fbclid",
+    "gclid",
+    "igshid",
+    "mc_cid",
+    "mc_eid",
+    "msclkid",
+    "ref",
+    "ref_src",
+    "spm",
+    "yclid",
+]
+
+
+def canonical_url_col(
+    url: Column,
+    strip_www: bool = True,
+    tracking_params: list[str] = TRACKING_PARAMS,
+) -> Column:
+    """URL canonicalization as ONE pure-JVM column expression — the
+    crawl-dedup primitive that collapses the dozens of spellings a
+    page is fetched under into one identity key:
+
+    - scheme and host lowercased; trailing-dot host stripped;
+      default port removed (``:80`` for http, ``:443`` for https);
+      optional leading ``www.`` strip;
+    - path: duplicate slashes collapsed, trailing slashes stripped
+      (so ``https://a.example/`` ≡ ``https://a.example``);
+    - query: parameters split, tracking params dropped (``utm_*`` by
+      prefix + the shared strip-list), the rest SORTED and rejoined —
+      param order never changes identity;
+    - fragment dropped.
+
+    Non-http(s) or unparseable values pass through trimmed — the
+    caller decides whether to drop them (``filter_urls``).  No UDF,
+    no shuffle: higher-order array functions keep the whole thing
+    inside whole-stage codegen, usable directly in a groupBy key for
+    URL-level dedup at any scale.
+    """
+    u = F.trim(url)
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    host = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    host = F.regexp_replace(host, r"\.$", "")
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.regexp_replace(
+        F.regexp_replace(path, "/{2,}", "/"), "/+$", ""
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    tracked = [t.lower() for t in tracking_params]
+
+    def _keep(p: Column) -> Column:
+        key = F.lower(F.split(p, "=").getItem(0))
+        return (
+            (p != "")
+            & ~key.startswith("utm_")
+            & ~key.isin(tracked)
+        )
+
+    params = F.array_sort(F.filter(F.split(query, "&"), _keep))
+    qpart = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    rebuilt = F.concat(scheme, F.lit("://"), host, path, qpart)
+    return F.when(scheme.isin("http", "https"), rebuilt).otherwise(u)
+
+
+def canonicalize_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "canonical_url",
+    strip_www: bool = True,
+) -> DataFrame:
+    """Attach the canonical-identity column (see
+    :func:`canonical_url_col`); pair with ``exact_dedup_groups`` or
+    ``dropDuplicates([out_col])`` for URL-level crawl dedup."""
+    return df.withColumn(
+        out_col, canonical_url_col(F.col(url_col), strip_www)
+    )
+
+
 def sample_n_per_group(
     df: DataFrame,
     n: int,

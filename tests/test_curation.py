@@ -289,3 +289,53 @@ def test_sample_n_per_group(spark):
         ).collect()
     )
     assert d == a
+
+
+def test_canonical_url_col(spark):
+    from search_engine_spark.operators.curation import (
+        canonical_url_col,
+        canonicalize_urls,
+    )
+
+    cases = [
+        # (input, expected canonical)
+        ("HTTPS://WWW.Example.COM:443//a//b/?utm_source=x&b=2&a=1"
+         "&fbclid=z#frag", "https://example.com/a/b?a=1&b=2"),
+        ("http://example.com.:80/path/", "http://example.com/path"),
+        ("https://example.com", "https://example.com"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com/?", "https://example.com"),
+        ("https://example.com/a?z=1&y=2&UTM_CAMPAIGN=q&ref=tw",
+         "https://example.com/a?y=2&z=1"),
+        ("https://example.com/a?y=&x=1", "https://example.com/a?x=1&y="),
+        # non-http(s) / malformed pass through trimmed
+        ("ftp://example.com/x", "ftp://example.com/x"),
+        ("  not a url  ", "not a url"),
+        # path case preserved; only host is lowercased
+        ("HTTP://Sub.Example.com/KeepCase//x/", "http://sub.example.com/KeepCase/x"),
+        # :8080 is NOT a default port — kept
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["canon"]
+        for r in df.select(
+            "url", canonical_url_col(F.col("url")).alias("canon")
+        ).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+    # idempotence: canonicalizing a canonical URL is a no-op
+    canon_df = canonicalize_urls(df)
+    twice = canonicalize_urls(
+        canon_df.select(F.col("canonical_url").alias("url"))
+    )
+    pairs = twice.collect()
+    assert all(r["url"] == r["canonical_url"] for r in pairs)
+
+    # strip_www=False keeps the www
+    keep = df.select(
+        canonical_url_col(F.col("url"), strip_www=False).alias("c")
+    ).collect()
+    assert any(c["c"].startswith("https://www.example.com") for c in keep)
