@@ -794,6 +794,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             refine=4,
         )
 
+    def hybrid_rrf(spark, sf):
+        """Hybrid lexical+vector: BM25 top-50 over documents fused
+        with cosine top-50 over embeddings (id-aligned doc_id=vec_id)
+        via reciprocal-rank fusion, k0=60."""
+        from search_engine_spark.plans.hybrid import hybrid_topk
+        from search_engine_spark.plans.search import search
+
+        idx = _docs_index(spark, sf)
+        lex = search(idx, FLAGSHIP_QUERY, limit=50, analyzer="tokens")
+        emb = _read(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") == 0)
+        vec = cosine_topk_bruteforce(emb, qs, k=50)
+        return hybrid_topk(lex, vec, k=10).select(
+            "doc_id", "rrf_score", "rank"
+        )
+
     def text_quality(spark, sf):
         docs = _docs_enriched(spark, sf)
         return docs.select(
@@ -1595,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_lsh": ann_cosine_lsh,
         "ann_cosine_ivfpq": ann_cosine_ivfpq,
+        "hybrid_rrf": hybrid_rrf,
         "text_quality": text_quality,
         "lang_id": lang_id_q,
         "fingerprint": fingerprint_q,
@@ -1912,6 +1929,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, sim, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "hybrid_rrf": f"""
+            WITH lex AS ({_bm25_sql(FLAGSHIP_TERMS, limit=50)}),
+            vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+                   FROM embeddings WHERE vec_id = 0),
+            vscored AS (
+              SELECT e.vec_id AS doc_id,
+                     round(list_cosine_similarity(
+                       vq.qvec, CAST(e.embedding AS DOUBLE[])), 6)
+                       AS sim
+              FROM embeddings e CROSS JOIN vq
+              WHERE e.vec_id <> 0
+            ),
+            vec AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (
+                       ORDER BY sim DESC, doc_id ASC) AS INTEGER) AS rn
+              FROM vscored
+              QUALIFY rn <= 50
+            ),
+            contrib AS (
+              SELECT doc_id,
+                     CAST(1.0 AS DOUBLE) / (60.0 + rn) AS c FROM lex
+              UNION ALL
+              SELECT doc_id,
+                     CAST(1.0 AS DOUBLE) / (60.0 + rn) AS c FROM vec
+            ),
+            fused AS (
+              SELECT doc_id, round(sum(c), 6) AS rrf_score
+              FROM contrib GROUP BY 1
+            )
+            SELECT doc_id, rrf_score,
+                   CAST(row_number() OVER (
+                     ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER)
+                     AS rank
+            FROM fused
+            QUALIFY rank <= 10
         """,
         "text_quality": f"""
             WITH lt AS (

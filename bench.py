@@ -149,6 +149,7 @@ def main() -> None:
         "simhash_near_dup_pairs",
         "ann_cosine_topk",
         "ann_cosine_lsh",
+        "hybrid_rrf",
         "dedup_exact",
         "dedup_clusters",
         "training_pipeline",

@@ -50,6 +50,10 @@ _LAZY = {
     "canonicalize_urls": "search_engine_spark.operators.curation",
     "read_wet": "search_engine_spark.sources.wet",
     "write_wet": "search_engine_spark.sources.wet",
+    "read_jsonl": "search_engine_spark.sources.jsonl",
+    "write_jsonl": "search_engine_spark.sources.jsonl",
+    "rrf_fuse": "search_engine_spark.plans.hybrid",
+    "hybrid_topk": "search_engine_spark.plans.hybrid",
     "percolate": "search_engine_spark.plans.percolate",
     "percolate_pages": "search_engine_spark.plans.percolate",
     "percolate_stream": "search_engine_spark.plans.percolate",
