@@ -58,6 +58,7 @@ AUDITED = [
     "fuzzy_terms",
     "sample_per_group",
     "percolate_rarest",
+    "hybrid_rrf",
 ]
 
 
