@@ -54,6 +54,7 @@ _LAZY = {
     "write_jsonl": "search_engine_spark.sources.jsonl",
     "rrf_fuse": "search_engine_spark.plans.hybrid",
     "hybrid_topk": "search_engine_spark.plans.hybrid",
+    "explain_prune": "search_engine_spark.plans.wand",
     "percolate": "search_engine_spark.plans.percolate",
     "percolate_pages": "search_engine_spark.plans.percolate",
     "percolate_stream": "search_engine_spark.plans.percolate",

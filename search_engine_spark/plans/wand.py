@@ -116,6 +116,212 @@ def _score_candidate_blocks(
     )
 
 
+def _wand_select_blocks(
+    cidx: CompactIndex,
+    terms: list[str],
+    idf: dict[str, float],
+    rarest: str,
+    k: int,
+    sites: list[str] | None,
+    prune: bool,
+    prune_min_candidates: int | None,
+) -> tuple[
+    "list[tuple[int, int]] | None", "DataFrame | None", dict
+]:
+    """Metadata-only block-max WAND phase: decide which of the rarest
+    term's blocks must be decoded for an exact top-``k``.
+
+    Returns ``(selected, qpost_shared, stats)`` — ``selected`` is the
+    surviving ``(shard, block_id)`` list or None for "decode all";
+    ``qpost_shared`` is the one cached decode of the query terms'
+    postings when the seed phase already paid for it; ``stats`` is
+    the per-query pruning metrics dict surfaced by
+    :func:`explain_prune`.
+
+    Site restriction changes N/idf but also the candidate set in ways
+    block metadata can't see → pruning only on global queries.
+    ``metadata_valid``: stored max_u/min_u were computed with
+    blocks_avg_len — if live avg_len has drifted (incremental
+    append/delete), the bounds are unsound and we score exactly.
+    """
+    stats: dict = {
+        "terms": list(terms),
+        "rarest": rarest,
+        "k": k,
+        "prune_active": False,
+        "reason": None,
+        "blocks_total": None,
+        "candidates_total": None,
+        "seed_blocks": 0,
+        "theta": None,
+        "blocks_selected": None,
+        "blocks_skipped": 0,
+        "candidates_skipped": 0,
+    }
+    metadata_valid = (
+        cidx.blocks_avg_len is not None
+        and abs(cidx.blocks_avg_len - cidx.avg_len) < 1e-12
+    )
+    if not prune:
+        stats["reason"] = "disabled"
+        return None, None, stats
+    if sites:
+        stats["reason"] = "site_restricted"
+        return None, None, stats
+    if not metadata_valid:
+        stats["reason"] = "metadata_drift"
+        return None, None, stats
+
+    # --- metadata-only WAND phase (no payload decode) ---------------
+    meta = (
+        _segs_for_terms(cidx, [rarest])
+        .select("shard", "block_id", "count", "max_u", "min_u")
+        .collect()
+    )
+    stats["blocks_total"] = len(meta)
+    stats["candidates_total"] = sum(r["count"] for r in meta)
+    # pruning pays only on long posting lists: below this, the
+    # seed/survivor phases just add two extra Spark jobs to skip
+    # a handful of blocks — score everything in one pass instead
+    min_cand = (
+        prune_min_candidates
+        if prune_min_candidates is not None
+        else max(1024, 16 * k)
+    )
+    if sum(r["count"] for r in meta) <= min_cand:
+        meta = []
+        stats["reason"] = "short_postings"
+    others = [t for t in terms if t != rarest]
+    if others and meta:
+        om = (
+            _segs_for_terms(cidx, others)
+            .groupBy("term")
+            .agg(F.max("max_u").alias("mx"), F.min("min_u").alias("mn"))
+            .collect()
+        )
+        other_ub = sum(
+            max(0.0, _term_ub(idf[r["term"]], r["mx"], r["mn"]))
+            for r in om
+        )
+    else:
+        other_ub = 0.0
+    blocks = sorted(
+        (
+            (
+                _term_ub(idf[rarest], r["max_u"], r["min_u"]) + other_ub,
+                r["count"],
+                (r["shard"], r["block_id"]),
+            )
+            for r in meta
+        ),
+        key=lambda x: -x[0],
+    )
+    # seed: highest-bound blocks covering ≥ k candidate docs
+    seed, cum = [], 0
+    for ub, cnt, key in blocks:
+        seed.append((ub, cnt, key))
+        cum += cnt
+        if cum >= k:
+            break
+    stats["seed_blocks"] = len(seed)
+    if len(seed) < len(blocks):
+        # the seed phase and the final survivor phase both join
+        # the query terms' postings — decode them once, cached
+        # (narrow: (term, doc_id, tf) for the query terms only)
+        qpost_shared = decode_segments(
+            _segs_for_terms(cidx, terms)
+        ).cache()
+        seed_keys = [key for _, _, key in seed]
+        seed_scores = (
+            _score_candidate_blocks(
+                cidx, rarest, seed_keys, terms, idf, sites,
+                qpost=qpost_shared,
+            )
+            .orderBy(F.desc("score"))
+            .limit(k)
+            .collect()
+        )
+        if len(seed_scores) >= k:
+            theta = seed_scores[-1]["score"]
+            thresh = theta - abs(theta) * _EPS - 1e-300
+            survivors = [
+                key for ub, _, key in blocks[len(seed):] if ub >= thresh
+            ]
+            selected = seed_keys + survivors
+            skipped = [
+                (ub, cnt)
+                for ub, cnt, key in blocks[len(seed):]
+                if ub < thresh
+            ]
+            stats.update(
+                prune_active=True,
+                theta=float(theta),
+                blocks_selected=len(selected),
+                blocks_skipped=len(skipped),
+                candidates_skipped=sum(c for _, c in skipped),
+            )
+            return selected, qpost_shared, stats
+        # seed didn't yield k docs → score everything
+        stats["reason"] = "seed_underfilled"
+        return None, qpost_shared, stats
+    # every block needed anyway → decode all
+    if stats["reason"] is None:
+        stats["reason"] = "all_blocks_needed"
+    return None, None, stats
+
+
+def explain_prune(
+    cidx: CompactIndex,
+    query: str,
+    offset: int = 0,
+    limit: int = 20,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+    prune_min_candidates: int | None = None,
+) -> dict:
+    """Per-query WAND pruning metrics (observability; never used on
+    the query hot path): which blocks the metadata phase would decode
+    for this query and why — ``blocks_total`` / ``blocks_selected`` /
+    ``blocks_skipped``, candidate counts, the seed threshold
+    ``theta``, and the ``reason`` pruning was inactive (e.g.
+    ``short_postings``, ``metadata_drift`` after an un-vacuumed
+    append).  Runs the same metadata + seed phases as
+    :func:`search_compact` — cost is metadata-scale plus one seed
+    scoring job."""
+    terms = analyze_query(query, lang, analyzer)
+    if use_stoplist:
+        stop = set(cidx.stoplist)
+        terms = [t for t in terms if t not in stop]
+    idf = query_term_idf(cidx, terms, None)
+    terms = [t for t in terms if t in idf]
+    if not terms:
+        return {
+            "terms": [],
+            "rarest": None,
+            "k": offset + limit,
+            "prune_active": False,
+            "reason": "no_terms",
+            "blocks_total": 0,
+            "candidates_total": 0,
+            "seed_blocks": 0,
+            "theta": None,
+            "blocks_selected": 0,
+            "blocks_skipped": 0,
+            "candidates_skipped": 0,
+        }
+    rarest = sorted(terms, key=lambda t: (-idf[t], t))[0]
+    selected, qpost, stats = _wand_select_blocks(
+        cidx, terms, idf, rarest, offset + limit, None, True,
+        prune_min_candidates,
+    )
+    if qpost is not None:
+        qpost.unpersist()
+    if stats["blocks_selected"] is None:
+        stats["blocks_selected"] = stats["blocks_total"]
+    return stats
+
+
 def search_compact(
     cidx: CompactIndex,
     query: str,
@@ -164,93 +370,10 @@ def search_compact(
     rarest = sorted(terms, key=lambda t: (-idf[t], t))[0]
     k = offset + limit
 
-    selected: list[tuple[int, int]] | None = None
-    qpost_shared: DataFrame | None = None
-    metadata_valid = (
-        cidx.blocks_avg_len is not None
-        and abs(cidx.blocks_avg_len - cidx.avg_len) < 1e-12
+    selected, qpost_shared, _stats = _wand_select_blocks(
+        cidx, terms, idf, rarest, k, sites, prune,
+        prune_min_candidates,
     )
-    if prune and not sites and metadata_valid:
-        # --- metadata-only WAND phase (no payload decode) -----------
-        # site restriction changes N/idf but also the candidate set in
-        # ways block metadata can't see → pruning only on global
-        # queries; restricted queries take the exact path below.
-        # metadata_valid: stored max_u/min_u were computed with
-        # blocks_avg_len — if live avg_len has drifted (incremental
-        # append/delete), the bounds are unsound and we score exactly.
-        meta = (
-            _segs_for_terms(cidx, [rarest])
-            .select("shard", "block_id", "count", "max_u", "min_u")
-            .collect()
-        )
-        # pruning pays only on long posting lists: below this, the
-        # seed/survivor phases just add two extra Spark jobs to skip
-        # a handful of blocks — score everything in one pass instead
-        min_cand = (
-            prune_min_candidates
-            if prune_min_candidates is not None
-            else max(1024, 16 * k)
-        )
-        if sum(r["count"] for r in meta) <= min_cand:
-            meta = []
-        others = [t for t in terms if t != rarest]
-        if others and meta:
-            om = (
-                _segs_for_terms(cidx, others)
-                .groupBy("term")
-                .agg(F.max("max_u").alias("mx"), F.min("min_u").alias("mn"))
-                .collect()
-            )
-            other_ub = sum(
-                max(0.0, _term_ub(idf[r["term"]], r["mx"], r["mn"]))
-                for r in om
-            )
-        else:
-            other_ub = 0.0
-        blocks = sorted(
-            (
-                (
-                    _term_ub(idf[rarest], r["max_u"], r["min_u"]) + other_ub,
-                    r["count"],
-                    (r["shard"], r["block_id"]),
-                )
-                for r in meta
-            ),
-            key=lambda x: -x[0],
-        )
-        # seed: highest-bound blocks covering ≥ k candidate docs
-        seed, cum = [], 0
-        for ub, cnt, key in blocks:
-            seed.append((ub, cnt, key))
-            cum += cnt
-            if cum >= k:
-                break
-        if len(seed) < len(blocks):
-            # the seed phase and the final survivor phase both join
-            # the query terms' postings — decode them once, cached
-            # (narrow: (term, doc_id, tf) for the query terms only)
-            qpost_shared = decode_segments(
-                _segs_for_terms(cidx, terms)
-            ).cache()
-            seed_keys = [key for _, _, key in seed]
-            seed_scores = (
-                _score_candidate_blocks(
-                    cidx, rarest, seed_keys, terms, idf, sites,
-                    qpost=qpost_shared,
-                )
-                .orderBy(F.desc("score"))
-                .limit(k)
-                .collect()
-            )
-            if len(seed_scores) >= k:
-                theta = seed_scores[-1]["score"]
-                thresh = theta - abs(theta) * _EPS - 1e-300
-                survivors = [
-                    key for ub, _, key in blocks[len(seed):] if ub >= thresh
-                ]
-                selected = seed_keys + survivors
-            # else: seed didn't yield k docs → score everything
-        # else: every block needed anyway → selected stays None (all)
 
     scored = _score_candidate_blocks(
         cidx, rarest, selected, terms, idf, sites,

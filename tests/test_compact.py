@@ -426,3 +426,70 @@ def test_search_compact_fuzzy(compacted):
     assert search_compact(
         compacted, typo, limit=5, analyzer="tokens"
     ).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# explain_prune (per-query WAND pruning metrics)
+# ---------------------------------------------------------------------------
+
+
+def test_explain_prune_accounting(compacted):
+    """Forced-prune metrics are internally consistent and agree with
+    the selection the scoring path actually uses."""
+    from search_engine_spark.plans.wand import explain_prune
+
+    st = explain_prune(
+        compacted, "crystal falcon nebula", limit=10,
+        prune_min_candidates=0,
+    )
+    assert st["rarest"] in st["terms"]
+    assert st["blocks_total"] >= 1
+    if st["prune_active"]:
+        # seed ∪ survivors ∪ skipped partitions the block set
+        assert (
+            st["blocks_selected"] + st["blocks_skipped"]
+            == st["blocks_total"]
+        )
+        assert st["theta"] is not None
+        assert 0 <= st["candidates_skipped"] <= st["candidates_total"]
+    else:
+        # small corpus may legitimately need every block
+        assert st["reason"] in (
+            "all_blocks_needed", "seed_underfilled", "short_postings",
+        )
+
+
+def test_explain_prune_inactive_reasons(compacted):
+    from search_engine_spark.plans.wand import explain_prune
+
+    # default heuristic on a 300-doc corpus: postings too short
+    st = explain_prune(compacted, "crystal falcon nebula", limit=10)
+    assert st["prune_active"] is False
+    assert st["reason"] in ("short_postings", "all_blocks_needed")
+
+    # unknown term -> no surviving query terms
+    st2 = explain_prune(compacted, "zzznotindictionary")
+    assert st2["reason"] == "no_terms" and st2["terms"] == []
+
+
+def test_explain_prune_matches_search(compacted, logical_index):
+    """explain_prune never changes ranking: the forced-prune search
+    result is still rank-identical after computing metrics."""
+    from search_engine_spark.plans.wand import (
+        explain_prune,
+        search_compact,
+    )
+
+    q = "raven sapphire thunder velvet"
+    explain_prune(compacted, q, limit=20, prune_min_candidates=0)
+    a = [
+        (r["url"], round(r["score"], 9), r["rn"])
+        for r in search_compact(
+            compacted, q, limit=20, prune=True, prune_min_candidates=0
+        ).collect()
+    ]
+    b = [
+        (r["url"], round(r["score"], 9), r["rn"])
+        for r in search(logical_index, q, limit=20).collect()
+    ]
+    assert a == b
