@@ -116,3 +116,79 @@ def test_hybrid_leg_interchangeability(spark):
     f2 = hybrid_topk(lex_wand, vec, id_col="url", k=10).collect()
     assert sorted(map(tuple, f1)) == sorted(map(tuple, f2))
     assert len(f1) > 0
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: rrf_fuse == python reference on arbitrary ranked legs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _rrf_reference(legs, k0, weights, k):
+    """Driver-side RRF: the literal Cormack formula.
+
+    Legs are capped at 2 in the property below so every doc receives
+    at most two double contributions — a single IEEE addition, which
+    is commutative and association-free, so reference and Spark sums
+    are bit-identical regardless of union order (with 3+ legs,
+    summation order could differ at the last ulp and flip a
+    near-tie)."""
+    score: dict[int, float] = {}
+    for w, leg in zip(weights, legs):
+        for doc, rank in leg:
+            score[doc] = score.get(doc, 0.0) + w / (k0 + rank)
+    ranked = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [
+        (doc, i + 1) for i, (doc, _) in enumerate(ranked[:k])
+    ]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    legs=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=30),
+            min_size=1, max_size=12, unique=True,
+        ),
+        min_size=1, max_size=2,
+    ),
+    k0=st.integers(min_value=1, max_value=100),
+    k=st.integers(min_value=1, max_value=15),
+    data=st.data(),
+)
+def test_rrf_fuse_hypothesis(spark, legs, k0, k, data):
+    weights = [
+        data.draw(st.floats(min_value=0.1, max_value=5.0,
+                            allow_nan=False))
+        for _ in legs
+    ]
+    ranked_legs = [
+        [(doc, i + 1) for i, doc in enumerate(leg)] for leg in legs
+    ]
+    dfs = [
+        spark.createDataFrame(leg, "doc_id long, rank int")
+        for leg in ranked_legs
+    ]
+    got = [
+        (r["doc_id"], r["rank"])
+        for r in rrf_fuse(
+            dfs, k0=k0, weights=weights, k=k, round_to=None
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _rrf_reference(ranked_legs, k0, weights, k)
+
+    # leg-order invariance (weights permuted alongside)
+    got_rev = [
+        (r["doc_id"], r["rank"])
+        for r in rrf_fuse(
+            dfs[::-1], k0=k0, weights=weights[::-1], k=k,
+            round_to=None,
+        )
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got_rev == got
