@@ -151,12 +151,13 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def _search_docs(spark, sf_dir, query, sites=None, offset=0, limit=10,
-                 exclude_terms=None):
+                 exclude_terms=None, candidates="rarest"):
     from search_engine_spark.plans.search import search
 
     idx = _docs_index(spark, sf_dir)
     res = search(idx, query, sites=sites, offset=offset, limit=limit,
-                 analyzer="tokens", exclude_terms=exclude_terms)
+                 analyzer="tokens", exclude_terms=exclude_terms,
+                 candidates=candidates)
     return res.select(
         "doc_id", F.round("score", 6).alias("score"),
         F.col("rn").cast("int").alias("rn"),
@@ -369,11 +370,34 @@ _TSTATS = "tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1)"
 _STOP = f"stop AS (SELECT term FROM tstats ORDER BY df DESC, term ASC LIMIT {STOPLIST_SIZE})"
 
 
+def _cand_body(mode: str, cand_site: str, cand_not: str) -> str:
+    """Candidate CTE body for _bm25_sql: reference R13 rarest-term
+    membership, or strict-AND ("all": docs containing EVERY surviving
+    scoring term — mirrors search(candidates='all')'s count
+    aggregate)."""
+    if mode == "all":
+        return f"""
+  SELECT p.doc_id FROM postings p
+  JOIN qt ON p.term = qt.term
+  {cand_site}
+  {cand_not}
+  GROUP BY p.doc_id
+  HAVING count(*) = (SELECT count(*) FROM qt)
+"""
+    return f"""
+  SELECT p.doc_id FROM postings p
+  JOIN rarest r ON p.term = r.term
+  {cand_site}
+  {cand_not}
+"""
+
+
 def _bm25_sql(terms: list[str], sites: list[str] | None = None,
               offset: int = 0, limit: int = 10,
               postings_cte: str = _POSTINGS,
               extra_cte: str = "",
-              exclude: list[str] | None = None) -> str:
+              exclude: list[str] | None = None,
+              mode: str = "rarest") -> str:
     term_list = ", ".join(f"'{t}'" for t in terms)
     cand_not = ""
     if exclude:
@@ -402,12 +426,7 @@ qt AS (
     AND (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0
 ),
 rarest AS (SELECT term FROM qt ORDER BY df ASC, term ASC LIMIT 1),
-cand AS (
-  SELECT p.doc_id FROM postings p
-  JOIN rarest r ON p.term = r.term
-  {cand_site}
-  {cand_not}
-),
+cand AS ({_cand_body(mode, cand_site, cand_not)}),
 scored AS (
   SELECT c.doc_id,
          sum(qt.idf * (p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
@@ -614,6 +633,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _search_docs(
             spark, sf, FLAGSHIP_QUERY, limit=10,
             exclude_terms=["window"],
+        )
+
+    def bm25_and_topk(spark, sf):  # strict-AND candidate mode
+        return _search_docs(
+            spark, sf, FLAGSHIP_QUERY, limit=10, candidates="all"
+        )
+
+    def bool_search(spark, sf):
+        """Boolean mini-language: +must -must_not should."""
+        from search_engine_spark.plans.boolquery import search_boolean
+
+        idx = _docs_index(spark, sf)
+        res = search_boolean(
+            idx, "+key -window dup", limit=10, analyzer="tokens"
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
         )
 
     def bm25_site_restricted(spark, sf):
@@ -1590,6 +1627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_idf": idf_q,
         "bm25_topk": bm25_topk,
         "bm25_not_topk": bm25_not_topk,
+        "bm25_and_topk": bm25_and_topk,
+        "bool_search": bool_search,
         "bm25_site_restricted": bm25_site_restricted,
         "bm25_pagination": bm25_pagination,
         "postings_lemma": postings_lemma,
@@ -1778,6 +1817,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
         "bm25_not_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10, exclude=["window"]),
+        "bm25_and_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10, mode="all"),
+        "bool_search": f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+nn AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*) FROM lens) AS avg_len),
+qt AS (
+  SELECT ts.term, ts.df,
+         ln((nn.n - ts.df + 0.5) / (ts.df + 0.5)) AS idf
+  FROM tstats ts CROSS JOIN nn
+  WHERE ts.term IN ('dup', 'key')
+    AND ts.term NOT IN (SELECT term FROM stop)
+    AND (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0
+),
+mt AS (SELECT term FROM qt WHERE term IN ('key')),
+cand AS (
+  SELECT p.doc_id FROM postings p
+  JOIN mt ON p.term = mt.term
+  WHERE p.doc_id NOT IN
+        (SELECT doc_id FROM postings WHERE term IN ('window'))
+  GROUP BY p.doc_id
+  HAVING count(*) = (SELECT count(*) FROM mt)
+),
+scored AS (
+  SELECT c.doc_id,
+         sum(qt.idf * (p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+             / ((p.tf::DOUBLE / l.doc_len)
+                + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len))) AS score
+  FROM cand c
+  JOIN postings p ON p.doc_id = c.doc_id
+  JOIN qt ON qt.term = p.term
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nn
+  GROUP BY c.doc_id
+),
+ranked AS (
+  SELECT doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+  FROM scored
+)
+SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
+""",
         "bm25_site_restricted": _bm25_sql(
             FLAGSHIP_TERMS, sites=SITES_RESTRICTED, limit=10
         ),

@@ -55,6 +55,8 @@ _LAZY = {
     "rrf_fuse": "search_engine_spark.plans.hybrid",
     "hybrid_topk": "search_engine_spark.plans.hybrid",
     "explain_prune": "search_engine_spark.plans.wand",
+    "parse_simple_query": "search_engine_spark.plans.boolquery",
+    "search_boolean": "search_engine_spark.plans.boolquery",
     "percolate": "search_engine_spark.plans.percolate",
     "percolate_pages": "search_engine_spark.plans.percolate",
     "percolate_stream": "search_engine_spark.plans.percolate",

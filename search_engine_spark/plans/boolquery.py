@@ -1,0 +1,213 @@
+"""Boolean mini query language over the BM25 engine.
+
+Lucene-SimpleQueryParser-style surface syntax, deterministic and
+precedence-free (every token carries its own operator — no ambiguous
+``a AND b OR c`` trees):
+
+    +term     MUST      — candidate docs contain every must term
+    -term     MUST_NOT  — docs containing the term are excluded
+    term      SHOULD    — contributes to scoring; when no must/phrase
+                          units exist, candidates = union of shoulds
+    "a b c"   PHRASE    — exact consecutive-token match (must);
+                          requires the enriched docs frame (the
+                          positional data lives in its tokens column)
+
+Execution composes the engine's existing primitives — nothing here
+re-implements scoring:
+
+- must      → the ``candidates="all"`` count aggregate
+              (:func:`plans.search.search` R13 superset),
+- should    → the ``candidates="union"`` distinct,
+- must_not  → the R19 anti-join,
+- phrase    → :func:`operators.phrases.phrase_match`,
+- scoring   → :func:`plans.search.bm25_term_score_col`, the SAME
+              whole-stage-codegen column expression all other query
+              paths share, over (must ∪ should) terms.
+
+Scale shape: every candidate source is O(query-term postings) — the
+``isin(terms)`` posting scans, one count aggregate, anti-joins —
+never a corpus scan; phrase matching touches only the phrase terms'
+positional rows.  Ranking/pagination is the shared
+top-(offset+limit) + row_number tail.
+
+Reference parity note: the reference has no boolean syntax
+(SearchServiceImpl takes a bag of words); this layer is additive,
+and a query with only bare terms reduces exactly to
+``search(candidates="union")`` semantics.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.textproc import tokenize_py
+from search_engine_spark.operators.postings import InvertedIndex
+from search_engine_spark.plans.search import (
+    analyze_query,
+    bm25_term_score_col,
+    query_term_idf,
+)
+
+_UNIT = re.compile(r'([+-]?)"([^"]*)"|([+-]?)(\S+)')
+
+
+def parse_simple_query(query: str) -> dict:
+    """Query string → raw (unanalyzed) operator buckets:
+    ``{"must": [...], "should": [...], "must_not": [...],
+    "phrases": [[...], ...]}``.
+
+    Phrases are tokenized order-preservingly (surface forms — the
+    positional index stores raw tokens).  A negated phrase is
+    rejected (no sound way to anti-join a phrase cheaply without
+    running the full phrase scan; make it explicit rather than
+    silently slow).
+    """
+    out: dict = {"must": [], "should": [], "must_not": [], "phrases": []}
+    for m in _UNIT.finditer(query or ""):
+        if m.group(2) is not None:
+            op = m.group(1)
+            if op == "-":
+                raise ValueError("negated phrases are not supported")
+            toks = tokenize_py(m.group(2))
+            if toks:
+                out["phrases"].append(toks)
+        else:
+            op, word = m.group(3), m.group(4)
+            if word in ("+", "-"):
+                continue
+            bucket = {"": "should", "+": "must", "-": "must_not"}[op]
+            out[bucket].append(word)
+    return out
+
+
+def search_boolean(
+    index: InvertedIndex,
+    query: str,
+    enriched: DataFrame | None = None,
+    sites: list[str] | None = None,
+    offset: int = 0,
+    limit: int = 20,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+) -> DataFrame:
+    """Top-(offset..offset+limit) BM25 over a boolean query:
+    ``(<id_col>, site, score, rn)`` — the same output contract as
+    :func:`plans.search.search`.
+
+    ``enriched`` (the docs frame with a ``tokens`` column) is needed
+    only when the query contains phrases.
+    """
+    id_col = index.id_col
+    k1, b = index.config.bm25.k1, index.config.bm25.b
+    parsed = parse_simple_query(query)
+
+    def _analyze(words: list[str]) -> list[str]:
+        return sorted(
+            {
+                t
+                for w in words
+                for t in analyze_query(w, lang, analyzer)
+            }
+        )
+
+    must = _analyze(parsed["must"])
+    # phrase words participate in scoring like shoulds (the phrase
+    # constraint itself is handled positionally below)
+    should = _analyze(
+        parsed["should"]
+        + [w for toks in parsed["phrases"] for w in toks]
+    )
+    must_not = _analyze(parsed["must_not"])
+    if use_stoplist:
+        stop = set(index.stoplist)
+        must = [t for t in must if t not in stop]
+        should = [t for t in should if t not in stop]
+
+    scoring = sorted(set(must) | set(should))
+    idf = query_term_idf(index, scoring, sites)
+    must = [t for t in must if t in idf]
+    should = [t for t in should if t in idf]
+    scoring = [t for t in scoring if t in idf]
+
+    empty = (
+        index.doc_lens.select(id_col, "site")
+        .limit(0)
+        .withColumn("score", F.lit(0.0))
+        .withColumn("rn", F.lit(0))
+    )
+    if not scoring:
+        return empty
+    if parsed["phrases"] and enriched is None:
+        raise ValueError(
+            "phrase units need the enriched docs frame "
+            "(tokens column) — pass enriched="
+        )
+
+    # ---- candidate generation --------------------------------------
+    if must:
+        cand_ids = (
+            index.postings.filter(F.col("term").isin(must))
+            .groupBy(id_col)
+            .agg(F.count("term").alias("_nt"))
+            .filter(F.col("_nt") == len(must))
+            .select(id_col)
+        )
+    elif parsed["phrases"]:
+        cand_ids = None  # phrases alone define the candidate set
+    else:
+        cand_ids = (
+            index.postings.filter(F.col("term").isin(should))
+            .select(id_col)
+            .distinct()
+        )
+
+    for toks in parsed["phrases"]:
+        from search_engine_spark.operators.phrases import phrase_match
+
+        pm = phrase_match(
+            enriched, toks, id_col=id_col
+        ).select(id_col)
+        cand_ids = pm if cand_ids is None else cand_ids.join(
+            pm, id_col
+        )
+
+    if must_not:
+        cand_ids = cand_ids.join(
+            index.postings.filter(
+                F.col("term").isin(must_not)
+            ).select(id_col),
+            id_col,
+            "left_anti",
+        )
+
+    doc_lens = index.doc_lens
+    if sites:
+        doc_lens = doc_lens.filter(F.col("site").isin(sites))
+    candidates = cand_ids.join(
+        doc_lens.select(id_col, "site", "doc_len"), id_col
+    )
+
+    # ---- shared scoring + pagination tail ---------------------------
+    qpost = index.postings.filter(F.col("term").isin(scoring))
+    scored = (
+        candidates.join(qpost, id_col, "inner")
+        .withColumn(
+            "term_score",
+            bm25_term_score_col(idf, k1, b, index.avg_len),
+        )
+        .groupBy(id_col, "site")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(
+        offset + limit
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        top.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > offset)
+        .select(id_col, "site", "score", "rn")
+    )

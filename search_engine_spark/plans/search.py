@@ -137,10 +137,12 @@ def search(
     reference's silent unknown-lemma drop.
 
     ``candidates``: "rarest" (reference R13 semantics — AND-leaning
-    recall from the single max-IDF term's postings) or "union" (OR
+    recall from the single max-IDF term's postings), "union" (OR
     semantics: any doc containing ANY query term scores; same BM25
     arithmetic, one extra distinct over the query-term postings —
-    still O(query-term postings), never a corpus scan).
+    still O(query-term postings), never a corpus scan), or "all"
+    (strict AND: only docs containing EVERY surviving query term —
+    one count aggregate over the query-term postings).
 
     ``exclude_terms``: NOT semantics — drop any candidate containing
     one of these terms (analyzed with the same pipeline), via ONE
@@ -191,6 +193,19 @@ def search(
             index.postings.filter(F.col("term").isin(terms))
             .select(id_col)
             .distinct()
+        )
+    elif candidates == "all":
+        # strict AND: docs containing EVERY surviving query term.
+        # postings are unique per (term, doc), so count == n_terms ⇔
+        # all terms present; one map-side-combined count over the
+        # query terms' postings — O(query postings), never a corpus
+        # scan, same cost shape as "union".
+        cand_ids = (
+            index.postings.filter(F.col("term").isin(terms))
+            .groupBy(id_col)
+            .agg(F.count("term").alias("_nt"))
+            .filter(F.col("_nt") == len(terms))
+            .select(id_col)
         )
     else:
         cand_ids = index.postings.filter(

@@ -1,0 +1,130 @@
+"""Boolean mini query language: parser units, equivalence with the
+underlying candidate modes, NOT semantics, and phrase intersection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.postings import build_index
+from search_engine_spark.plans.boolquery import (
+    parse_simple_query,
+    search_boolean,
+)
+from search_engine_spark.plans.search import search
+from search_engine_spark.sources.fixtures import pages_df
+from search_engine_spark.sources.pages import enrich_pages
+
+
+def test_parser_units():
+    p = parse_simple_query('+alpha -beta gamma "delta epsilon" +zeta')
+    assert p["must"] == ["alpha", "zeta"]
+    assert p["must_not"] == ["beta"]
+    assert p["should"] == ["gamma"]
+    assert p["phrases"] == [["delta", "epsilon"]]
+
+
+def test_parser_edge_cases():
+    assert parse_simple_query("") == {
+        "must": [], "should": [], "must_not": [], "phrases": [],
+    }
+    # stray operators and empty quotes are dropped
+    p = parse_simple_query('+ - "" alpha')
+    assert p["should"] == ["alpha"] and p["phrases"] == []
+    with pytest.raises(ValueError):
+        parse_simple_query('-"no negated phrases"')
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return enrich_pages(
+        pages_df(spark, 200, n_sites=4, seed=42)
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def idx(docs):
+    return build_index(docs, id_col="url", analyzer="tokens")
+
+
+def _rows(df):
+    return [
+        (r["url"], round(r["score"], 9), r["rn"]) for r in df.collect()
+    ]
+
+
+def test_bare_terms_equal_union_mode(idx):
+    q = "crystal falcon nebula"
+    a = _rows(search_boolean(idx, q, limit=15, analyzer="tokens"))
+    b = _rows(search(idx, q, limit=15, analyzer="tokens",
+                     candidates="union"))
+    assert a == b and len(a) > 0
+
+
+def test_all_musts_equal_all_mode(idx):
+    a = _rows(search_boolean(
+        idx, "+crystal +falcon", limit=15, analyzer="tokens"
+    ))
+    b = _rows(search(idx, "crystal falcon", limit=15,
+                     analyzer="tokens", candidates="all"))
+    assert a == b and len(a) > 0
+
+
+def test_and_mode_is_subset_of_union(idx):
+    q = "crystal falcon"
+    allm = {r[0] for r in _rows(search(
+        idx, q, limit=200, analyzer="tokens", candidates="all"))}
+    union = {r[0] for r in _rows(search(
+        idx, q, limit=200, analyzer="tokens", candidates="union"))}
+    assert allm and allm <= union
+
+
+def test_must_not_excludes(idx, docs):
+    got = search_boolean(
+        idx, "+crystal -falcon", limit=200, analyzer="tokens"
+    )
+    hits = {r["url"] for r in got.collect()}
+    assert hits
+    offenders = {
+        r["url"]
+        for r in docs.filter(
+            F.array_contains(F.col("tokens"), "falcon")
+        ).collect()
+    }
+    assert not (hits & offenders)
+
+
+def test_phrase_requires_enriched(idx):
+    with pytest.raises(ValueError):
+        search_boolean(idx, '"crystal falcon"', analyzer="tokens")
+
+
+def test_phrase_intersects_candidates(idx, docs):
+    # pick a bigram that provably occurs and isn't fully stoplisted,
+    # then check every hit really contains the consecutive pair
+    rows = docs.select("url", "tokens").collect()
+    stop = set(idx.stoplist)
+    bigram = None
+    for r in rows:
+        toks = list(r["tokens"])
+        for i in range(len(toks) - 1):
+            if toks[i] not in stop or toks[i + 1] not in stop:
+                bigram = (toks[i], toks[i + 1])
+                break
+        if bigram:
+            break
+    assert bigram is not None
+    res = search_boolean(
+        idx, f'"{bigram[0]} {bigram[1]}"', enriched=docs,
+        limit=300, analyzer="tokens",
+    )
+    hits = {r["url"] for r in res.collect()}
+    truth = {
+        r["url"]
+        for r in rows
+        if any(
+            (t0, t1) == bigram
+            for t0, t1 in zip(r["tokens"], r["tokens"][1:])
+        )
+    }
+    assert hits and hits == truth
