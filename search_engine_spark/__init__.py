@@ -57,6 +57,7 @@ _LAZY = {
     "explain_prune": "search_engine_spark.plans.wand",
     "parse_simple_query": "search_engine_spark.plans.boolquery",
     "search_boolean": "search_engine_spark.plans.boolquery",
+    "search_boolean_compact": "search_engine_spark.plans.boolquery",
     "percolate": "search_engine_spark.plans.percolate",
     "percolate_pages": "search_engine_spark.plans.percolate",
     "percolate_stream": "search_engine_spark.plans.percolate",

@@ -83,6 +83,46 @@ def parse_simple_query(query: str) -> dict:
     return out
 
 
+def _analyze_buckets(
+    index,
+    parsed: dict,
+    sites: list[str] | None,
+    lang: str,
+    analyzer: str,
+    use_stoplist: bool,
+) -> tuple[list[str], list[str], list[str], list[str], dict]:
+    """Shared bucket analysis for the logical and compact executors:
+    ``(must, should, must_not, scoring, idf)`` after analyzer,
+    stoplist and the R1/R11 dictionary-membership + IDF-positivity
+    drops.  ``index`` may be an InvertedIndex or CompactIndex (both
+    carry term_stats/stoplist — the IDF helper is shared)."""
+
+    def _an(words: list[str]) -> list[str]:
+        return sorted(
+            {t for w in words for t in analyze_query(w, lang, analyzer)}
+        )
+
+    must = _an(parsed["must"])
+    # phrase words participate in scoring like shoulds (the phrase
+    # constraint itself is handled positionally by the executor)
+    should = _an(
+        parsed["should"]
+        + [w for toks in parsed["phrases"] for w in toks]
+    )
+    must_not = _an(parsed["must_not"])
+    if use_stoplist:
+        stop = set(index.stoplist)
+        must = [t for t in must if t not in stop]
+        should = [t for t in should if t not in stop]
+
+    scoring = sorted(set(must) | set(should))
+    idf = query_term_idf(index, scoring, sites)
+    must = [t for t in must if t in idf]
+    should = [t for t in should if t in idf]
+    scoring = [t for t in scoring if t in idf]
+    return must, should, must_not, scoring, idf
+
+
 def search_boolean(
     index: InvertedIndex,
     query: str,
@@ -104,34 +144,9 @@ def search_boolean(
     id_col = index.id_col
     k1, b = index.config.bm25.k1, index.config.bm25.b
     parsed = parse_simple_query(query)
-
-    def _analyze(words: list[str]) -> list[str]:
-        return sorted(
-            {
-                t
-                for w in words
-                for t in analyze_query(w, lang, analyzer)
-            }
-        )
-
-    must = _analyze(parsed["must"])
-    # phrase words participate in scoring like shoulds (the phrase
-    # constraint itself is handled positionally below)
-    should = _analyze(
-        parsed["should"]
-        + [w for toks in parsed["phrases"] for w in toks]
+    must, should, must_not, scoring, idf = _analyze_buckets(
+        index, parsed, sites, lang, analyzer, use_stoplist
     )
-    must_not = _analyze(parsed["must_not"])
-    if use_stoplist:
-        stop = set(index.stoplist)
-        must = [t for t in must if t not in stop]
-        should = [t for t in should if t not in stop]
-
-    scoring = sorted(set(must) | set(should))
-    idf = query_term_idf(index, scoring, sites)
-    must = [t for t in must if t in idf]
-    should = [t for t in should if t in idf]
-    scoring = [t for t in scoring if t in idf]
 
     empty = (
         index.doc_lens.select(id_col, "site")
@@ -203,6 +218,128 @@ def search_boolean(
         .agg(F.sum("term_score").alias("score"))
     )
     top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(
+        offset + limit
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        top.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > offset)
+        .select(id_col, "site", "score", "rn")
+    )
+
+
+def search_boolean_compact(
+    cidx,
+    query: str,
+    enriched: DataFrame | None = None,
+    sites: list[str] | None = None,
+    offset: int = 0,
+    limit: int = 20,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+) -> DataFrame:
+    """Boolean query over the COMPACTED index — rank-identical to
+    :func:`search_boolean` on the same corpus (same analysis, same
+    shared scoring expression; pytest-pinned).
+
+    The only decode is the query terms' own segments (bucket-pruned
+    scan → Arrow block decode), exactly like the WAND path; must_not
+    terms decode their segments only for the anti-join.  doc_len
+    rides inside the decoded postings, so scoring needs no doc_map
+    join until the final (top-k-sized) site/id resolution.
+    """
+    from search_engine_spark.operators.compact import decode_segments
+    from search_engine_spark.plans.wand import _segs_for_terms
+
+    id_col = cidx.id_col
+    k1, b = cidx.config.bm25.k1, cidx.config.bm25.b
+    parsed = parse_simple_query(query)
+    must, should, must_not, scoring, idf = _analyze_buckets(
+        cidx, parsed, sites, lang, analyzer, use_stoplist
+    )
+
+    empty = (
+        cidx.doc_map.select(id_col, "site")
+        .limit(0)
+        .withColumn("score", F.lit(0.0))
+        .withColumn("rn", F.lit(0))
+    )
+    if not scoring:
+        return empty
+    if parsed["phrases"] and enriched is None:
+        raise ValueError(
+            "phrase units need the enriched docs frame "
+            "(tokens column) — pass enriched="
+        )
+
+    # one decode of the query terms' segments, shared by candidate
+    # generation and scoring (cache: both passes reuse it)
+    qpost = decode_segments(_segs_for_terms(cidx, scoring)).cache()
+
+    if must:
+        cand_ids = (
+            qpost.filter(F.col("term").isin(must))
+            .groupBy("doc_id")
+            .agg(F.count("term").alias("_nt"))
+            .filter(F.col("_nt") == len(must))
+            .select("doc_id")
+        )
+    elif parsed["phrases"]:
+        cand_ids = None
+    else:
+        cand_ids = qpost.select("doc_id").distinct()
+
+    if parsed["phrases"]:
+        from search_engine_spark.operators.phrases import phrase_match
+
+        # phrase matching runs on the docs frame (natural ids) —
+        # translate through doc_map once, phrase-hits are tiny
+        nat = cidx.doc_map.select("doc_id", id_col)
+        for toks in parsed["phrases"]:
+            pm = (
+                phrase_match(enriched, toks, id_col=id_col)
+                .join(nat, id_col)
+                .select("doc_id")
+            )
+            cand_ids = pm if cand_ids is None else cand_ids.join(
+                pm, "doc_id"
+            )
+
+    if must_not:
+        ex = decode_segments(
+            _segs_for_terms(cidx, must_not)
+        ).select("doc_id")
+        cand_ids = cand_ids.join(ex, "doc_id", "left_anti")
+
+    if cidx.tombstones is not None:
+        cand_ids = cand_ids.join(
+            F.broadcast(cidx.tombstones.select("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+
+    if sites:
+        cand_ids = cand_ids.join(
+            cidx.doc_map.filter(F.col("site").isin(sites)).select(
+                "doc_id"
+            ),
+            "doc_id",
+        )
+
+    scored = (
+        cand_ids.join(qpost, "doc_id", "inner")
+        .withColumn(
+            "term_score",
+            bm25_term_score_col(idf, k1, b, cidx.avg_len),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    resolved = scored.join(
+        cidx.doc_map.select("doc_id", id_col, "site"), "doc_id"
+    )
+    top = resolved.orderBy(F.desc("score"), F.asc(id_col)).limit(
         offset + limit
     )
     w = Window.orderBy(F.desc("score"), F.asc(id_col))

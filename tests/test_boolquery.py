@@ -128,3 +128,36 @@ def test_phrase_intersects_candidates(idx, docs):
         )
     }
     assert hits and hits == truth
+
+
+def test_boolean_compact_rank_identity(idx, docs):
+    """Compact-index boolean executor == logical executor (same
+    analysis, same shared scoring expression)."""
+    from dataclasses import replace
+
+    from search_engine_spark.operators.compact import compact_index
+    from search_engine_spark.plans.boolquery import (
+        search_boolean_compact,
+    )
+
+    renamed = replace(
+        idx,
+        postings=idx.postings.withColumnRenamed("url", "nat_id"),
+        doc_lens=idx.doc_lens.withColumnRenamed("url", "nat_id"),
+        id_col="nat_id",
+        cached=(),
+    )
+    cidx = compact_index(renamed, n_segments=4)
+    for q in (
+        "+crystal +falcon",
+        "+crystal -falcon meadow",
+        "crystal falcon nebula",
+    ):
+        a = _rows(search_boolean(idx, q, limit=25, analyzer="tokens"))
+        b = [
+            (r["nat_id"], round(r["score"], 9), r["rn"])
+            for r in search_boolean_compact(
+                cidx, q, limit=25, analyzer="tokens"
+            ).collect()
+        ]
+        assert a == b and len(a) > 0
