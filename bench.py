@@ -133,6 +133,8 @@ def main() -> None:
     qs = entrymod.queries()
     bench_queries = [
         "bm25_topk",
+        "bm25_and_topk",
+        "bool_search",
         "bm25_site_restricted",
         "bm25_pagination",
         "bm25_wand_topk",

@@ -29,6 +29,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--offset", type=int, default=0)
     ap.add_argument("--limit", type=int, default=20)
     ap.add_argument("--no-prune", action="store_true")
+    ap.add_argument("--bool", dest="bool_query", action="store_true",
+                    help='boolean mini-language: +must -not "phrase"')
     ap.add_argument("--snippets", action="store_true",
                     help="attach highlighted snippets (requires --pages)")
     ap.add_argument("--pages", default=None,
@@ -48,15 +50,29 @@ def main(argv: list[str] | None = None) -> None:
     from search_engine_spark.plans.wand import search_compact
 
     cidx = load_compact_index(spark, args.index)
-    result = search_compact(
-        cidx,
-        args.query,
-        sites=args.site,
-        offset=args.offset,
-        limit=args.limit,
-        analyzer=cidx_analyzer(args.index),
-        prune=not args.no_prune,
-    )
+    if args.bool_query:
+        from search_engine_spark.plans.boolquery import (
+            search_boolean_compact,
+        )
+
+        result = search_boolean_compact(
+            cidx,
+            args.query,
+            sites=args.site,
+            offset=args.offset,
+            limit=args.limit,
+            analyzer=cidx_analyzer(spark, args.index),
+        )
+    else:
+        result = search_compact(
+            cidx,
+            args.query,
+            sites=args.site,
+            offset=args.offset,
+            limit=args.limit,
+            analyzer=cidx_analyzer(spark, args.index),
+            prune=not args.no_prune,
+        )
     if args.snippets:
         if not args.pages:
             ap.error("--snippets requires --pages")
@@ -67,7 +83,7 @@ def main(argv: list[str] | None = None) -> None:
         from search_engine_spark.plans.snippets import attach_snippets
         from search_engine_spark.sources.pages import read_pages
 
-        analyzer = cidx_analyzer(args.index)
+        analyzer = cidx_analyzer(spark, args.index)
         terms = [
             t
             for t in analyze_query(args.query, analyzer=analyzer)
@@ -82,9 +98,16 @@ def main(argv: list[str] | None = None) -> None:
     spark.stop()
 
 
-def cidx_analyzer(index_dir: str) -> str:
-    with open(Path(index_dir) / "stats.json") as fh:
-        return json.load(fh).get("analyzer", "lemma")
+def cidx_analyzer(spark, index_dir: str) -> str:
+    # scheme-agnostic (hdfs://, s3a://, file://) like the rest of the
+    # persisted-index metadata I/O
+    from search_engine_spark import fsutil
+
+    # NOT pathlib: Path("hdfs://x") collapses the scheme's "//"
+    meta = json.loads(
+        fsutil.read_text(index_dir.rstrip("/") + "/stats.json", spark)
+    )
+    return meta.get("analyzer", "lemma")
 
 
 if __name__ == "__main__":
