@@ -11,6 +11,9 @@ precedence-free (every token carries its own operator — no ambiguous
     "a b c"   PHRASE    — exact consecutive-token match (must);
                           requires the enriched docs frame (the
                           positional data lives in its tokens column)
+    site:host FIELD     — R2 site restriction; several site: units OR
+                          together; intersects a caller-passed
+                          ``sites=`` list when both are given
 
 Execution composes the engine's existing primitives — nothing here
 re-implements scoring:
@@ -65,7 +68,10 @@ def parse_simple_query(query: str) -> dict:
     running the full phrase scan; make it explicit rather than
     silently slow).
     """
-    out: dict = {"must": [], "should": [], "must_not": [], "phrases": []}
+    out: dict = {
+        "must": [], "should": [], "must_not": [], "phrases": [],
+        "sites": [],
+    }
     for m in _UNIT.finditer(query or ""):
         if m.group(2) is not None:
             op = m.group(1)
@@ -78,9 +84,33 @@ def parse_simple_query(query: str) -> dict:
             op, word = m.group(3), m.group(4)
             if word in ("+", "-"):
                 continue
+            if word.lower().startswith("site:"):
+                # field unit: R2 site restriction; several site: units
+                # OR together (one isin), like the reference's
+                # multi-site search parameter
+                host = word[5:]
+                if op == "-":
+                    raise ValueError(
+                        "negated site: filters are not supported"
+                    )
+                if host:
+                    out["sites"].append(host)
+                continue
             bucket = {"": "should", "+": "must", "-": "must_not"}[op]
             out[bucket].append(word)
     return out
+
+
+def _merge_sites(
+    arg_sites: list[str] | None, query_sites: list[str]
+) -> list[str] | None:
+    """Caller ``sites=`` ∩ in-query ``site:`` units (both are
+    restrictions; honoring only one would silently widen the other)."""
+    if not query_sites:
+        return arg_sites
+    if not arg_sites:
+        return sorted(set(query_sites))
+    return sorted(set(arg_sites) & set(query_sites))
 
 
 def _analyze_buckets(
@@ -144,6 +174,7 @@ def search_boolean(
     id_col = index.id_col
     k1, b = index.config.bm25.k1, index.config.bm25.b
     parsed = parse_simple_query(query)
+    sites = _merge_sites(sites, parsed["sites"])
     must, should, must_not, scoring, idf = _analyze_buckets(
         index, parsed, sites, lang, analyzer, use_stoplist
     )
@@ -154,7 +185,8 @@ def search_boolean(
         .withColumn("score", F.lit(0.0))
         .withColumn("rn", F.lit(0))
     )
-    if not scoring:
+    # [] (an empty intersection of restrictions) ≠ None (unrestricted)
+    if not scoring or (sites is not None and not sites):
         return empty
     if parsed["phrases"] and enriched is None:
         raise ValueError(
@@ -255,6 +287,7 @@ def search_boolean_compact(
     id_col = cidx.id_col
     k1, b = cidx.config.bm25.k1, cidx.config.bm25.b
     parsed = parse_simple_query(query)
+    sites = _merge_sites(sites, parsed["sites"])
     must, should, must_not, scoring, idf = _analyze_buckets(
         cidx, parsed, sites, lang, analyzer, use_stoplist
     )
@@ -265,7 +298,8 @@ def search_boolean_compact(
         .withColumn("score", F.lit(0.0))
         .withColumn("rn", F.lit(0))
     )
-    if not scoring:
+    # [] (an empty intersection of restrictions) ≠ None (unrestricted)
+    if not scoring or (sites is not None and not sites):
         return empty
     if parsed["phrases"] and enriched is None:
         raise ValueError(

@@ -17,22 +17,29 @@ from search_engine_spark.sources.pages import enrich_pages
 
 
 def test_parser_units():
-    p = parse_simple_query('+alpha -beta gamma "delta epsilon" +zeta')
+    p = parse_simple_query(
+        '+alpha -beta gamma "delta epsilon" +zeta site:h.example'
+    )
     assert p["must"] == ["alpha", "zeta"]
     assert p["must_not"] == ["beta"]
     assert p["should"] == ["gamma"]
     assert p["phrases"] == [["delta", "epsilon"]]
+    assert p["sites"] == ["h.example"]
 
 
 def test_parser_edge_cases():
     assert parse_simple_query("") == {
         "must": [], "should": [], "must_not": [], "phrases": [],
+        "sites": [],
     }
-    # stray operators and empty quotes are dropped
-    p = parse_simple_query('+ - "" alpha')
+    # stray operators, empty quotes and empty site: are dropped
+    p = parse_simple_query('+ - "" site: alpha')
     assert p["should"] == ["alpha"] and p["phrases"] == []
+    assert p["sites"] == []
     with pytest.raises(ValueError):
         parse_simple_query('-"no negated phrases"')
+    with pytest.raises(ValueError):
+        parse_simple_query("-site:h.example")
 
 
 @pytest.fixture(scope="module")
@@ -161,3 +168,33 @@ def test_boolean_compact_rank_identity(idx, docs):
             ).collect()
         ]
         assert a == b and len(a) > 0
+
+
+def test_site_field_restricts(idx):
+    base = search_boolean(
+        idx, "crystal falcon", limit=300, analyzer="tokens"
+    ).collect()
+    assert {r["site"] for r in base} > {"site00.example"}
+    only = search_boolean(
+        idx, "crystal falcon site:site00.example", limit=300,
+        analyzer="tokens",
+    ).collect()
+    assert only and {r["site"] for r in only} == {"site00.example"}
+    # site: matches search(sites=[...]) exactly (same idf-N quirk)
+    via_arg = search(
+        idx, "crystal falcon", sites=["site00.example"], limit=300,
+        analyzer="tokens", candidates="union",
+    ).collect()
+    assert _rows_df(only) == _rows_df(via_arg)
+    # disjoint restriction intersection -> empty, not unrestricted
+    none = search_boolean(
+        idx, "crystal falcon site:site00.example", limit=300,
+        analyzer="tokens", sites=["site01.example"],
+    )
+    assert none.count() == 0
+
+
+def _rows_df(rows):
+    return sorted(
+        (r["url"], round(r["score"], 9), r["rn"]) for r in rows
+    )
