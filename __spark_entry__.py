@@ -36,6 +36,14 @@ SITES_RESTRICTED = ["src1", "src2"]
 # exact-phrase flagship for the positional-postings surface: a bigram
 # that occurs in ~10% of docs at sf0.01 (selective but non-trivial)
 PHRASE_TERMS = ["table", "hash"]
+# synonym-group flagship: "dup" rides with non-stop "key", "fast"
+# with non-stop "vector" — both groups change df AND tf vs the plain
+# term query, so the oracle exercises union-df and summed group tf
+SYNONYM_QUERY = "dup fast"
+SYNONYM_MAP = {"dup": ["key"], "fast": ["vector"]}
+# proximity flagship: two non-stop mid-frequency terms (min cover
+# span for m=2 == min |pos_a − pos_b|, exactly SQL-expressible)
+PROX_TERMS = ["key", "line"]
 # percolator (reverse search) registered query set: rare + common
 # terms, an absent-term query and an all-stoplist query (both must
 # match nothing), exercising R13 rarest-membership per query
@@ -449,6 +457,162 @@ WHERE rn > {offset} AND rn <= {offset + limit}
 """
 
 
+def _synonyms_sql(limit: int = 10) -> str:
+    """DuckDB mirror of plans/synonyms.search_synonyms: member
+    stop-filter, exact union df per group, Robertson idf positivity
+    drop, rarest-GROUP candidates, summed group tf through the shared
+    BM25 arithmetic."""
+    groups = {
+        t: sorted({t, *SYNONYM_MAP.get(t, [])})
+        for t in SYNONYM_QUERY.split()
+    }
+    gvals = ", ".join(
+        f"('{g}', '{m}')"
+        for g, ms in sorted(groups.items())
+        for m in ms
+    )
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+nn AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*) FROM lens) AS avg_len),
+gmap(grp, term) AS (VALUES {gvals}),
+gkept AS (SELECT grp, term FROM gmap
+          WHERE term NOT IN (SELECT term FROM stop)),
+gdf AS (SELECT g.grp, count(DISTINCT p.doc_id) AS df
+        FROM gkept g JOIN postings p ON p.term = g.term GROUP BY 1),
+gidf AS (SELECT gdf.grp, gdf.df,
+                ln((nn.n - gdf.df + 0.5) / (gdf.df + 0.5)) AS idf
+         FROM gdf CROSS JOIN nn
+         WHERE (nn.n - gdf.df + 0.5) / (gdf.df + 0.5) > 0),
+rarest AS (SELECT grp FROM gidf ORDER BY df ASC, grp ASC LIMIT 1),
+cand AS (SELECT DISTINCT p.doc_id FROM postings p
+         JOIN gkept g ON g.term = p.term
+         JOIN rarest r ON r.grp = g.grp),
+gtf AS (SELECT p.doc_id, g.grp, sum(p.tf) AS gtf
+        FROM postings p
+        JOIN gkept g ON g.term = p.term
+        JOIN gidf gi ON gi.grp = g.grp
+        GROUP BY 1, 2),
+scored AS (
+  SELECT c.doc_id,
+         sum(gi.idf * (t.gtf::DOUBLE / l.doc_len) * ({K1} + 1)
+             / ((t.gtf::DOUBLE / l.doc_len)
+                + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len))) AS score
+  FROM cand c
+  JOIN gtf t ON t.doc_id = c.doc_id
+  JOIN gidf gi ON gi.grp = t.grp
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nn
+  GROUP BY 1),
+ranked AS (SELECT doc_id, round(score, 6) AS score,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+           FROM scored)
+SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
+"""
+
+
+def _lm_sql(terms: list[str], mu: float = 500.0,
+            limit: int = 10) -> str:
+    """DuckDB mirror of plans/lm.search_lm: Dirichlet query
+    likelihood, rank-preserving present-term decomposition, |C| as
+    the exact doc_len sum (the Spark side reconstructs the same
+    integer from avg_len·n_docs)."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+tot AS (SELECT CAST(sum(doc_len) AS DOUBLE) AS c FROM lens),
+qt AS (SELECT p.term, CAST(sum(p.tf) AS DOUBLE) AS cf
+       FROM postings p
+       WHERE p.term IN ({term_list})
+         AND p.term NOT IN (SELECT term FROM stop)
+       GROUP BY 1),
+nq AS (SELECT count(*) AS m FROM qt),
+cand AS (SELECT DISTINCT doc_id FROM postings
+         WHERE term IN (SELECT term FROM qt)),
+present AS (
+  SELECT p.doc_id,
+         sum(ln(1 + p.tf::DOUBLE / ({mu} * qt.cf / tot.c))) AS ps
+  FROM postings p JOIN qt ON qt.term = p.term CROSS JOIN tot
+  GROUP BY 1),
+scored AS (
+  SELECT c.doc_id,
+         pr.ps + nq.m * ln({mu} / (l.doc_len + {mu})) AS score
+  FROM cand c
+  JOIN present pr ON pr.doc_id = c.doc_id
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nq),
+ranked AS (SELECT doc_id, round(score, 6) AS score,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+           FROM scored)
+SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
+"""
+
+
+def _min_span_sql(t0: str, t1: str) -> str:
+    """DuckDB mirror of operators/phrases.min_cover_span for two
+    terms: the minimum cover span equals min |pos_a − pos_b|."""
+    return f"""
+WITH {_TOKS_POS},
+a AS (SELECT doc_id, pos FROM toks_pos WHERE term = '{t0}'),
+b AS (SELECT doc_id, pos FROM toks_pos WHERE term = '{t1}')
+SELECT a.doc_id, CAST(min(abs(a.pos - b.pos)) AS INTEGER) AS span
+FROM a JOIN b USING (doc_id)
+GROUP BY 1
+"""
+
+
+def _proximity_sql(terms: list[str], prox_weight: float = 1.0,
+                   depth: int = 50, limit: int = 10) -> str:
+    """DuckDB mirror of operators/phrases.proximity_search (m=2):
+    unrounded BM25 rarest-candidate scores, top-``depth`` pool, min
+    |pos_a − pos_b| span, the (1 + w/(1 + span − 1)) boost, re-rank."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    t0, t1 = sorted(terms)
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+nn AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*) FROM lens) AS avg_len),
+qt AS (
+  SELECT ts.term, ts.df,
+         ln((nn.n - ts.df + 0.5) / (ts.df + 0.5)) AS idf
+  FROM tstats ts CROSS JOIN nn
+  WHERE ts.term IN ({term_list})
+    AND ts.term NOT IN (SELECT term FROM stop)
+    AND (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0),
+rarest AS (SELECT term FROM qt ORDER BY df ASC, term ASC LIMIT 1),
+cand AS (SELECT p.doc_id FROM postings p JOIN rarest r ON p.term = r.term),
+scored AS (
+  SELECT c.doc_id,
+         sum(qt.idf * (p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+             / ((p.tf::DOUBLE / l.doc_len)
+                + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len))) AS score
+  FROM cand c
+  JOIN postings p ON p.doc_id = c.doc_id
+  JOIN qt ON qt.term = p.term
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nn
+  GROUP BY 1),
+pool AS (
+  SELECT doc_id, score FROM scored
+  ORDER BY score DESC, doc_id ASC LIMIT {depth}),
+{_TOKS_POS},
+a AS (SELECT doc_id, pos FROM toks_pos WHERE term = '{t0}'),
+b AS (SELECT doc_id, pos FROM toks_pos WHERE term = '{t1}'),
+spans AS (SELECT a.doc_id, min(abs(a.pos - b.pos)) AS span
+          FROM a JOIN b USING (doc_id) GROUP BY 1),
+boosted AS (
+  SELECT p.doc_id,
+         CASE WHEN s.span IS NOT NULL
+              THEN p.score * (1.0 + {prox_weight} / (1.0 + s.span - 1))
+              ELSE p.score END AS score
+  FROM pool p LEFT JOIN spans s USING (doc_id)),
+ranked AS (SELECT doc_id, round(score, 6) AS score,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+           FROM boosted)
+SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
+"""
+
+
 def _percolate_sql(queries: list[tuple[int, str]], mode: str) -> str:
     """DuckDB mirror of plans/percolate.percolate over the documents
     table (tokens analyzer): same stop-list removal, Robertson-IDF
@@ -647,6 +811,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _docs_index(spark, sf)
         res = search_boolean(
             idx, "+key -window dup", limit=10, analyzer="tokens"
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def bm25_synonyms_topk(spark, sf):
+        """Lucene-SynonymQuery semantics: group tf = Σ member tf,
+        group df = exact union df (plans/synonyms.py)."""
+        from search_engine_spark.plans.synonyms import search_synonyms
+
+        idx = _docs_index(spark, sf)
+        res = search_synonyms(
+            idx, SYNONYM_QUERY, synonyms=SYNONYM_MAP, limit=10,
+            analyzer="tokens",
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def lm_dirichlet_topk(spark, sf):
+        """Dirichlet query-likelihood ranking (plans/lm.py) — the
+        second ranking family next to BM25."""
+        from search_engine_spark.plans.lm import search_lm
+
+        idx = _docs_index(spark, sf)
+        res = search_lm(
+            idx, FLAGSHIP_QUERY, mu=500.0, limit=10, analyzer="tokens"
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def min_span_docs(spark, sf):
+        """Minimum cover span of PROX_TERMS per doc containing both
+        (operators/phrases.min_cover_span)."""
+        from search_engine_spark.operators.phrases import (
+            min_cover_span,
+            positional_postings,
+        )
+
+        pp = positional_postings(
+            _docs_enriched(spark, sf), id_col="doc_id"
+        )
+        return min_cover_span(pp, PROX_TERMS, id_col="doc_id").select(
+            "doc_id", F.col("span").cast("int").alias("span")
+        )
+
+    def proximity_topk(spark, sf):
+        """BM25 top-50 re-ranked by term proximity
+        (operators/phrases.proximity_search)."""
+        from search_engine_spark.operators.phrases import (
+            proximity_search,
+        )
+
+        idx = _docs_index(spark, sf)
+        res = proximity_search(
+            idx, _docs_enriched(spark, sf), SYNONYM_QUERY,
+            prox_weight=1.0, rerank_depth=50, limit=10,
+            analyzer="tokens",
         )
         return res.select(
             "doc_id", F.round("score", 6).alias("score"),
@@ -1629,6 +1855,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_not_topk": bm25_not_topk,
         "bm25_and_topk": bm25_and_topk,
         "bool_search": bool_search,
+        "bm25_synonyms_topk": bm25_synonyms_topk,
+        "lm_dirichlet_topk": lm_dirichlet_topk,
+        "min_span_docs": min_span_docs,
+        "proximity_topk": proximity_topk,
         "bm25_site_restricted": bm25_site_restricted,
         "bm25_pagination": bm25_pagination,
         "postings_lemma": postings_lemma,
@@ -1858,6 +2088,13 @@ ranked AS (
 )
 SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
 """,
+        "bm25_synonyms_topk": _synonyms_sql(limit=10),
+        "lm_dirichlet_topk": _lm_sql(FLAGSHIP_TERMS, mu=500.0, limit=10),
+        "min_span_docs": _min_span_sql(*PROX_TERMS),
+        "proximity_topk": _proximity_sql(
+            sorted(SYNONYM_QUERY.split()), prox_weight=1.0,
+            depth=50, limit=10,
+        ),
         "bm25_site_restricted": _bm25_sql(
             FLAGSHIP_TERMS, sites=SITES_RESTRICTED, limit=10
         ),

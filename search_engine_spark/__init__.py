@@ -113,6 +113,11 @@ _LAZY = {
     "tfidf_keywords": "search_engine_spark.operators.curation",
     "filter_urls": "search_engine_spark.operators.curation",
     "sample_n_per_group": "search_engine_spark.operators.curation",
+    "search_synonyms": "search_engine_spark.plans.synonyms",
+    "expand_terms": "search_engine_spark.plans.synonyms",
+    "search_lm": "search_engine_spark.plans.lm",
+    "min_cover_span": "search_engine_spark.operators.phrases",
+    "proximity_search": "search_engine_spark.operators.phrases",
     "cms_build": "search_engine_spark.operators.sketches",
     "cms_merge": "search_engine_spark.operators.sketches",
     "cms_estimate": "search_engine_spark.operators.sketches",

@@ -35,6 +35,8 @@ the aggregate is skew-free regardless of term skew.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -248,4 +250,183 @@ def phrase_match_indexed(
     occ = phrase_occurrences(pp, phrase_terms, id_col)
     return occ.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("phrase_tf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# proximity (minimum cover span) ranking
+# ---------------------------------------------------------------------------
+
+
+def _min_cover_udf(m: int):
+    """Arrow-batched minimum-cover-span kernel.
+
+    Input: per doc, its query-term hit positions SORTED ascending and
+    the aligned term ids.  Output: the smallest ``max(pos)−min(pos)``
+    over windows containing ALL ``m`` distinct term ids (the classic
+    two-pointer sweep), or null when some term is absent.  The sweep
+    is O(hits) per doc over the doc's QUERY-TERM hits only (tf-sized,
+    not doc-sized) — the one place a column expression genuinely
+    can't express the semantics, so it is an Arrow-vectorized batch
+    UDF, never row-at-a-time plumbing.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def f(poss: pd.Series, tids: pd.Series) -> pd.Series:
+        out = np.full(len(poss), -1, dtype=np.int64)
+        for i in range(len(poss)):
+            pos = poss.iloc[i]
+            tid = tids.iloc[i]
+            if pos is None:
+                continue
+            pos = np.asarray(pos, dtype=np.int64)
+            tid = np.asarray(tid, dtype=np.int64)
+            counts = np.zeros(m, dtype=np.int64)
+            have = 0
+            best = -1
+            left = 0
+            for right in range(pos.size):
+                t = tid[right]
+                counts[t] += 1
+                if counts[t] == 1:
+                    have += 1
+                while have == m:
+                    span = pos[right] - pos[left]
+                    if best < 0 or span < best:
+                        best = int(span)
+                    tl = tid[left]
+                    counts[tl] -= 1
+                    if counts[tl] == 0:
+                        have -= 1
+                    left += 1
+            out[i] = best
+        res = pd.Series(out)
+        return res.where(res >= 0).astype("Int32")
+
+    return f
+
+
+def min_cover_span(
+    pos_postings: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(<id>, span)`` — per doc containing ALL the (distinct) query
+    terms, the length ``max(pos) − min(pos)`` of the tightest token
+    window covering one occurrence of each.  ``span == m−1`` ⇔ the
+    terms appear consecutively (in some order).
+
+    Plan shape: one ``term IN (...)`` filtered scan (partition-pruned
+    on a persisted positional index), a broadcast term→id map, one
+    ``groupBy(id)`` packing the doc's query-term hits into a sorted
+    array (map-side combined, key near-uniform), then the O(hits)
+    two-pointer kernel per doc in one Arrow batch UDF.  Volume after
+    the filter is the query terms' positional postings only.
+    """
+    ts = sorted(set(terms))
+    m = len(ts)
+    spark = pos_postings.sparkSession
+    if m == 0:
+        return spark.createDataFrame([], f"{id_col} long, span int")
+    tid_col = F.create_map(
+        *[x for i, t in enumerate(ts) for x in (F.lit(t), F.lit(i))]
+    )[F.col("term")]
+    hits = pos_postings.filter(F.col("term").isin(ts)).select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("pos"),
+        tid_col.cast("long").alias("tid"),
+    )
+    packed = (
+        hits.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "tid"))
+            ).alias("h"),
+            F.countDistinct("tid").alias("nt"),
+        )
+        .filter(F.col("nt") == m)
+        .select(
+            id_col,
+            F.col("h.pos").alias("poss"),
+            F.col("h.tid").alias("tids"),
+        )
+    )
+    return packed.select(
+        F.col(id_col),
+        _min_cover_udf(m)(F.col("poss"), F.col("tids")).alias("span"),
+    )
+
+
+def proximity_search(
+    index,
+    enriched: DataFrame,
+    query: str,
+    prox_weight: float = 1.0,
+    rerank_depth: int = 100,
+    sites: list[str] | None = None,
+    limit: int = 10,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    tokens_col_name: str = "tokens",
+) -> DataFrame:
+    """BM25 top-``rerank_depth`` re-ranked by term proximity:
+    ``(<id>, site, score, rn)``.
+
+    final = bm25 · (1 + prox_weight / (1 + span − (m−1))) for docs
+    where all ``m`` query terms co-occur (``span − (m−1)`` = number
+    of gap tokens in the tightest cover, 0 when consecutive ⇒ the
+    full ``1 + prox_weight`` boost); docs missing a term keep their
+    BM25 score (factor 1).  Re-ranking happens INSIDE the BM25
+    top-``rerank_depth`` pool — the standard two-phase shape: the
+    cheap ranker bounds the candidate set, the positional phase
+    touches only ``rerank_depth`` docs' query-term positions.
+
+    Ties: (score desc, id asc), like every ranking path.
+    """
+    from search_engine_spark.plans.search import (
+        analyze_query,
+        search,
+    )
+
+    base = search(
+        index, query, sites=sites, limit=rerank_depth,
+        lang=lang, analyzer=analyzer,
+    )
+    terms = sorted(set(analyze_query(query, lang, analyzer)))
+    id_col = index.id_col
+    m = len(terms)
+    if m == 0:
+        return base.limit(0)
+    pp = positional_postings(enriched, id_col, tokens_col_name)
+    # prune the positional stream to the rerank pool BEFORE packing:
+    # rerank_depth is top-k-sized, so the semi-join broadcasts
+    pool = base.select(id_col)
+    spans = min_cover_span(
+        pp.join(F.broadcast(pool), id_col, "left_semi"), terms, id_col
+    )
+    boosted = (
+        base.join(spans, id_col, "left")
+        .withColumn(
+            "score",
+            F.when(
+                F.col("span").isNotNull(),
+                F.col("score")
+                * (
+                    F.lit(1.0)
+                    + F.lit(float(prox_weight))
+                    / (F.lit(1.0) + F.col("span") - F.lit(m - 1))
+                ),
+            ).otherwise(F.col("score")),
+        )
+        .drop("span", "rn")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        boosted.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(limit)
+        .withColumn("rn", F.row_number().over(w))
+        .select(id_col, "site", "score", "rn")
     )

@@ -54,7 +54,10 @@ def main() -> int:
     failures = []
 
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        # comma-separated substrings, OR-matched
+        if name_filter and not any(
+            part and part in name for part in name_filter.split(",")
+        ):
             continue
         t0 = time.time()
         try:
