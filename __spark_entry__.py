@@ -44,6 +44,10 @@ SYNONYM_MAP = {"dup": ["key"], "fast": ["vector"]}
 # proximity flagship: two non-stop mid-frequency terms (min cover
 # span for m=2 == min |pos_a − pos_b|, exactly SQL-expressible)
 PROX_TERMS = ["key", "line"]
+# rank-eval query set: graded qrels = docs containing ≥2 distinct
+# query terms (rel = n_matching_terms − 1); run = docs ranked by
+# summed query-term tf.  Exercises MRR / graded nDCG / recall@k.
+EVAL_QUERIES = [(0, "dup fast"), (1, "key line"), (2, "vector column")]
 # percolator (reverse search) registered query set: rare + common
 # terms, an absent-term query and an all-stoplist query (both must
 # match nothing), exercising R13 rarest-membership per query
@@ -613,6 +617,117 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
 """
 
 
+def _bigram_sql(alpha: float = 0.1) -> str:
+    """DuckDB mirror of operators/curation.bigram_logprob: bigrams by
+    positional self-join (pos+1), add-α conditional probabilities
+    against bigram-prefix counts, vocab = distinct unigrams."""
+    return f"""
+WITH {_TOKS_POS},
+big AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+        FROM toks_pos a
+        JOIN toks_pos b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+v AS (SELECT count(DISTINCT term) AS v FROM toks_pos),
+per AS (
+  SELECT big.doc_id,
+         -ln((c2.c2 + {alpha}) / (c1.c1 + {alpha} * v.v)) AS nlp
+  FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(nlp), 6) AS nll, round(exp(avg(nlp)), 6) AS ppl
+FROM per GROUP BY 1
+"""
+
+
+_LATEST_SNAPSHOT_SQL = """
+WITH g AS (
+  SELECT doc_id, source, doc_id // 3 AS k FROM documents)
+SELECT 'https://' || source || '.example/p/' || CAST(k AS VARCHAR)
+         AS canonical_url,
+       max(doc_id) AS doc_id
+FROM g GROUP BY source, k
+"""
+
+
+def _site_quality_sql(toks_list: str, stopword_list: str) -> str:
+    """DuckDB mirror of operators/curation.site_quality_stats — the
+    per-doc quality expression is the text_quality oracle's, averaged
+    per domain (per-doc round 6, then round-6 average, matching the
+    engine's quality_score → avg order)."""
+    return f"""
+WITH lt AS (
+  SELECT doc_id, source, text, {toks_list} AS tokens FROM documents),
+q AS (
+  SELECT source AS site,
+         round(
+           0.4 * least(len(tokens)::DOUBLE / 100.0, 1.0)
+           + 0.3 * (CASE WHEN length(lower(text)) > 0
+               THEN length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                    / length(lower(text)) ELSE 0.0 END)
+           + 0.3 * (1.0 - abs((CASE WHEN len(tokens) > 0
+               THEN len(list_filter(tokens,
+                    t -> t IN ({stopword_list})))::DOUBLE / len(tokens)
+               ELSE 0.0 END) - 0.15) / 0.85), 6) AS q
+  FROM lt)
+SELECT site, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(q), 6) AS avg_quality
+FROM q GROUP BY 1
+"""
+
+
+def _rank_eval_sql(k: int = 10) -> str:
+    """DuckDB mirror of plans/eval.rank_eval over the deterministic
+    summed-tf run and graded (matching-terms − 1) qrels built by the
+    rank_eval contract query."""
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in EVAL_QUERIES
+        for t in sorted(set(q.split()))
+    )
+    return f"""
+WITH {_TOKS}, {_POSTINGS},
+qt(query_id, term) AS (VALUES {qvals}),
+j AS (SELECT qt.query_id, p.doc_id, p.term, p.tf
+      FROM postings p JOIN qt ON qt.term = p.term),
+qrels AS (SELECT query_id, doc_id,
+                 CAST(count(DISTINCT term) - 1 AS INTEGER) AS rel
+          FROM j GROUP BY 1, 2),
+scores AS (SELECT query_id, doc_id, sum(tf) AS s FROM j GROUP BY 1, 2),
+run AS (SELECT query_id, doc_id, rn FROM (
+    SELECT query_id, doc_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY s DESC, doc_id ASC)
+                AS INTEGER) AS rn
+    FROM scores) WHERE rn <= {k}),
+pos AS (SELECT * FROM qrels WHERE rel > 0),
+hits AS (SELECT r.query_id, r.doc_id, r.rn, p.rel
+         FROM run r JOIN pos p USING (query_id, doc_id)),
+gains AS (SELECT query_id,
+                 max(1.0 / rn) AS rr,
+                 sum((pow(2.0, rel) - 1) / log2(rn + 1)) AS dcg,
+                 CAST(count(*) AS DOUBLE) AS n_hit
+          FROM hits GROUP BY 1),
+ideal AS (SELECT query_id,
+                 sum((pow(2.0, rel) - 1) / log2(ir + 1)) AS idcg
+          FROM (SELECT query_id, rel, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rel DESC, doc_id ASC)
+                         AS ir
+                FROM pos) WHERE ir <= {k} GROUP BY 1),
+nrel AS (SELECT query_id, CAST(count(*) AS DOUBLE) AS n_rel
+         FROM pos GROUP BY 1)
+SELECT n.query_id,
+       round(coalesce(g.rr, 0), 6) AS rr,
+       round(CASE WHEN i.idcg > 0
+                  THEN coalesce(g.dcg, 0) / i.idcg
+                  ELSE 0 END, 6) AS ndcg,
+       round(coalesce(g.n_hit, 0) / n.n_rel, 6) AS recall
+FROM nrel n JOIN ideal i USING (query_id)
+LEFT JOIN gains g USING (query_id)
+"""
+
+
 def _percolate_sql(queries: list[tuple[int, str]], mode: str) -> str:
     """DuckDB mirror of plans/percolate.percolate over the documents
     table (tokens analyzer): same stop-list removal, Robertson-IDF
@@ -877,6 +992,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select(
             "doc_id", F.round("score", 6).alias("score"),
             F.col("rn").cast("int").alias("rn"),
+        )
+
+    def bigram_logprob_q(spark, sf):
+        """Add-α bigram-LM scoring (operators/curation.bigram_logprob)
+        — the order-2 KenLM-style quality filter."""
+        from search_engine_spark.operators.curation import (
+            bigram_logprob,
+        )
+
+        return bigram_logprob(
+            _docs_enriched(spark, sf), alpha=0.1
+        ).select("doc_id", "n_bigrams", "nll", "ppl")
+
+    def latest_snapshot_q(spark, sf):
+        """Re-crawl dedup: synthetic decorated URL variants per
+        (source, doc_id//3) group; latest warc_ts wins after
+        canonicalization (operators/curation.latest_snapshot)."""
+        from search_engine_spark.operators.curation import (
+            latest_snapshot,
+        )
+
+        docs = _read(spark, sf, "documents")
+        k = F.floor(F.col("doc_id") / 3).cast("long")
+        deco = F.element_at(
+            F.array(
+                F.lit(""), F.lit("/?utm_source=x"), F.lit("/")
+            ),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        )
+        pages = docs.select(
+            F.col("doc_id"),
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example/p/"), k.cast("string"), deco,
+            ).alias("url"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.col("doc_id")
+            ).alias("warc_ts"),
+        )
+        return latest_snapshot(pages).select("canonical_url", "doc_id")
+
+    def site_quality_q(spark, sf):
+        """Domain-level curation aggregate
+        (operators/curation.site_quality_stats)."""
+        from search_engine_spark.operators.curation import (
+            site_quality_stats,
+        )
+
+        docs = _docs_enriched(spark, sf).withColumnRenamed(
+            "site", "source"
+        )
+        return site_quality_stats(docs).select(
+            "site", "n_docs", "avg_quality"
+        )
+
+    def rank_eval_q(spark, sf):
+        """TREC-style relevance metrics (plans/eval.rank_eval) over a
+        deterministic run (summed query-term tf ranking) and graded
+        qrels (rel = matching-terms − 1)."""
+        from pyspark.sql import Window
+
+        from search_engine_spark.plans.eval import rank_eval
+
+        idx = _docs_index(spark, sf)
+        qt = spark.createDataFrame(
+            [
+                (qid, t)
+                for qid, q in EVAL_QUERIES
+                for t in sorted(set(q.split()))
+            ],
+            "query_id int, term string",
+        )
+        j = idx.postings.join(F.broadcast(qt), "term")
+        qrels = j.groupBy("query_id", "doc_id").agg(
+            (F.countDistinct("term") - F.lit(1))
+            .cast("int")
+            .alias("rel")
+        )
+        scores = j.groupBy("query_id", "doc_id").agg(
+            F.sum("tf").alias("s")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("s"), F.asc("doc_id")
+        )
+        run = (
+            scores.withColumn(
+                "rn", F.row_number().over(w).cast("int")
+            )
+            .filter(F.col("rn") <= 10)
+            .select("query_id", "doc_id", "rn")
+        )
+        return rank_eval(run, qrels, k=10).select(
+            "query_id", "rr", "ndcg", "recall"
         )
 
     def bm25_site_restricted(spark, sf):
@@ -1859,6 +2067,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "min_span_docs": min_span_docs,
         "proximity_topk": proximity_topk,
+        "bigram_logprob": bigram_logprob_q,
+        "latest_snapshot": latest_snapshot_q,
+        "site_quality_stats": site_quality_q,
+        "rank_eval": rank_eval_q,
         "bm25_site_restricted": bm25_site_restricted,
         "bm25_pagination": bm25_pagination,
         "postings_lemma": postings_lemma,
@@ -2088,6 +2300,12 @@ ranked AS (
 )
 SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
 """,
+        "bigram_logprob": _bigram_sql(alpha=0.1),
+        "latest_snapshot": _LATEST_SNAPSHOT_SQL,
+        "site_quality_stats": _site_quality_sql(
+            toks_list, stopword_list
+        ),
+        "rank_eval": _rank_eval_sql(k=10),
         "bm25_synonyms_topk": _synonyms_sql(limit=10),
         "lm_dirichlet_topk": _lm_sql(FLAGSHIP_TERMS, mu=500.0, limit=10),
         "min_span_docs": _min_span_sql(*PROX_TERMS),

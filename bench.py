@@ -145,6 +145,9 @@ def main() -> None:
         "embedding_near_dup",
         "site_statistics",
         "bm25_topk_lemma",
+        "bm25_synonyms_topk",
+        "lm_dirichlet_topk",
+        "proximity_topk",
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
         "simhash",
@@ -166,6 +169,10 @@ def main() -> None:
         "phrase_search",
         "gopher_gate",
         "unigram_logprob",
+        "bigram_logprob",
+        "latest_snapshot",
+        "site_quality_stats",
+        "rank_eval",
         "agg_sum_by_key",
         "join_revenue_topk",
         "window_pagination",

@@ -113,6 +113,12 @@ _LAZY = {
     "tfidf_keywords": "search_engine_spark.operators.curation",
     "filter_urls": "search_engine_spark.operators.curation",
     "sample_n_per_group": "search_engine_spark.operators.curation",
+    "bigram_logprob": "search_engine_spark.operators.curation",
+    "latest_snapshot": "search_engine_spark.operators.curation",
+    "site_quality_stats": "search_engine_spark.operators.curation",
+    "filter_quality_domains": "search_engine_spark.operators.curation",
+    "rank_eval": "search_engine_spark.plans.eval",
+    "rank_eval_summary": "search_engine_spark.plans.eval",
     "search_synonyms": "search_engine_spark.plans.synonyms",
     "expand_terms": "search_engine_spark.plans.synonyms",
     "search_lm": "search_engine_spark.plans.lm",

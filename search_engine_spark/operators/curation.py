@@ -722,3 +722,182 @@ def sample_n_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model scoring (KenLM-style filter, one order up from
+# unigram_logprob)
+# ---------------------------------------------------------------------------
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    alpha: float = 0.1,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """``(<id>, n_bigrams, nll, ppl)`` — add-α-smoothed bigram-LM
+    scoring under the corpus's own bigram distribution.
+
+    ``P(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁·) + α·V)`` where ``c(w₁·)`` is
+    the bigram-PREFIX count (occurrences of w₁ in non-final position)
+    and ``V`` the unigram vocabulary size; ``nll`` is the mean
+    negative conditional log-probability over the doc's bigrams,
+    ``ppl`` its exponential.  One order above
+    :func:`unigram_logprob`: catches shuffled-word salad that unigram
+    statistics score as fluent — the honest in-sandbox stand-in for
+    CCNet's 5-gram KenLM filter (same shape, lower order).
+
+    Plan shape: the bigram stream is a JVM ``arrays_zip`` of the
+    token array against its own 1-shift — no UDF, no positional
+    self-join; corpus bigram counts and prefix counts are map-side-
+    combined aggregations over that stream (Zipf-skewed keys → AQE
+    skew-split; both dictionaries broadcast below the threshold).
+    Docs with < 2 tokens are absent (no bigram to score).
+    """
+    toks = F.col(tokens_col_name)
+    # slice length must be non-negative: empty/1-token docs yield an
+    # empty zip (explode then drops the row — they have no bigram)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    big = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n1).alias("w1"),
+                F.slice(toks, 2, n1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        df.select(F.explode(toks).alias("t")).agg(
+            F.countDistinct("t").alias("v")
+        )
+    ).collect()[0]["v"]
+
+    n2 = c2.count()
+    c2_j = F.broadcast(c2) if n2 <= broadcast_threshold else c2
+    c1_j = F.broadcast(c1) if n2 <= broadcast_threshold else c1
+    a = float(alpha)
+    per = (
+        big.join(c2_j, ["w1", "w2"])
+        .join(c1_j, "w1")
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (F.col("c2").cast("double") + F.lit(a))
+                    / (F.col("c1").cast("double") + F.lit(a * vocab))
+                )
+            ).alias("nlp"),
+        )
+    )
+    return per.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("nlp"), 6).alias("nll"),
+        F.round(F.exp(F.avg("nlp")), 6).alias("ppl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# re-crawl snapshot dedup (latest page per canonical URL)
+# ---------------------------------------------------------------------------
+
+
+def latest_snapshot(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    canonical: bool = True,
+) -> DataFrame:
+    """One row per (canonical) URL — the LATEST crawl snapshot.
+
+    Common-Crawl-style corpora carry every re-crawl of a page as its
+    own row; indexing them all double-counts df/tf and near-dup pairs.
+    This keeps, per canonical URL (tracking params / case / port
+    normalized away via :func:`canonical_url_col` when ``canonical``),
+    the row with the greatest ``ts_col``; ties break on the raw URL
+    asc then deterministically on all remaining columns via the
+    row_number's total order.  Adds the ``canonical_url`` column.
+
+    Plan shape: one window partitioned by canonical URL — keys are
+    near-unique (a handful of snapshots per page), so the shuffle is
+    skew-free by construction and the per-group sort is O(snapshots).
+    At 100 TB this is the standard first pass after the raw scan,
+    BEFORE text analysis, so every downstream operator sees each page
+    once.
+    """
+    canon = (
+        canonical_url_col(F.col(url_col))
+        if canonical
+        else F.col(url_col)
+    )
+    work = pages.withColumn("canonical_url", canon)
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col(ts_col).desc(), F.col(url_col).asc()
+    )
+    return (
+        work.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain-level curation (RefinedWeb-style site gating)
+# ---------------------------------------------------------------------------
+
+
+def site_quality_stats(
+    df: DataFrame,
+    site_col: str = "source",
+    text_col: str = "text",
+    tokens_col_name: str = "tokens",
+) -> DataFrame:
+    """``(<site>, n_docs, avg_quality)`` — per-domain aggregate of the
+    composite quality score (functions/analysis.quality_score).
+
+    Web curation pipelines gate whole DOMAINS, not just documents
+    (a spam farm's individually-plausible pages share a bad domain
+    profile).  One map-side-combined aggregation over the per-doc
+    scores; skew-free (sites ≫ executors, heaviest site ≪ a
+    partition)."""
+    from search_engine_spark.functions.analysis import quality_score
+
+    q = df.select(
+        F.col(site_col).alias("site"),
+        quality_score(F.col(text_col), F.col(tokens_col_name)).alias(
+            "q"
+        ),
+    )
+    return q.groupBy("site").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )
+
+
+def filter_quality_domains(
+    df: DataFrame,
+    min_avg_quality: float,
+    site_col: str = "source",
+    text_col: str = "text",
+    tokens_col_name: str = "tokens",
+    min_docs: int = 1,
+) -> DataFrame:
+    """Documents whose DOMAIN passes the quality gate: site average
+    quality ≥ ``min_avg_quality`` and ≥ ``min_docs`` documents.
+
+    The kept-sites frame is one row per domain — always broadcast for
+    the semi-join, so the corpus never shuffles."""
+    keep = (
+        site_quality_stats(df, site_col, text_col, tokens_col_name)
+        .filter(
+            (F.col("avg_quality") >= min_avg_quality)
+            & (F.col("n_docs") >= min_docs)
+        )
+        .select(F.col("site").alias(site_col))
+    )
+    return df.join(F.broadcast(keep), site_col, "left_semi")
