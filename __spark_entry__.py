@@ -475,11 +475,18 @@ def _synonyms_sql(limit: int = 10) -> str:
         for g, ms in sorted(groups.items())
         for m in ms
     )
+    gmap = f"gmap(grp, term) AS (VALUES {gvals})"
+    return _group_bm25_sql(gmap, limit)
+
+
+def _group_bm25_sql(gmap_cte: str, limit: int) -> str:
+    """Shared group-BM25 oracle body (plans/synonyms.search_groups):
+    the caller supplies the ``gmap`` CTE (group → member terms)."""
     return f"""
 WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
 nn AS (SELECT (SELECT count(*) FROM documents) AS n,
               (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*) FROM lens) AS avg_len),
-gmap(grp, term) AS (VALUES {gvals}),
+{gmap_cte},
 gkept AS (SELECT grp, term FROM gmap
           WHERE term NOT IN (SELECT term FROM stop)),
 gdf AS (SELECT g.grp, count(DISTINCT p.doc_id) AS df
@@ -512,6 +519,47 @@ ranked AS (SELECT doc_id, round(score, 6) AS score,
                   CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
            FROM scored)
 SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
+"""
+
+
+def _prefix_sql(limit: int = 10, max_expansions: int = 50) -> str:
+    """DuckDB mirror of plans/prefix.search_prefix for the contract
+    query "v* dup": the 'v*' group expands to the top-``max_
+    expansions`` non-stop dictionary terms with the prefix (df desc,
+    term asc — plans/prefix.expand_prefix), then scores through the
+    shared group-BM25 body."""
+    gmap = f"""gmap AS (
+  SELECT 'v*' AS grp, term FROM (
+    SELECT term FROM tstats
+    WHERE term LIKE 'v%'
+      AND term NOT IN (SELECT term FROM stop)
+    ORDER BY df DESC, term ASC LIMIT {max_expansions})
+  UNION ALL
+  SELECT 'dup' AS grp, 'dup' AS term)"""
+    return _group_bm25_sql(gmap, limit)
+
+
+def _collocations_sql(min_count: int = 5, limit: int = 20) -> str:
+    """DuckDB mirror of operators/curation.collocations (PMI over the
+    corpus bigram/unigram counts)."""
+    return f"""
+WITH {_TOKS_POS},
+big AS (SELECT a.term AS w1, b.term AS w2
+        FROM toks_pos a
+        JOIN toks_pos b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+uni AS (SELECT term, count(*) AS c FROM toks_pos GROUP BY 1),
+tot AS (SELECT count(*) AS t FROM toks_pos),
+pairs AS (SELECT w1, w2, count(*) AS n FROM big
+          GROUP BY 1, 2 HAVING count(*) >= {min_count})
+SELECT p.w1, p.w2, CAST(p.n AS BIGINT) AS n,
+       round(ln(p.n::DOUBLE * tot.t / (u1.c::DOUBLE * u2.c)), 6)
+         AS pmi
+FROM pairs p
+JOIN uni u1 ON u1.term = p.w1
+JOIN uni u2 ON u2.term = p.w2
+CROSS JOIN tot
+ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT {limit}
 """
 
 
@@ -993,6 +1041,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("score", 6).alias("score"),
             F.col("rn").cast("int").alias("rn"),
         )
+
+    def prefix_search_q(spark, sf):
+        """Trailing-wildcard query 'v* dup' — dictionary expansion
+        scored as one group (plans/prefix.search_prefix)."""
+        from search_engine_spark.plans.prefix import search_prefix
+
+        idx = _docs_index(spark, sf)
+        res = search_prefix(
+            idx, "v* dup", limit=10, analyzer="tokens"
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def collocations_q(spark, sf):
+        """Top PMI collocations (operators/curation.collocations)."""
+        from search_engine_spark.operators.curation import (
+            collocations,
+        )
+
+        return collocations(
+            _docs_enriched(spark, sf), min_count=5, limit=20
+        ).select("w1", "w2", "n", "pmi")
 
     def bigram_logprob_q(spark, sf):
         """Add-α bigram-LM scoring (operators/curation.bigram_logprob)
@@ -2067,6 +2139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "min_span_docs": min_span_docs,
         "proximity_topk": proximity_topk,
+        "prefix_search": prefix_search_q,
+        "collocations": collocations_q,
         "bigram_logprob": bigram_logprob_q,
         "latest_snapshot": latest_snapshot_q,
         "site_quality_stats": site_quality_q,
@@ -2300,6 +2374,8 @@ ranked AS (
 )
 SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
 """,
+        "prefix_search": _prefix_sql(limit=10, max_expansions=50),
+        "collocations": _collocations_sql(min_count=5, limit=20),
         "bigram_logprob": _bigram_sql(alpha=0.1),
         "latest_snapshot": _LATEST_SNAPSHOT_SQL,
         "site_quality_stats": _site_quality_sql(

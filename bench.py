@@ -170,6 +170,8 @@ def main() -> None:
         "gopher_gate",
         "unigram_logprob",
         "bigram_logprob",
+        "prefix_search",
+        "collocations",
         "latest_snapshot",
         "site_quality_stats",
         "rank_eval",

@@ -121,6 +121,10 @@ _LAZY = {
     "rank_eval_summary": "search_engine_spark.plans.eval",
     "search_synonyms": "search_engine_spark.plans.synonyms",
     "expand_terms": "search_engine_spark.plans.synonyms",
+    "search_groups": "search_engine_spark.plans.synonyms",
+    "search_prefix": "search_engine_spark.plans.prefix",
+    "expand_prefix": "search_engine_spark.plans.prefix",
+    "collocations": "search_engine_spark.operators.curation",
     "search_lm": "search_engine_spark.plans.lm",
     "min_cover_span": "search_engine_spark.operators.phrases",
     "proximity_search": "search_engine_spark.operators.phrases",

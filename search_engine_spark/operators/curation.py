@@ -901,3 +901,77 @@ def filter_quality_domains(
         .select(F.col("site").alias(site_col))
     )
     return df.join(F.broadcast(keep), site_col, "left_semi")
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    min_count: int = 5,
+    limit: int = 100,
+) -> DataFrame:
+    """``(w1, w2, n, pmi)`` — the corpus's top collocations by
+    pointwise mutual information (Church & Hanks 1990):
+
+        pmi = log( P(w1w2) / (P(w1)·P(w2)) )
+            = log( n(w1w2)·T / (c(w1)·c(w2)) )
+
+    with ``T`` the total token count and ``c(·)`` UNIGRAM counts —
+    the standard phrase-dictionary builder (feeds phrase indexing /
+    tokenizer merges).  ``min_count`` drops noise pairs (PMI is
+    notoriously top-heavy on hapax bigrams), then the top ``limit``
+    by (pmi desc, w1 asc, w2 asc).
+
+    Plan shape: the bigram stream is the same JVM ``arrays_zip``
+     1-shift as :func:`bigram_logprob`; counts are two map-side-
+    combined aggregations; the unigram dictionary joins back onto the
+    (min_count-pruned) bigram table — both sides term-keyed, bigram
+    side already tiny after the prune; top-``limit`` is a
+    TakeOrderedAndProject, never a global sort.
+    """
+    toks = F.col(tokens_col_name)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    big = df.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n1).alias("w1"),
+                F.slice(toks, 2, n1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = df.select(F.explode(toks).alias("t"))
+    total = uni.count()
+    c1 = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    return (
+        pairs.join(
+            c1.select(F.col("t").alias("w1"), F.col("c").alias("c_w1")),
+            "w1",
+        )
+        .join(
+            c1.select(F.col("t").alias("w2"), F.col("c").alias("c_w2")),
+            "w2",
+        )
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.log(
+                    F.col("n").cast("double")
+                    * F.lit(float(total))
+                    / (
+                        F.col("c_w1").cast("double")
+                        * F.col("c_w2").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(limit)
+    )

@@ -120,9 +120,6 @@ def search_synonyms(
     rank-identical to plain ``search`` (default rarest-term
     candidates) — pinned by tests.
     """
-    id_col = index.id_col
-    k1, b = index.config.bm25.k1, index.config.bm25.b
-
     terms = analyze_query(query, lang, analyzer)
     groups = expand_terms(terms, synonyms or {}, lang, analyzer)
     if use_stoplist:
@@ -132,6 +129,24 @@ def search_synonyms(
             for g, members in groups.items()
             if (kept := [m for m in members if m not in stop])
         }
+    return search_groups(index, groups, sites, offset, limit)
+
+
+def search_groups(
+    index: InvertedIndex,
+    groups: dict[str, list[str]],
+    sites: list[str] | None = None,
+    offset: int = 0,
+    limit: int = 20,
+) -> DataFrame:
+    """Score arbitrary term GROUPS with the group-BM25 plan (see
+    module docstring) — the shared executor behind
+    :func:`search_synonyms` and the prefix/wildcard expansion path
+    (``plans.prefix.search_prefix``).  ``groups`` maps group key →
+    member terms (already analyzed and stop-filtered by the caller).
+    """
+    id_col = index.id_col
+    k1, b = index.config.bm25.k1, index.config.bm25.b
 
     empty = (
         index.doc_lens.select(id_col, "site")

@@ -59,6 +59,14 @@ AUDITED = [
     "sample_per_group",
     "percolate_rarest",
     "hybrid_rrf",
+    "bm25_synonyms_topk",
+    "lm_dirichlet_topk",
+    "min_span_docs",
+    "proximity_topk",
+    "bigram_logprob",
+    "latest_snapshot",
+    "site_quality_stats",
+    "rank_eval",
 ]
 
 
