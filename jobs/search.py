@@ -3,7 +3,9 @@
     spark-submit --py-files search_engine_spark.zip jobs/search.py \
         --index /data/index_dir --query "free text query" \
         [--site host1 --site host2] [--offset 0] [--limit 20] \
-        [--no-prune]  # disable block-max WAND, exact reference path
+        [--no-prune]  # disable block-max WAND, exact reference path \
+        [--ranker bm25|lm|synonyms|prefix] [--mu 2000] \
+        [--synonyms '{"fast": ["quick"]}'] [--max-expansions 50]
 
 Prints one JSON line per result row: {url, site, score, rn} — the
 rebuild's counterpart of the reference's GET /api/search endpoint
@@ -31,6 +33,21 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--no-prune", action="store_true")
     ap.add_argument("--bool", dest="bool_query", action="store_true",
                     help='boolean mini-language: +must -not "phrase"')
+    ap.add_argument(
+        "--ranker", default="bm25",
+        choices=["bm25", "lm", "synonyms", "prefix"],
+        help="bm25 (default, block-max WAND) | lm (Dirichlet query "
+             "likelihood) | synonyms (group BM25, needs --synonyms) "
+             "| prefix (trailing-* units expand against the "
+             "dictionary)")
+    ap.add_argument("--mu", type=float, default=2000.0,
+                    help="Dirichlet pseudo-count for --ranker lm")
+    ap.add_argument(
+        "--synonyms", default=None,
+        help='JSON map for --ranker synonyms, e.g. '
+             '\'{"fast": ["quick", "rapid"]}\'')
+    ap.add_argument("--max-expansions", type=int, default=50,
+                    help="dictionary-expansion cap for --ranker prefix")
     ap.add_argument("--snippets", action="store_true",
                     help="attach highlighted snippets (requires --pages)")
     ap.add_argument("--pages", default=None,
@@ -50,7 +67,39 @@ def main(argv: list[str] | None = None) -> None:
     from search_engine_spark.plans.wand import search_compact
 
     cidx = load_compact_index(spark, args.index)
-    if args.bool_query:
+    if args.ranker != "bm25" and args.bool_query:
+        ap.error("--bool composes with the default bm25 ranker only")
+    if args.ranker == "lm":
+        from search_engine_spark.plans.lm import search_lm_compact
+
+        result = search_lm_compact(
+            cidx, args.query, mu=args.mu, sites=args.site,
+            offset=args.offset, limit=args.limit,
+            analyzer=cidx_analyzer(spark, args.index),
+        )
+    elif args.ranker == "synonyms":
+        from search_engine_spark.plans.synonyms import (
+            search_synonyms_compact,
+        )
+
+        syn = json.loads(args.synonyms) if args.synonyms else None
+        result = search_synonyms_compact(
+            cidx, args.query, synonyms=syn, sites=args.site,
+            offset=args.offset, limit=args.limit,
+            analyzer=cidx_analyzer(spark, args.index),
+        )
+    elif args.ranker == "prefix":
+        from search_engine_spark.plans.prefix import (
+            search_prefix_compact,
+        )
+
+        result = search_prefix_compact(
+            cidx, args.query, sites=args.site, offset=args.offset,
+            limit=args.limit,
+            analyzer=cidx_analyzer(spark, args.index),
+            max_expansions=args.max_expansions,
+        )
+    elif args.bool_query:
         from search_engine_spark.plans.boolquery import (
             search_boolean_compact,
         )

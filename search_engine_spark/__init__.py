@@ -123,6 +123,10 @@ _LAZY = {
     "expand_terms": "search_engine_spark.plans.synonyms",
     "search_groups": "search_engine_spark.plans.synonyms",
     "search_prefix": "search_engine_spark.plans.prefix",
+    "search_prefix_compact": "search_engine_spark.plans.prefix",
+    "search_synonyms_compact": "search_engine_spark.plans.synonyms",
+    "search_lm_compact": "search_engine_spark.plans.lm",
+    "logical_view": "search_engine_spark.plans.wand",
     "expand_prefix": "search_engine_spark.plans.prefix",
     "collocations": "search_engine_spark.operators.curation",
     "search_lm": "search_engine_spark.plans.lm",

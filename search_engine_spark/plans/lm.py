@@ -146,3 +146,32 @@ def search_lm(
         .filter(F.col("rn") > offset)
         .select(id_col, "site", "score", "rn")
     )
+
+
+def search_lm_compact(
+    cidx,
+    query: str,
+    mu: float = 2000.0,
+    sites: list[str] | None = None,
+    offset: int = 0,
+    limit: int = 20,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+) -> DataFrame:
+    """:func:`search_lm` over the PERSISTED compact index —
+    rank-identical to the logical path (pytest-pinned).  The view
+    decodes only the query terms' segments, which is exactly the set
+    the present-term decomposition touches; collection frequencies
+    computed from those decoded lists are the terms' FULL cf."""
+    from search_engine_spark.plans.wand import logical_view
+
+    terms = analyze_query(query, lang, analyzer)
+    if use_stoplist:
+        stop = set(cidx.stoplist)
+        terms = [t for t in terms if t not in stop]
+    view = logical_view(cidx, terms)
+    return search_lm(
+        view, query, mu=mu, sites=sites, offset=offset, limit=limit,
+        lang=lang, analyzer=analyzer, use_stoplist=use_stoplist,
+    )

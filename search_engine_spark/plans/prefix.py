@@ -97,3 +97,42 @@ def search_prefix(
                 if t not in stop:
                     groups[t] = [t]
     return search_groups(index, groups, sites, offset, limit)
+
+
+def search_prefix_compact(
+    cidx,
+    query: str,
+    sites: list[str] | None = None,
+    offset: int = 0,
+    limit: int = 20,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """:func:`search_prefix` over the PERSISTED compact index —
+    rank-identical to the logical path (pytest-pinned).
+
+    Expansion probes the compact index's term_stats directly (the
+    dictionary is persisted alongside the segments — no decode); only
+    the expanded members' segments decode, via
+    :func:`plans.wand.logical_view`."""
+    from search_engine_spark.plans.synonyms import search_groups
+    from search_engine_spark.plans.wand import logical_view
+
+    groups: dict[str, list[str]] = {}
+    stop = set(cidx.stoplist) if use_stoplist else set()
+    for unit in (query or "").split():
+        if unit.endswith("*") and len(unit) > 1:
+            members = expand_prefix(
+                cidx, unit[:-1].lower(), max_expansions, use_stoplist
+            )
+            if members:
+                groups[unit.lower()] = sorted(members)
+        else:
+            for t in analyze_query(unit, lang, analyzer):
+                if t not in stop:
+                    groups[t] = [t]
+    members = sorted({m for ms in groups.values() for m in ms})
+    view = logical_view(cidx, members)
+    return search_groups(view, groups, sites, offset, limit)

@@ -240,3 +240,34 @@ def search_groups(
         .filter(F.col("rn") > offset)
         .select(id_col, "site", "score", "rn")
     )
+
+
+def search_synonyms_compact(
+    cidx,
+    query: str,
+    synonyms: dict[str, list[str]] | None = None,
+    sites: list[str] | None = None,
+    offset: int = 0,
+    limit: int = 20,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+) -> DataFrame:
+    """:func:`search_synonyms` over the PERSISTED compact index —
+    rank-identical to the logical path (pytest-pinned).  Decodes only
+    the groups' member terms' segments via
+    :func:`plans.wand.logical_view`."""
+    from search_engine_spark.plans.wand import logical_view
+
+    terms = analyze_query(query, lang, analyzer)
+    groups = expand_terms(terms, synonyms or {}, lang, analyzer)
+    if use_stoplist:
+        stop = set(cidx.stoplist)
+        groups = {
+            g: kept
+            for g, members in groups.items()
+            if (kept := [m for m in members if m not in stop])
+        }
+    members = sorted({m for ms in groups.values() for m in ms})
+    view = logical_view(cidx, members)
+    return search_groups(view, groups, sites, offset, limit)

@@ -436,14 +436,41 @@ def search_many_compact(
             .withColumn("rn", F.lit(0))
             .select("query_id", id_col, "site", "score", "rn")
         )
-    # decode once; re-key doc_id -> the public id so ranks (incl. the
-    # id tie-break) match search_compact exactly
+    idx = logical_view(cidx, all_terms)
+    return search_many(
+        idx, queries, sites=sites, limit=limit, lang=lang,
+        analyzer=analyzer, use_stoplist=use_stoplist,
+    )
+
+
+def logical_view(cidx: CompactIndex, terms: list[str]):
+    """:class:`InvertedIndex`-shaped view of the compact index
+    restricted to ``terms``.
+
+    The given terms' segments are decoded ONCE (bucket-pruned scan →
+    Arrow block decode) into ``(term, <id_col>, tf)`` postings
+    re-keyed to the public id (so rank tie-breaks match the logical
+    executor exactly); stats / stoplist / config ride straight from
+    the compact metadata.  This is the adapter that lets every
+    logical query plan — synonym groups, Dirichlet LM, prefix
+    expansion, batch eval — run against the PERSISTED index while
+    keeping decode cost O(query-term postings): the view's postings
+    frame simply does not contain any other term.
+
+    Callers must pass every term the plan will touch (e.g. all
+    synonym-group members), since filters against the view only see
+    the decoded terms.  Dead docs drop at the doc_map join (open_index
+    pre-filters tombstones from doc_map).
+    """
+    from search_engine_spark.operators.postings import InvertedIndex
+
+    id_col = cidx.id_col
     qpost = (
-        decode_segments(_segs_for_terms(cidx, all_terms))
+        decode_segments(_segs_for_terms(cidx, sorted(set(terms))))
         .join(cidx.doc_map.select("doc_id", id_col), "doc_id")
         .select("term", id_col, "tf")
     )
-    idx = InvertedIndex(
+    return InvertedIndex(
         postings=qpost,
         doc_lens=cidx.doc_map.select(id_col, "site", "doc_len"),
         term_stats=cidx.term_stats,
@@ -453,8 +480,4 @@ def search_many_compact(
         stoplist=cidx.stoplist,
         id_col=id_col,
         config=cidx.config,
-    )
-    return search_many(
-        idx, queries, sites=sites, limit=limit, lang=lang,
-        analyzer=analyzer, use_stoplist=use_stoplist,
     )
