@@ -258,17 +258,44 @@ def phrase_match_indexed(
 # ---------------------------------------------------------------------------
 
 
+def min_cover_sweep(pos: "np.ndarray", tid: "np.ndarray", m: int) -> int:
+    """Pure-numpy minimum-cover-span sweep (the UDF's kernel,
+    exposed for property tests): given a doc's query-term hit
+    positions SORTED ascending and aligned term ids in [0, m), return
+    the smallest ``max(pos)−min(pos)`` over windows containing ALL
+    ``m`` distinct ids (classic two-pointer, O(hits)), or −1 when
+    some id is absent."""
+    counts = np.zeros(m, dtype=np.int64)
+    have = 0
+    best = -1
+    left = 0
+    for right in range(pos.size):
+        t = tid[right]
+        counts[t] += 1
+        if counts[t] == 1:
+            have += 1
+        while have == m:
+            span = pos[right] - pos[left]
+            if best < 0 or span < best:
+                best = int(span)
+            tl = tid[left]
+            counts[tl] -= 1
+            if counts[tl] == 0:
+                have -= 1
+            left += 1
+    return best
+
+
 def _min_cover_udf(m: int):
     """Arrow-batched minimum-cover-span kernel.
 
     Input: per doc, its query-term hit positions SORTED ascending and
-    the aligned term ids.  Output: the smallest ``max(pos)−min(pos)``
-    over windows containing ALL ``m`` distinct term ids (the classic
-    two-pointer sweep), or null when some term is absent.  The sweep
-    is O(hits) per doc over the doc's QUERY-TERM hits only (tf-sized,
-    not doc-sized) — the one place a column expression genuinely
-    can't express the semantics, so it is an Arrow-vectorized batch
-    UDF, never row-at-a-time plumbing.
+    the aligned term ids.  Output: :func:`min_cover_sweep` per doc,
+    null when some term is absent.  The sweep is O(hits) per doc over
+    the doc's QUERY-TERM hits only (tf-sized, not doc-sized) — the
+    one place a column expression genuinely can't express the
+    semantics, so it is an Arrow-vectorized batch UDF, never
+    row-at-a-time plumbing.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -280,27 +307,11 @@ def _min_cover_udf(m: int):
             tid = tids.iloc[i]
             if pos is None:
                 continue
-            pos = np.asarray(pos, dtype=np.int64)
-            tid = np.asarray(tid, dtype=np.int64)
-            counts = np.zeros(m, dtype=np.int64)
-            have = 0
-            best = -1
-            left = 0
-            for right in range(pos.size):
-                t = tid[right]
-                counts[t] += 1
-                if counts[t] == 1:
-                    have += 1
-                while have == m:
-                    span = pos[right] - pos[left]
-                    if best < 0 or span < best:
-                        best = int(span)
-                    tl = tid[left]
-                    counts[tl] -= 1
-                    if counts[tl] == 0:
-                        have -= 1
-                    left += 1
-            out[i] = best
+            out[i] = min_cover_sweep(
+                np.asarray(pos, dtype=np.int64),
+                np.asarray(tid, dtype=np.int64),
+                m,
+            )
         res = pd.Series(out)
         return res.where(res >= 0).astype("Int32")
 

@@ -14,6 +14,12 @@ precedence-free (every token carries its own operator — no ambiguous
     site:host FIELD     — R2 site restriction; several site: units OR
                           together; intersects a caller-passed
                           ``sites=`` list when both are given
+    title:word FIELD    — title restriction: candidates' TITLE must
+                          contain the word (surface-token match, like
+                          phrases); several title: units AND
+                          together; requires the enriched docs frame
+                          (the title column lives there); scoring is
+                          unchanged (a pure filter, like site:)
 
 Execution composes the engine's existing primitives — nothing here
 re-implements scoring:
@@ -70,7 +76,7 @@ def parse_simple_query(query: str) -> dict:
     """
     out: dict = {
         "must": [], "should": [], "must_not": [], "phrases": [],
-        "sites": [],
+        "sites": [], "titles": [],
     }
     for m in _UNIT.finditer(query or ""):
         if m.group(2) is not None:
@@ -96,6 +102,17 @@ def parse_simple_query(query: str) -> dict:
                 if host:
                     out["sites"].append(host)
                 continue
+            if word.lower().startswith("title:"):
+                # field unit: title restriction; surface-token match
+                # (the title is matched as raw tokens, like phrases);
+                # several title: units AND together
+                if op == "-":
+                    raise ValueError(
+                        "negated title: filters are not supported"
+                    )
+                toks = tokenize_py(word[6:])
+                out["titles"].extend(toks)
+                continue
             bucket = {"": "should", "+": "must", "-": "must_not"}[op]
             out[bucket].append(word)
     return out
@@ -111,6 +128,24 @@ def _merge_sites(
     if not arg_sites:
         return sorted(set(query_sites))
     return sorted(set(arg_sites) & set(query_sites))
+
+
+def _title_match_ids(
+    enriched: DataFrame, titles: list[str], id_col: str, lang: str
+) -> DataFrame:
+    """Ids of docs whose TITLE tokens contain every ``titles`` word
+    (surface-token match; one filter over the docs frame — the title
+    column is row-local, so this never shuffles the corpus)."""
+    from search_engine_spark.functions.textproc import tokens_col
+
+    lang_col = (
+        F.col("lang") if "lang" in enriched.columns else F.lit(lang)
+    )
+    ttoks = tokens_col(F.col("title"), lang_col)
+    cond = F.lit(True)
+    for t in sorted(set(titles)):
+        cond = cond & F.array_contains(ttoks, t)
+    return enriched.filter(cond).select(id_col)
 
 
 def _analyze_buckets(
@@ -188,10 +223,10 @@ def search_boolean(
     # [] (an empty intersection of restrictions) ≠ None (unrestricted)
     if not scoring or (sites is not None and not sites):
         return empty
-    if parsed["phrases"] and enriched is None:
+    if (parsed["phrases"] or parsed["titles"]) and enriched is None:
         raise ValueError(
-            "phrase units need the enriched docs frame "
-            "(tokens column) — pass enriched="
+            "phrase/title: units need the enriched docs frame "
+            "(tokens/title columns) — pass enriched="
         )
 
     # ---- candidate generation --------------------------------------
@@ -229,6 +264,12 @@ def search_boolean(
             ).select(id_col),
             id_col,
             "left_anti",
+        )
+
+    if parsed["titles"]:
+        cand_ids = cand_ids.join(
+            _title_match_ids(enriched, parsed["titles"], id_col, lang),
+            id_col,
         )
 
     doc_lens = index.doc_lens
@@ -301,10 +342,10 @@ def search_boolean_compact(
     # [] (an empty intersection of restrictions) ≠ None (unrestricted)
     if not scoring or (sites is not None and not sites):
         return empty
-    if parsed["phrases"] and enriched is None:
+    if (parsed["phrases"] or parsed["titles"]) and enriched is None:
         raise ValueError(
-            "phrase units need the enriched docs frame "
-            "(tokens column) — pass enriched="
+            "phrase/title: units need the enriched docs frame "
+            "(tokens/title columns) — pass enriched="
         )
 
     # one decode of the query terms' segments, shared by candidate
@@ -345,6 +386,16 @@ def search_boolean_compact(
             _segs_for_terms(cidx, must_not)
         ).select("doc_id")
         cand_ids = cand_ids.join(ex, "doc_id", "left_anti")
+
+    if parsed["titles"]:
+        # title matching runs on the docs frame (natural ids) —
+        # translate through doc_map once, like phrases
+        tm = (
+            _title_match_ids(enriched, parsed["titles"], id_col, lang)
+            .join(cidx.doc_map.select("doc_id", id_col), id_col)
+            .select("doc_id")
+        )
+        cand_ids = cand_ids.join(tm, "doc_id")
 
     if cidx.tombstones is not None:
         cand_ids = cand_ids.join(

@@ -30,16 +30,22 @@ def test_parser_units():
 def test_parser_edge_cases():
     assert parse_simple_query("") == {
         "must": [], "should": [], "must_not": [], "phrases": [],
-        "sites": [],
+        "sites": [], "titles": [],
     }
-    # stray operators, empty quotes and empty site: are dropped
-    p = parse_simple_query('+ - "" site: alpha')
+    # stray operators, empty quotes and empty site:/title: are dropped
+    p = parse_simple_query('+ - "" site: title: alpha')
     assert p["should"] == ["alpha"] and p["phrases"] == []
-    assert p["sites"] == []
+    assert p["sites"] == [] and p["titles"] == []
     with pytest.raises(ValueError):
         parse_simple_query('-"no negated phrases"')
     with pytest.raises(ValueError):
         parse_simple_query("-site:h.example")
+    with pytest.raises(ValueError):
+        parse_simple_query("-title:foo")
+    # title words tokenize to surface forms
+    assert parse_simple_query("title:Alpha-Beta x")["titles"] == [
+        "alpha", "beta"
+    ]
 
 
 @pytest.fixture(scope="module")
@@ -198,3 +204,71 @@ def _rows_df(rows):
     return sorted(
         (r["url"], round(r["score"], 9), r["rn"]) for r in rows
     )
+
+
+def test_title_field_restricts(idx, docs):
+    from search_engine_spark.functions.textproc import tokenize_py
+
+    # pick a title word that appears in SOME but not all titles
+    rows = docs.select("url", "title").collect()
+    from collections import Counter
+
+    c = Counter(
+        t for r in rows for t in set(tokenize_py(r["title"] or ""))
+    )
+    word, n_with = next(
+        (w, n) for w, n in c.most_common() if 0 < n < len(rows)
+    )
+    with_title = {
+        r["url"]
+        for r in rows
+        if word in tokenize_py(r["title"] or "")
+    }
+    base = search_boolean(
+        idx, "crystal falcon", limit=300, analyzer="tokens"
+    ).collect()
+    got = search_boolean(
+        idx, f"crystal falcon title:{word}", enriched=docs,
+        limit=300, analyzer="tokens",
+    ).collect()
+    assert {r["url"] for r in got} == {
+        r["url"] for r in base
+    } & with_title
+    # scores are unchanged by the filter (pure restriction)
+    base_s = {r["url"]: r["score"] for r in base}
+    for r in got:
+        assert r["score"] == pytest.approx(base_s[r["url"]], rel=1e-9)
+    # enriched frame is required
+    with pytest.raises(ValueError):
+        search_boolean(idx, f"crystal title:{word}", analyzer="tokens")
+
+
+def test_title_field_compact_matches_logical(idx, docs):
+    from dataclasses import replace
+
+    from search_engine_spark.operators.compact import compact_index
+    from search_engine_spark.plans.boolquery import (
+        search_boolean_compact,
+    )
+
+    renamed = replace(
+        idx,
+        postings=idx.postings.withColumnRenamed("url", "nat_id"),
+        doc_lens=idx.doc_lens.withColumnRenamed("url", "nat_id"),
+        id_col="nat_id",
+        cached=(),
+    )
+    cidx = compact_index(renamed, n_segments=4)
+    q = "crystal falcon title:the"
+    a = _rows(search_boolean(
+        idx, q, enriched=docs, limit=50, analyzer="tokens"
+    ))
+    b = [
+        (r["nat_id"], round(r["score"], 9), r["rn"])
+        for r in search_boolean_compact(
+            cidx, q,
+            enriched=docs.withColumnRenamed("url", "nat_id"),
+            limit=50, analyzer="tokens",
+        ).collect()
+    ]
+    assert a == b

@@ -133,3 +133,49 @@ def test_wav_roundtrip(samples, rate):
     want = np.clip(arr, -1.0, 1.0) * 32767.0
     want = np.array(want.round(), dtype=np.int16).astype(np.float64)
     assert np.array_equal(decoded * 32768.0, want)
+
+
+# ---------------------------------------------------------------------------
+# minimum-cover-span sweep (operators/phrases.min_cover_sweep)
+# ---------------------------------------------------------------------------
+
+
+def _min_cover_brute(pos, tid, m):
+    """O(hits²) definitional minimum cover."""
+    best = -1
+    n = len(pos)
+    for i in range(n):
+        seen = set()
+        for j in range(i, n):
+            seen.add(tid[j])
+            if len(seen) == m:
+                span = pos[j] - pos[i]
+                if best < 0 or span < best:
+                    best = span
+                break
+    return best
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=5),           # m distinct ids
+    st.lists(st.integers(min_value=0, max_value=4),  # id stream
+             min_size=0, max_size=60),
+    st.lists(st.integers(min_value=1, max_value=9),  # positive gaps
+             min_size=60, max_size=60),
+)
+def test_min_cover_sweep_matches_bruteforce(m, ids, gaps):
+    from search_engine_spark.operators.phrases import min_cover_sweep
+
+    ids = [t % m for t in ids]
+    pos = np.cumsum(gaps[: len(ids)]).astype(np.int64)
+    tid = np.asarray(ids, dtype=np.int64)
+    got = min_cover_sweep(pos, tid, m)
+    expect = _min_cover_brute(pos.tolist(), ids, m)
+    assert got == expect
+    # the span is achievable: bounded by total extent; -1 iff some id
+    # is absent
+    if set(ids) == set(range(m)) and len(ids):
+        assert 0 <= got <= (pos[-1] - pos[0] if len(pos) else 0)
+    else:
+        assert got == -1
