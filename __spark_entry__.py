@@ -539,6 +539,83 @@ def _prefix_sql(limit: int = 10, max_expansions: int = 50) -> str:
     return _group_bm25_sql(gmap, limit)
 
 
+def _near_sql(slop: int = 3, limit: int = 10) -> str:
+    """DuckDB mirror of operators/phrases.near_search for the
+    two-term PROX_TERMS query: candidates are docs whose min cover
+    span ≤ (m−1)+slop, scored with the shared BM25 arithmetic."""
+    t0, t1 = sorted(PROX_TERMS)
+    term_list = ", ".join(f"'{t}'" for t in sorted(PROX_TERMS))
+    max_span = 1 + slop
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+nn AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*) FROM lens) AS avg_len),
+qt AS (
+  SELECT ts.term, ts.df,
+         ln((nn.n - ts.df + 0.5) / (ts.df + 0.5)) AS idf
+  FROM tstats ts CROSS JOIN nn
+  WHERE ts.term IN ({term_list})
+    AND ts.term NOT IN (SELECT term FROM stop)
+    AND (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0),
+{_TOKS_POS},
+a AS (SELECT doc_id, pos FROM toks_pos WHERE term = '{t0}'),
+b AS (SELECT doc_id, pos FROM toks_pos WHERE term = '{t1}'),
+spans AS (SELECT a.doc_id, min(abs(a.pos - b.pos)) AS span
+          FROM a JOIN b USING (doc_id) GROUP BY 1),
+cand AS (SELECT doc_id FROM spans WHERE span <= {max_span}),
+scored AS (
+  SELECT c.doc_id,
+         sum(qt.idf * (p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+             / ((p.tf::DOUBLE / l.doc_len)
+                + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len))) AS score
+  FROM cand c
+  JOIN postings p ON p.doc_id = c.doc_id
+  JOIN qt ON qt.term = p.term
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nn
+  GROUP BY 1),
+ranked AS (SELECT doc_id, round(score, 6) AS score,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+           FROM scored)
+SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
+"""
+
+
+def _next_token_sql(word: str, k: int = 10) -> str:
+    """DuckDB mirror of curation.next_token_suggestions."""
+    return f"""
+WITH {_TOKS_POS},
+big AS (SELECT a.term AS w1, b.term AS w2
+        FROM toks_pos a
+        JOIN toks_pos b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+SELECT w2 AS next_term, CAST(count(*) AS BIGINT) AS n
+FROM big WHERE w1 = '{word}'
+GROUP BY 1 ORDER BY n DESC, next_term ASC LIMIT {k}
+"""
+
+
+_CORPUS_DIFF_SQL = """
+WITH old_v AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+new_v AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' edited'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0),
+o AS (SELECT doc_id, md5(text) AS f1 FROM old_v),
+n AS (SELECT doc_id, md5(text) AS f2 FROM new_v),
+j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, f1, f2
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT doc_id,
+       CASE WHEN f1 IS NULL THEN 'added'
+            WHEN f2 IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM j
+WHERE f1 IS NULL OR f2 IS NULL OR f1 <> f2
+"""
+
+
 def _collocations_sql(min_count: int = 5, limit: int = 20) -> str:
     """DuckDB mirror of operators/curation.collocations (PMI over the
     corpus bigram/unigram counts)."""
@@ -1041,6 +1118,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("score", 6).alias("score"),
             F.col("rn").cast("int").alias("rn"),
         )
+
+    def near_topk(spark, sf):
+        """Unordered NEAR/slop proximity query
+        (operators/phrases.near_search)."""
+        from search_engine_spark.operators.phrases import near_search
+
+        idx = _docs_index(spark, sf)
+        res = near_search(
+            idx, _docs_enriched(spark, sf), " ".join(PROX_TERMS),
+            slop=3, limit=10, analyzer="tokens",
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def next_token_q(spark, sf):
+        """Bigram continuation suggestions
+        (operators/curation.next_token_suggestions)."""
+        from search_engine_spark.operators.curation import (
+            next_token_suggestions,
+        )
+
+        return next_token_suggestions(
+            _docs_enriched(spark, sf), "key", k=10
+        ).select("next_term", "n")
+
+    def corpus_diff_q(spark, sf):
+        """Crawl-over-crawl drift report
+        (operators/curation.corpus_diff) over two deterministic
+        corpus slices."""
+        from search_engine_spark.operators.curation import corpus_diff
+
+        docs = _read(spark, sf, "documents")
+        old = docs.filter(F.col("doc_id") % 5 != 0).select(
+            "doc_id", "text"
+        )
+        new = docs.filter(F.col("doc_id") % 7 != 0).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit(" edited")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        return corpus_diff(old, new).select("doc_id", "status")
 
     def prefix_search_q(spark, sf):
         """Trailing-wildcard query 'v* dup' — dictionary expansion
@@ -2141,6 +2263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_topk": proximity_topk,
         "prefix_search": prefix_search_q,
         "collocations": collocations_q,
+        "near_topk": near_topk,
+        "next_token_suggestions": next_token_q,
+        "corpus_diff": corpus_diff_q,
         "bigram_logprob": bigram_logprob_q,
         "latest_snapshot": latest_snapshot_q,
         "site_quality_stats": site_quality_q,
@@ -2374,6 +2499,9 @@ ranked AS (
 )
 SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
 """,
+        "near_topk": _near_sql(slop=3, limit=10),
+        "next_token_suggestions": _next_token_sql("key", k=10),
+        "corpus_diff": _CORPUS_DIFF_SQL,
         "prefix_search": _prefix_sql(limit=10, max_expansions=50),
         "collocations": _collocations_sql(min_count=5, limit=20),
         "bigram_logprob": _bigram_sql(alpha=0.1),

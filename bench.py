@@ -172,6 +172,8 @@ def main() -> None:
         "bigram_logprob",
         "prefix_search",
         "collocations",
+        "near_topk",
+        "corpus_diff",
         "latest_snapshot",
         "site_quality_stats",
         "rank_eval",

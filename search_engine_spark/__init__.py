@@ -129,6 +129,11 @@ _LAZY = {
     "logical_view": "search_engine_spark.plans.wand",
     "expand_prefix": "search_engine_spark.plans.prefix",
     "collocations": "search_engine_spark.operators.curation",
+    "near_match": "search_engine_spark.operators.phrases",
+    "near_search": "search_engine_spark.operators.phrases",
+    "next_token_suggestions": "search_engine_spark.operators.curation",
+    "corpus_diff": "search_engine_spark.operators.curation",
+    "corpus_diff_summary": "search_engine_spark.operators.curation",
     "search_lm": "search_engine_spark.plans.lm",
     "min_cover_span": "search_engine_spark.operators.phrases",
     "proximity_search": "search_engine_spark.operators.phrases",

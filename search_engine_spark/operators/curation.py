@@ -975,3 +975,119 @@ def collocations(
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(limit)
     )
+
+
+def next_token_suggestions(
+    df: DataFrame,
+    word: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+) -> DataFrame:
+    """``(next_term, n)`` — the ``k`` most frequent corpus
+    continuations of ``word`` (bigram-count completion: the
+    "searches related to" / query-builder suggestion primitive,
+    complementing the prefix autocomplete in operators/fuzzy).
+
+    One filtered bigram aggregation: the ``w1 = word`` predicate is
+    applied BEFORE the count shuffle, so cost is O(occurrences of
+    ``word``), never the corpus bigram volume.  Ordered n desc,
+    next_term asc (deterministic), top-k via TakeOrderedAndProject.
+    """
+    toks = F.col(tokens_col_name)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    big = df.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n1).alias("w1"),
+                F.slice(toks, 2, n1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    return (
+        big.filter(F.col("w1") == word)
+        .groupBy(F.col("w2").alias("next_term"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("next_term"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus diff (crawl-over-crawl drift report)
+# ---------------------------------------------------------------------------
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(<id>, status)`` per doc that differs between two corpus
+    versions: ``added`` (id only in new), ``removed`` (id only in
+    old), ``changed`` (both, content fingerprint differs).  Unchanged
+    docs are absent — at crawl scale the diff is the small output,
+    the full-outer join is the one shuffle (id-keyed, uniform).
+
+    The ops primitive behind incremental decisions: what to reindex
+    (added ∪ changed → ``reindex_pages``), what to tombstone
+    (removed), and how fast the corpus drifts release-over-release.
+    """
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__fp_old")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__fp_new")
+    )
+    j = o.join(n, id_col, "full_outer")
+    return (
+        j.withColumn(
+            "status",
+            F.when(F.col("__fp_old").isNull(), F.lit("added"))
+            .when(F.col("__fp_new").isNull(), F.lit("removed"))
+            .when(
+                F.col("__fp_old") != F.col("__fp_new"),
+                F.lit("changed"),
+            )
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("status").isNotNull())
+        .select(id_col, "status")
+    )
+
+
+def corpus_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row: ``(n_added, n_removed, n_changed, n_unchanged)``."""
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__fp_old")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__fp_new")
+    )
+    j = o.join(n, id_col, "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(F.col("__fp_old").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_added"),
+        F.sum(
+            F.when(F.col("__fp_new").isNull(), 1).otherwise(0)
+        ).cast("long").alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("__fp_old").isNotNull()
+                & F.col("__fp_new").isNotNull()
+                & (F.col("__fp_old") != F.col("__fp_new")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_changed"),
+        F.sum(
+            F.when(F.col("__fp_old") == F.col("__fp_new"), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_unchanged"),
+    )

@@ -441,3 +441,100 @@ def proximity_search(
         .withColumn("rn", F.row_number().over(w))
         .select(id_col, "site", "score", "rn")
     )
+
+
+def near_match(
+    pos_postings: DataFrame,
+    terms: list[str],
+    slop: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(<id>, span)`` — docs where ALL (distinct) query terms
+    co-occur within an unordered window of at most ``slop`` non-query
+    positions: ``span ≤ (m−1) + slop`` (Lucene's unordered
+    NEAR/slop shape; slop 0 ⇒ the terms are consecutive in SOME
+    order).  One :func:`min_cover_span` pass over the query terms'
+    positional rows + a row-local filter."""
+    m = len(sorted(set(terms)))
+    spans = min_cover_span(pos_postings, terms, id_col)
+    return spans.filter(F.col("span") <= (m - 1) + int(slop))
+
+
+def near_search(
+    index,
+    enriched: DataFrame,
+    query: str,
+    slop: int = 2,
+    sites: list[str] | None = None,
+    offset: int = 0,
+    limit: int = 20,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+    tokens_col_name: str = "tokens",
+) -> DataFrame:
+    """Unordered proximity query: BM25 top-k over docs whose query
+    terms ALL co-occur within ``slop`` gaps — ``(<id>, site, score,
+    rn)``, the engine's standard ranking contract.
+
+    The candidate restriction is positional (:func:`near_match`);
+    scoring is the UNCHANGED shared BM25 expression over the query
+    terms — a stricter-candidate variant of
+    ``search(candidates="all")``, exactly as Lucene ranks a
+    sloppy-phrase-filtered boolean query's members.  Cost shape: one
+    positional pass + one scoring join, both O(query-term postings).
+    """
+    from search_engine_spark.plans.search import (
+        analyze_query,
+        bm25_term_score_col,
+        query_term_idf,
+    )
+
+    id_col = index.id_col
+    k1, b = index.config.bm25.k1, index.config.bm25.b
+    terms = analyze_query(query, lang, analyzer)
+    if use_stoplist:
+        stop = set(index.stoplist)
+        terms = [t for t in terms if t not in stop]
+    idf = query_term_idf(index, terms, sites)
+    terms = sorted(t for t in terms if t in idf)
+
+    empty = (
+        index.doc_lens.select(id_col, "site")
+        .limit(0)
+        .withColumn("score", F.lit(0.0))
+        .withColumn("rn", F.lit(0))
+    )
+    if not terms:
+        return empty
+
+    pp = positional_postings(enriched, id_col, tokens_col_name)
+    cand_ids = near_match(pp, terms, slop, id_col).select(id_col)
+
+    doc_lens = index.doc_lens
+    if sites:
+        doc_lens = doc_lens.filter(F.col("site").isin(sites))
+    candidates = cand_ids.join(
+        doc_lens.select(id_col, "site", "doc_len"), id_col
+    )
+    qpost = index.postings.filter(F.col("term").isin(terms))
+    scored = (
+        candidates.join(qpost, id_col, "inner")
+        .withColumn(
+            "term_score",
+            bm25_term_score_col(idf, k1, b, index.avg_len),
+        )
+        .groupBy(id_col, "site")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(
+        offset + limit
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        top.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > offset)
+        .select(id_col, "site", "score", "rn")
+    )
