@@ -67,6 +67,11 @@ AUDITED = [
     "latest_snapshot",
     "site_quality_stats",
     "rank_eval",
+    "prefix_search",
+    "collocations",
+    "near_topk",
+    "next_token_suggestions",
+    "corpus_diff",
 ]
 
 
