@@ -131,6 +131,12 @@ _LAZY = {
     "collocations": "search_engine_spark.operators.curation",
     "near_match": "search_engine_spark.operators.phrases",
     "near_search": "search_engine_spark.operators.phrases",
+    "compact_positions": "search_engine_spark.operators.phrases",
+    "decode_positions": "search_engine_spark.operators.phrases",
+    "write_compact_positional_index": "search_engine_spark.operators.phrases",
+    "read_compact_positions": "search_engine_spark.operators.phrases",
+    "phrase_match_compact": "search_engine_spark.operators.phrases",
+    "near_match_compact": "search_engine_spark.operators.phrases",
     "next_token_suggestions": "search_engine_spark.operators.curation",
     "corpus_diff": "search_engine_spark.operators.curation",
     "corpus_diff_summary": "search_engine_spark.operators.curation",

@@ -538,3 +538,196 @@ def near_search(
         .filter(F.col("rn") > offset)
         .select(id_col, "site", "score", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# compressed positional index (delta+varint positions at rest)
+# ---------------------------------------------------------------------------
+#
+# Positions dominate index bytes at corpus scale: a plain
+# (term, doc, pos) row per occurrence stores ~4-8 B of position plus
+# the repeated term/doc keys PER TOKEN of the corpus.  The compressed
+# layout packs each (term, doc)'s sorted positions into one
+# delta-gap + LEB128 varint blob (functions/codec.py — the same codec
+# the tf index blocks use): keys are stored once per (term, doc) and
+# gaps are 1-2 bytes each.  Query paths decode ONLY the query terms'
+# rows (bucket-pruned scan → Arrow batch decode), mirroring the tf
+# index's compact read path.
+
+
+def _encode_positions_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    from search_engine_spark.functions.codec import (
+        delta_encode,
+        encode_varint,
+    )
+
+    @pandas_udf("binary")
+    def enc(poss: pd.Series) -> pd.Series:
+        return poss.map(
+            lambda p: encode_varint(
+                delta_encode(np.asarray(p, dtype=np.uint64))
+            )
+        )
+
+    return enc
+
+
+def _decode_positions_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    from search_engine_spark.functions.codec import (
+        decode_varint,
+        delta_decode,
+    )
+
+    @pandas_udf("array<int>")
+    def dec(blobs: pd.Series, ns: pd.Series) -> pd.Series:
+        out = []
+        for blob, n in zip(blobs, ns):
+            out.append(
+                delta_decode(decode_varint(blob, int(n)))
+                .astype(np.int32)
+                .tolist()
+            )
+        return pd.Series(out)
+
+    return dec
+
+
+def compact_positions(
+    pos_postings: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """``(term, <id>, n, pos_blob)`` — one row per (term, doc) with
+    the sorted positions delta+varint-packed into ``pos_blob``.
+
+    One ``groupBy(term, doc)`` (keys near-unique → skew-free
+    regardless of term skew) packs each group's positions; the encode
+    is an Arrow-batched UDF over the packed arrays.
+    """
+    grouped = pos_postings.groupBy("term", id_col).agg(
+        F.sort_array(F.collect_list(F.col("pos").cast("long"))).alias(
+            "__poss"
+        )
+    )
+    enc = _encode_positions_udf()
+    return grouped.select(
+        "term",
+        id_col,
+        F.size("__poss").cast("int").alias("n"),
+        enc(F.col("__poss")).alias("pos_blob"),
+    )
+
+
+def decode_positions(
+    packed: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverse of :func:`compact_positions`: ``(term, <id>, pos)``
+    exploded positional postings (row-order-insensitive identity is
+    pinned by tests)."""
+    dec = _decode_positions_udf()
+    return packed.select(
+        "term",
+        id_col,
+        F.explode(
+            dec(F.col("pos_blob"), F.col("n"))
+        ).alias("pos"),
+    )
+
+
+def write_compact_positional_index(
+    enriched: DataFrame,
+    out_dir: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+) -> dict:
+    """Materialize the compressed positional index bucket-partitioned
+    by term (same ``crc32 % n_buckets`` layout as the tf index and
+    the plain positional index, so query scans partition-prune).
+    Returns {n_buckets, rows, blob_bytes, positions}."""
+    from search_engine_spark.operators.compact import bucket_col
+
+    pp = positional_postings(enriched, id_col, tokens_col_name)
+    packed = compact_positions(pp, id_col).withColumn(
+        "bucket", bucket_col(F.col("term"), n_buckets)
+    )
+    (
+        packed.repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    spark = enriched.sparkSession
+    stats = (
+        spark.read.parquet(out_dir)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.length("pos_blob")).alias("blob_bytes"),
+            F.sum("n").alias("positions"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_buckets": n_buckets,
+        "rows": int(stats["rows"]),
+        "blob_bytes": int(stats["blob_bytes"]),
+        "positions": int(stats["positions"]),
+    }
+
+
+def read_compact_positions(
+    spark,
+    out_dir: str,
+    terms: list[str] | None = None,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(term, <id>, pos)`` decoded from the compressed positional
+    index — bucket-partition-pruned and term-filtered BEFORE the
+    Arrow decode, so IO and decode cost are the query terms' rows
+    only."""
+    from search_engine_spark.operators.compact import bucket_of
+
+    df = spark.read.parquet(out_dir)
+    if terms:
+        buckets = sorted({bucket_of(t, n_buckets) for t in terms})
+        df = df.filter(F.col("bucket").isin(buckets)).filter(
+            F.col("term").isin(sorted(set(terms)))
+        )
+    return decode_positions(df.drop("bucket"), id_col)
+
+
+def phrase_match_compact(
+    spark,
+    out_dir: str,
+    phrase_terms: list[str],
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(<id>, phrase_tf)`` off the COMPRESSED positional index —
+    same alignment semantics as :func:`phrase_match` (pinned by
+    tests); decode touches the phrase terms' rows only."""
+    pp = read_compact_positions(
+        spark, out_dir, phrase_terms, n_buckets, id_col
+    )
+    occ = phrase_occurrences(pp, phrase_terms, id_col)
+    return occ.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("phrase_tf")
+    )
+
+
+def near_match_compact(
+    spark,
+    out_dir: str,
+    terms: list[str],
+    slop: int = 0,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`near_match` off the COMPRESSED positional index."""
+    pp = read_compact_positions(
+        spark, out_dir, sorted(set(terms)), n_buckets, id_col
+    )
+    return near_match(pp, terms, slop, id_col)
