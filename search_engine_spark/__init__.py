@@ -76,6 +76,8 @@ _LAZY = {
     "prepare_training_data": "search_engine_spark.plans.pipeline",
     "PipelineConfig": "search_engine_spark.plans.pipeline",
     "streaming_exact_dedup": "search_engine_spark.streaming.dedup",
+    "trending_terms": "search_engine_spark.streaming.trending",
+    "top_terms_per_window": "search_engine_spark.streaming.trending",
     "sessionize": "search_engine_spark.operators.sessions",
     "session_stats": "search_engine_spark.operators.sessions",
     "user_activity_sketch": "search_engine_spark.operators.sessions",
