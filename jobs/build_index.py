@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> None:
                          "at rest (N4) instead of merging to one task")
     ap.add_argument("--block-size", type=int, default=128)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--positions", action="store_true",
+        help="also write the compressed positional index "
+             "(<output>/positions) so persisted phrase/NEAR queries "
+             "run without the pages corpus; NOTE: appends/reindex do "
+             "not update it — rebuild after maintenance")
     ap.add_argument("--use-html", action="store_true",
                     help="re-extract text from the html column (T1 UDF)")
     ap.add_argument("--synthetic-pages", type=int, default=0)
@@ -126,6 +132,18 @@ def main(argv: list[str] | None = None) -> None:
     summary["elapsed_sec"] = round(elapsed, 3)
     if summary.get("n_docs"):
         summary["docs_per_sec"] = round(summary["n_docs"] / elapsed, 2)
+    if args.positions:
+        from search_engine_spark.operators.phrases import (
+            write_compact_positional_index,
+        )
+        from search_engine_spark.sources.pages import enrich_pages
+
+        summary["positions"] = write_compact_positional_index(
+            enrich_pages(pages, use_html=args.use_html),
+            args.output.rstrip("/") + "/positions",
+            n_buckets=args.buckets,
+            id_col="url",
+        )
     print(json.dumps(summary))
     spark.stop()
 

@@ -100,10 +100,17 @@ def main(argv: list[str] | None = None) -> None:
             max_expansions=args.max_expansions,
         )
     elif args.bool_query:
+        from search_engine_spark import fsutil
         from search_engine_spark.plans.boolquery import (
             search_boolean_compact,
         )
 
+        # quoted phrases run off the persisted positional index when
+        # the build wrote one (jobs/build_index.py --positions)
+        pos_dir = args.index.rstrip("/") + "/positions"
+        positions = (
+            pos_dir if fsutil.exists(pos_dir, spark) else None
+        )
         result = search_boolean_compact(
             cidx,
             args.query,
@@ -111,6 +118,7 @@ def main(argv: list[str] | None = None) -> None:
             offset=args.offset,
             limit=args.limit,
             analyzer=cidx_analyzer(spark, args.index),
+            positions_dir=positions,
         )
     else:
         result = search_compact(

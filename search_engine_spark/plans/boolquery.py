@@ -311,6 +311,8 @@ def search_boolean_compact(
     lang: str = "english",
     analyzer: str = "lemma",
     use_stoplist: bool = True,
+    positions_dir: str | None = None,
+    positions_buckets: int | None = None,
 ) -> DataFrame:
     """Boolean query over the COMPACTED index — rank-identical to
     :func:`search_boolean` on the same corpus (same analysis, same
@@ -321,6 +323,13 @@ def search_boolean_compact(
     terms decode their segments only for the anti-join.  doc_len
     rides inside the decoded postings, so scoring needs no doc_map
     join until the final (top-k-sized) site/id resolution.
+
+    Phrase units match against ``enriched`` when given, else against
+    a persisted compressed positional index at ``positions_dir``
+    (written by ``jobs/build_index.py --positions``) — result-
+    identical (pinned by tests); ``positions_buckets`` defaults to
+    the index's bucket count.  title: units still need ``enriched``
+    (titles aren't in the positional index).
     """
     from search_engine_spark.operators.compact import decode_segments
     from search_engine_spark.plans.wand import _segs_for_terms
@@ -342,10 +351,15 @@ def search_boolean_compact(
     # [] (an empty intersection of restrictions) ≠ None (unrestricted)
     if not scoring or (sites is not None and not sites):
         return empty
-    if (parsed["phrases"] or parsed["titles"]) and enriched is None:
+    if parsed["phrases"] and enriched is None and positions_dir is None:
         raise ValueError(
-            "phrase/title: units need the enriched docs frame "
-            "(tokens/title columns) — pass enriched="
+            "phrase units need the enriched docs frame or a persisted "
+            "positional index — pass enriched= or positions_dir="
+        )
+    if parsed["titles"] and enriched is None:
+        raise ValueError(
+            "title: units need the enriched docs frame "
+            "(title column) — pass enriched="
         )
 
     # one decode of the query terms' segments, shared by candidate
@@ -366,17 +380,26 @@ def search_boolean_compact(
         cand_ids = qpost.select("doc_id").distinct()
 
     if parsed["phrases"]:
-        from search_engine_spark.operators.phrases import phrase_match
+        from search_engine_spark.operators.phrases import (
+            phrase_match,
+            phrase_match_compact,
+        )
 
-        # phrase matching runs on the docs frame (natural ids) —
-        # translate through doc_map once, phrase-hits are tiny
+        # phrase matching runs on natural ids (docs frame or the
+        # persisted positional index) — translate through doc_map
+        # once, phrase-hits are tiny
         nat = cidx.doc_map.select("doc_id", id_col)
+        spark = cidx.doc_map.sparkSession
+        nb = positions_buckets or cidx.n_buckets or 64
         for toks in parsed["phrases"]:
-            pm = (
-                phrase_match(enriched, toks, id_col=id_col)
-                .join(nat, id_col)
-                .select("doc_id")
-            )
+            if enriched is not None:
+                pm = phrase_match(enriched, toks, id_col=id_col)
+            else:
+                pm = phrase_match_compact(
+                    spark, positions_dir, toks,
+                    n_buckets=nb, id_col=id_col,
+                )
+            pm = pm.join(nat, id_col).select("doc_id")
             cand_ids = pm if cand_ids is None else cand_ids.join(
                 pm, "doc_id"
             )

@@ -116,3 +116,38 @@ def test_compression_accounting(docs, posdir):
     # bytes each (vs 4-8 B plain int columns per occurrence row)
     assert stats["blob_bytes"] / n_pos < 2.5
     assert stats["rows"] < n_pos  # keys stored once per (term, doc)
+
+
+def test_boolean_phrase_via_persisted_positions(
+    spark, docs, posdir
+):
+    """search_boolean_compact with positions_dir= is result-identical
+    to the enriched-frame phrase path."""
+    from dataclasses import replace
+
+    from search_engine_spark.operators.compact import compact_index
+    from search_engine_spark.operators.postings import build_index
+    from search_engine_spark.plans.boolquery import (
+        search_boolean_compact,
+    )
+
+    del replace  # production shape: the natural "url" id throughout
+    out, _ = posdir
+    idx = build_index(docs, id_col="url", analyzer="tokens")
+    cidx = compact_index(idx, n_segments=4)
+    r0 = docs.select("tokens").first()["tokens"]
+    q = f'"{r0[0]} {r0[1]}" crystal'
+    a = [
+        (r["url"], round(r["score"], 9), r["rn"])
+        for r in search_boolean_compact(
+            cidx, q, enriched=docs, limit=50, analyzer="tokens"
+        ).collect()
+    ]
+    b = [
+        (r["url"], round(r["score"], 9), r["rn"])
+        for r in search_boolean_compact(
+            cidx, q, positions_dir=out, positions_buckets=8,
+            limit=50, analyzer="tokens",
+        ).collect()
+    ]
+    assert a == b and len(a) > 0
