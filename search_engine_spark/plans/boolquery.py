@@ -11,6 +11,12 @@ precedence-free (every token carries its own operator — no ambiguous
     "a b c"   PHRASE    — exact consecutive-token match (must);
                           requires the enriched docs frame (the
                           positional data lives in its tokens column)
+                          or a persisted positional index
+    "a b"~N   NEAR      — unordered proximity (must): all words
+                          co-occur within N gap tokens (min cover
+                          span ≤ m−1+N — Lucene SimpleQueryParser's
+                          ``~N`` near operator); same positional-data
+                          requirement as phrases
     site:host FIELD     — R2 site restriction; several site: units OR
                           together; intersects a caller-passed
                           ``sites=`` list when both are given
@@ -60,7 +66,7 @@ from search_engine_spark.plans.search import (
     query_term_idf,
 )
 
-_UNIT = re.compile(r'([+-]?)"([^"]*)"|([+-]?)(\S+)')
+_UNIT = re.compile(r'([+-]?)"([^"]*)"(?:~(\d+))?|([+-]?)(\S+)')
 
 
 def parse_simple_query(query: str) -> dict:
@@ -76,18 +82,22 @@ def parse_simple_query(query: str) -> dict:
     """
     out: dict = {
         "must": [], "should": [], "must_not": [], "phrases": [],
-        "sites": [], "titles": [],
+        "sites": [], "titles": [], "nears": [],
     }
     for m in _UNIT.finditer(query or ""):
         if m.group(2) is not None:
             op = m.group(1)
             if op == "-":
-                raise ValueError("negated phrases are not supported")
+                raise ValueError(
+                    "negated phrases/near units are not supported"
+                )
             toks = tokenize_py(m.group(2))
-            if toks:
+            if toks and m.group(3) is not None:
+                out["nears"].append((toks, int(m.group(3))))
+            elif toks:
                 out["phrases"].append(toks)
         else:
-            op, word = m.group(3), m.group(4)
+            op, word = m.group(4), m.group(5)
             if word in ("+", "-"):
                 continue
             if word.lower().startswith("site:"):
@@ -168,11 +178,12 @@ def _analyze_buckets(
         )
 
     must = _an(parsed["must"])
-    # phrase words participate in scoring like shoulds (the phrase
-    # constraint itself is handled positionally by the executor)
+    # phrase/near words participate in scoring like shoulds (the
+    # positional constraint itself is handled by the executor)
     should = _an(
         parsed["should"]
         + [w for toks in parsed["phrases"] for w in toks]
+        + [w for toks, _ in parsed["nears"] for w in toks]
     )
     must_not = _an(parsed["must_not"])
     if use_stoplist:
@@ -223,9 +234,11 @@ def search_boolean(
     # [] (an empty intersection of restrictions) ≠ None (unrestricted)
     if not scoring or (sites is not None and not sites):
         return empty
-    if (parsed["phrases"] or parsed["titles"]) and enriched is None:
+    if (
+        parsed["phrases"] or parsed["titles"] or parsed["nears"]
+    ) and enriched is None:
         raise ValueError(
-            "phrase/title: units need the enriched docs frame "
+            "phrase/near/title: units need the enriched docs frame "
             "(tokens/title columns) — pass enriched="
         )
 
@@ -238,8 +251,8 @@ def search_boolean(
             .filter(F.col("_nt") == len(must))
             .select(id_col)
         )
-    elif parsed["phrases"]:
-        cand_ids = None  # phrases alone define the candidate set
+    elif parsed["phrases"] or parsed["nears"]:
+        cand_ids = None  # positional units define the candidate set
     else:
         cand_ids = (
             index.postings.filter(F.col("term").isin(should))
@@ -256,6 +269,19 @@ def search_boolean(
         cand_ids = pm if cand_ids is None else cand_ids.join(
             pm, id_col
         )
+
+    if parsed["nears"]:
+        from search_engine_spark.operators.phrases import (
+            near_match,
+            positional_postings,
+        )
+
+        pp = positional_postings(enriched, id_col=id_col)
+        for toks, slop in parsed["nears"]:
+            nm = near_match(pp, toks, slop, id_col).select(id_col)
+            cand_ids = nm if cand_ids is None else cand_ids.join(
+                nm, id_col
+            )
 
     if must_not:
         cand_ids = cand_ids.join(
@@ -351,10 +377,15 @@ def search_boolean_compact(
     # [] (an empty intersection of restrictions) ≠ None (unrestricted)
     if not scoring or (sites is not None and not sites):
         return empty
-    if parsed["phrases"] and enriched is None and positions_dir is None:
+    if (
+        (parsed["phrases"] or parsed["nears"])
+        and enriched is None
+        and positions_dir is None
+    ):
         raise ValueError(
-            "phrase units need the enriched docs frame or a persisted "
-            "positional index — pass enriched= or positions_dir="
+            "phrase/near units need the enriched docs frame or a "
+            "persisted positional index — pass enriched= or "
+            "positions_dir="
         )
     if parsed["titles"] and enriched is None:
         raise ValueError(
@@ -374,20 +405,23 @@ def search_boolean_compact(
             .filter(F.col("_nt") == len(must))
             .select("doc_id")
         )
-    elif parsed["phrases"]:
+    elif parsed["phrases"] or parsed["nears"]:
         cand_ids = None
     else:
         cand_ids = qpost.select("doc_id").distinct()
 
-    if parsed["phrases"]:
+    if parsed["phrases"] or parsed["nears"]:
         from search_engine_spark.operators.phrases import (
+            near_match,
+            near_match_compact,
             phrase_match,
             phrase_match_compact,
+            positional_postings,
         )
 
-        # phrase matching runs on natural ids (docs frame or the
+        # positional matching runs on natural ids (docs frame or the
         # persisted positional index) — translate through doc_map
-        # once, phrase-hits are tiny
+        # once, positional hits are tiny
         nat = cidx.doc_map.select("doc_id", id_col)
         spark = cidx.doc_map.sparkSession
         nb = positions_buckets or cidx.n_buckets or 64
@@ -402,6 +436,21 @@ def search_boolean_compact(
             pm = pm.join(nat, id_col).select("doc_id")
             cand_ids = pm if cand_ids is None else cand_ids.join(
                 pm, "doc_id"
+            )
+        for toks, slop in parsed["nears"]:
+            if enriched is not None:
+                nm = near_match(
+                    positional_postings(enriched, id_col=id_col),
+                    toks, slop, id_col,
+                )
+            else:
+                nm = near_match_compact(
+                    spark, positions_dir, toks, slop,
+                    n_buckets=nb, id_col=id_col,
+                )
+            nm = nm.select(id_col).join(nat, id_col).select("doc_id")
+            cand_ids = nm if cand_ids is None else cand_ids.join(
+                nm, "doc_id"
             )
 
     if must_not:

@@ -30,8 +30,14 @@ def test_parser_units():
 def test_parser_edge_cases():
     assert parse_simple_query("") == {
         "must": [], "should": [], "must_not": [], "phrases": [],
-        "sites": [], "titles": [],
+        "sites": [], "titles": [], "nears": [],
     }
+    # ~N after a quoted group is a NEAR unit, not a phrase
+    p = parse_simple_query('"alpha beta"~3 "gamma delta"')
+    assert p["nears"] == [(["alpha", "beta"], 3)]
+    assert p["phrases"] == [["gamma", "delta"]]
+    with pytest.raises(ValueError):
+        parse_simple_query('-"a b"~2')
     # stray operators, empty quotes and empty site:/title: are dropped
     p = parse_simple_query('+ - "" site: title: alpha')
     assert p["should"] == ["alpha"] and p["phrases"] == []
@@ -272,3 +278,72 @@ def test_title_field_compact_matches_logical(idx, docs):
         ).collect()
     ]
     assert a == b
+
+
+def test_near_unit_restricts_and_scores_like_shoulds(idx, docs):
+    from search_engine_spark.operators.phrases import (
+        near_match,
+        positional_postings,
+    )
+
+    q = '"token lemma"~4 crystal'
+    got = search_boolean(
+        idx, q, enriched=docs, limit=300, analyzer="tokens"
+    ).collect()
+    assert got
+    pp = positional_postings(docs, id_col="url")
+    allowed = {
+        r["url"]
+        for r in near_match(
+            pp, ["token", "lemma"], 4, id_col="url"
+        ).collect()
+    }
+    assert {r["url"] for r in got} <= allowed
+    # near words contribute to scoring like bare shoulds: the same
+    # docs scored via the plain union query agree on score
+    base = {
+        r["url"]: r["score"]
+        for r in search(
+            idx, "token lemma crystal", limit=500,
+            analyzer="tokens", candidates="union",
+        ).collect()
+    }
+    for r in got:
+        assert r["score"] == pytest.approx(base[r["url"]], rel=1e-9)
+    # slop 0 is a (possibly reordered) adjacency constraint -> subset
+    tight = search_boolean(
+        idx, '"token lemma"~0 crystal', enriched=docs, limit=300,
+        analyzer="tokens",
+    ).collect()
+    assert {r["url"] for r in tight} <= {r["url"] for r in got}
+
+
+def test_near_unit_compact_parity(idx, docs):
+    from dataclasses import replace
+
+    from search_engine_spark.operators.compact import compact_index
+    from search_engine_spark.plans.boolquery import (
+        search_boolean_compact,
+    )
+
+    renamed = replace(
+        idx,
+        postings=idx.postings.withColumnRenamed("url", "nat_id"),
+        doc_lens=idx.doc_lens.withColumnRenamed("url", "nat_id"),
+        id_col="nat_id",
+        cached=(),
+    )
+    cidx = compact_index(renamed, n_segments=4)
+    q = '"token lemma"~4 crystal'
+    a = _rows(search_boolean(
+        idx, q, enriched=docs, limit=50, analyzer="tokens"
+    ))
+    b = [
+        (r["nat_id"], round(r["score"], 9), r["rn"])
+        for r in search_boolean_compact(
+            cidx, q,
+            enriched=docs.withColumnRenamed("url", "nat_id"),
+            limit=50, analyzer="tokens",
+        ).collect()
+    ]
+    assert a == b and len(a) > 0
