@@ -40,9 +40,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument(
         "--positions", action="store_true",
         help="also write the compressed positional index "
-             "(<output>/positions) so persisted phrase/NEAR queries "
-             "run without the pages corpus; NOTE: appends/reindex do "
-             "not update it — rebuild after maintenance")
+             "(<output>/positions, keyed by dense doc_id) so "
+             "persisted phrase/NEAR queries run without the pages "
+             "corpus; append_pages/reindex_pages co-maintain it "
+             "(stale rows drop at the liveness join)")
     ap.add_argument("--use-html", action="store_true",
                     help="re-extract text from the html column (T1 UDF)")
     ap.add_argument("--synthetic-pages", type=int, default=0)
@@ -138,11 +139,20 @@ def main(argv: list[str] | None = None) -> None:
         )
         from search_engine_spark.sources.pages import enrich_pages
 
+        # keyed by the DENSE doc_id (docs/ table), like the tf index:
+        # tombstoned/reindexed pages' stale positional rows then
+        # reference dead ids and drop at the query-time liveness join
+        doc_ids = spark.read.parquet(
+            args.output.rstrip("/") + "/docs"
+        ).select("doc_id", "url")
+        with_ids = enrich_pages(pages, use_html=args.use_html).join(
+            doc_ids, "url"
+        )
         summary["positions"] = write_compact_positional_index(
-            enrich_pages(pages, use_html=args.use_html),
+            with_ids,
             args.output.rstrip("/") + "/positions",
             n_buckets=args.buckets,
-            id_col="url",
+            id_col="doc_id",
         )
     print(json.dumps(summary))
     spark.stop()

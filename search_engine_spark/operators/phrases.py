@@ -669,29 +669,63 @@ def write_compact_positional_index(
         )
         .collect()[0]
     )
-    return {
+    out = {
         "n_buckets": n_buckets,
+        "id_col": id_col,
         "rows": int(stats["rows"]),
         "blob_bytes": int(stats["blob_bytes"]),
         "positions": int(stats["positions"]),
     }
+    # self-describing layout: readers/appenders resolve the bucket
+    # count from the index itself (an underscore-prefixed file is
+    # ignored by Spark's parquet listing, like _SUCCESS)
+    import json
+
+    from search_engine_spark import fsutil
+
+    fsutil.write_text(
+        out_dir.rstrip("/") + "/_positions_meta.json",
+        json.dumps(out),
+        spark,
+    )
+    return out
+
+
+def positional_meta(spark, out_dir: str) -> dict:
+    """The positional index's self-description (bucket count, key
+    column, size accounting) — written by
+    :func:`write_compact_positional_index`."""
+    import json
+
+    from search_engine_spark import fsutil
+
+    return json.loads(
+        fsutil.read_text(
+            out_dir.rstrip("/") + "/_positions_meta.json", spark
+        )
+    )
 
 
 def read_compact_positions(
     spark,
     out_dir: str,
     terms: list[str] | None = None,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """``(term, <id>, pos)`` decoded from the compressed positional
     index — bucket-partition-pruned and term-filtered BEFORE the
     Arrow decode, so IO and decode cost are the query terms' rows
-    only."""
+    only.  ``n_buckets=None`` resolves from the index's own meta
+    file (the layout is self-describing)."""
     from search_engine_spark.operators.compact import bucket_of
 
     df = spark.read.parquet(out_dir)
     if terms:
+        if n_buckets is None:
+            n_buckets = int(
+                positional_meta(spark, out_dir)["n_buckets"]
+            )
         buckets = sorted({bucket_of(t, n_buckets) for t in terms})
         df = df.filter(F.col("bucket").isin(buckets)).filter(
             F.col("term").isin(sorted(set(terms)))
@@ -703,7 +737,7 @@ def phrase_match_compact(
     spark,
     out_dir: str,
     phrase_terms: list[str],
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """``(<id>, phrase_tf)`` off the COMPRESSED positional index —
@@ -723,7 +757,7 @@ def near_match_compact(
     out_dir: str,
     terms: list[str],
     slop: int = 0,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """:func:`near_match` off the COMPRESSED positional index."""

@@ -424,31 +424,53 @@ def search_boolean_compact(
         # once, positional hits are tiny
         nat = cidx.doc_map.select("doc_id", id_col)
         spark = cidx.doc_map.sparkSession
-        nb = positions_buckets or cidx.n_buckets or 64
+        # None → the positional index's own meta resolves its bucket
+        # count (self-describing layout)
+        nb = positions_buckets
+        # enriched-frame hits carry natural ids (translate via
+        # doc_map); persisted-positional hits carry DENSE doc_ids
+        # (key parity with the tf index) — the live-doc_map join
+        # doubles as the tombstone/reindex liveness filter
+        live = cidx.doc_map.select("doc_id")
         for toks in parsed["phrases"]:
             if enriched is not None:
-                pm = phrase_match(enriched, toks, id_col=id_col)
-            else:
-                pm = phrase_match_compact(
-                    spark, positions_dir, toks,
-                    n_buckets=nb, id_col=id_col,
+                pm = (
+                    phrase_match(enriched, toks, id_col=id_col)
+                    .join(nat, id_col)
+                    .select("doc_id")
                 )
-            pm = pm.join(nat, id_col).select("doc_id")
+            else:
+                pm = (
+                    phrase_match_compact(
+                        spark, positions_dir, toks,
+                        n_buckets=nb, id_col="doc_id",
+                    )
+                    .select("doc_id")
+                    .join(live, "doc_id")
+                )
             cand_ids = pm if cand_ids is None else cand_ids.join(
                 pm, "doc_id"
             )
         for toks, slop in parsed["nears"]:
             if enriched is not None:
-                nm = near_match(
-                    positional_postings(enriched, id_col=id_col),
-                    toks, slop, id_col,
+                nm = (
+                    near_match(
+                        positional_postings(enriched, id_col=id_col),
+                        toks, slop, id_col,
+                    )
+                    .select(id_col)
+                    .join(nat, id_col)
+                    .select("doc_id")
                 )
             else:
-                nm = near_match_compact(
-                    spark, positions_dir, toks, slop,
-                    n_buckets=nb, id_col=id_col,
+                nm = (
+                    near_match_compact(
+                        spark, positions_dir, toks, slop,
+                        n_buckets=nb, id_col="doc_id",
+                    )
+                    .select("doc_id")
+                    .join(live, "doc_id")
                 )
-            nm = nm.select(id_col).join(nat, id_col).select("doc_id")
             cand_ids = nm if cand_ids is None else cand_ids.join(
                 nm, "doc_id"
             )

@@ -204,6 +204,47 @@ def append_pages(
         .parquet(os.path.join(out_dir, "index"))
     )
 
+    # positional-index co-maintenance: when the build wrote a
+    # compressed positional index (jobs/build_index.py --positions),
+    # append the delta pages' positional rows keyed by their NEW
+    # dense doc_ids — stale rows of re-added/reindexed urls reference
+    # tombstoned ids and drop at the query-time liveness join, so
+    # phrase/near correctness survives maintenance with no rewrite
+    pos_dir = out_dir.rstrip("/") + "/positions"
+    appended_positions = False
+    if fsutil.exists(pos_dir, spark):
+        from search_engine_spark.operators.phrases import (
+            compact_positions,
+            positional_meta,
+            positional_postings,
+        )
+
+        pos_src = fresh
+        if "tokens" not in pos_src.columns:
+            from search_engine_spark.functions.textproc import (
+                tokens_col,
+            )
+
+            pos_src = pos_src.withColumn(
+                "tokens", tokens_col(F.col("text"), F.col("lang"))
+            )
+        pos_src = pos_src.join(
+            doc_map.select("doc_id", "url"), "url"
+        )
+        # bucket count from the positional index's OWN meta — it may
+        # legitimately differ from the tf index's bucket count
+        nb_pos = int(positional_meta(spark, pos_dir)["n_buckets"])
+        packed = compact_positions(
+            positional_postings(pos_src, "doc_id"), "doc_id"
+        ).withColumn("bucket", bucket_col(F.col("term"), nb_pos))
+        (
+            packed.repartition(F.col("bucket"))
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(pos_dir)
+        )
+        appended_positions = True
+
     # derived stats: df = old + delta (R10 batch form).  Materialized
     # to tmp BEFORE the docs append — ``fresh`` (and thus delta_ts)
     # anti-joins the docs table, and writing docs/ would invalidate
@@ -235,7 +276,11 @@ def append_pages(
         [(None, "append", int(n_new), None, time.time(), build_id)],
         MANIFEST_SCHEMA,
     ).write.mode("append").parquet(os.path.join(out_dir, "manifest"))
-    return {"build_id": build_id, "appended": n_new}
+    return {
+        "build_id": build_id,
+        "appended": n_new,
+        "appended_positions": appended_positions,
+    }
 
 
 def tombstone_urls(

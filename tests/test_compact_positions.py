@@ -119,7 +119,7 @@ def test_compression_accounting(docs, posdir):
 
 
 def test_boolean_phrase_via_persisted_positions(
-    spark, docs, posdir
+    spark, docs, posdir, tmp_path_factory
 ):
     """search_boolean_compact with positions_dir= is result-identical
     to the enriched-frame phrase path."""
@@ -131,12 +131,20 @@ def test_boolean_phrase_via_persisted_positions(
         search_boolean_compact,
     )
 
-    del replace  # production shape: the natural "url" id throughout
-    out, _ = posdir
+    del replace, posdir  # production shape: doc_id-keyed positions
     idx = build_index(docs, id_col="url", analyzer="tokens")
     cidx = compact_index(idx, n_segments=4)
+    # persisted positional index is keyed by the DENSE doc_id (same
+    # convention as jobs/build_index.py --positions)
+    out = str(tmp_path_factory.mktemp("cpos_docid") / "idx")
+    with_ids = docs.join(
+        cidx.doc_map.select("doc_id", "url"), "url"
+    )
+    write_compact_positional_index(
+        with_ids, out, n_buckets=8, id_col="doc_id"
+    )
     r0 = docs.select("tokens").first()["tokens"]
-    q = f'"{r0[0]} {r0[1]}" crystal'
+    q = f'"{r0[0]} {r0[1]}"~2 crystal'
     a = [
         (r["url"], round(r["score"], 9), r["rn"])
         for r in search_boolean_compact(
@@ -151,3 +159,78 @@ def test_boolean_phrase_via_persisted_positions(
         ).collect()
     ]
     assert a == b and len(a) > 0
+
+
+def test_positional_append_and_reindex_liveness(
+    spark, tmp_path_factory
+):
+    """append_pages co-maintains a persisted positional index; after
+    a reindex, the stale positional rows reference dead doc_ids and
+    never surface as phrase hits (liveness join)."""
+    from datetime import datetime, timezone
+
+    from search_engine_spark.plans.boolquery import (
+        search_boolean_compact,
+    )
+    from search_engine_spark.plans.build import build_and_write
+    from search_engine_spark.plans.incremental import (
+        append_pages,
+        open_index,
+        reindex_pages,
+    )
+
+    out = str(tmp_path_factory.mktemp("cpos_maint") / "idx")
+    pages = pages_df(spark, 60, n_sites=2, seed=3)
+    build_and_write(
+        spark, pages, out, analyzer="tokens", n_segments=4
+    )
+    pos_dir = out + "/positions"
+    doc_ids = spark.read.parquet(out + "/docs").select(
+        "doc_id", "url"
+    )
+    write_compact_positional_index(
+        enrich_pages(pages).join(doc_ids, "url"),
+        pos_dir, n_buckets=8, id_col="doc_id",
+    )
+
+    def mk(url, text):
+        return spark.createDataFrame(
+            [(
+                url,
+                datetime(2024, 1, 1, tzinfo=timezone.utc),
+                b"",
+                text,
+                "en",
+            )],
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        )
+
+    url = "https://zz.example/p1"
+    r = append_pages(
+        spark, out,
+        mk(url, "the zebra quokka wanders near the river daily"),
+    )
+    assert r["appended"] == 1 and r["appended_positions"]
+
+    def hits(q):
+        cidx = open_index(spark, out)
+        return {
+            row["url"]
+            for row in search_boolean_compact(
+                cidx, q, positions_dir=pos_dir, positions_buckets=8,
+                limit=10, analyzer="tokens",
+            ).collect()
+        }
+
+    assert hits('"zebra quokka"') == {url}
+    # reindex the page WITHOUT the phrase: the old positional rows
+    # are stale (dead doc_id) and must not resurface
+    reindex_pages(
+        spark, out,
+        mk(url, "the zebra now rests and the quokka sleeps apart"),
+    )
+    assert hits('"zebra quokka"') == set()
+    # both words still co-occur loosely -> NEAR with a wide window
+    # matches the NEW content only
+    assert hits('"zebra quokka"~8') == {url}
