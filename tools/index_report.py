@@ -92,6 +92,36 @@ def report(spark, index_dir: str) -> dict:
         ),
         "n_buckets": cidx.n_buckets,
     }
+
+    # positional index (optional sidecar): size accounting off its
+    # self-describing meta plus a metadata-scale row count
+    from search_engine_spark import fsutil
+
+    pos_dir = index_dir.rstrip("/") + "/positions"
+    if fsutil.exists(pos_dir, spark):
+        from pyspark.sql import functions as F
+
+        from search_engine_spark.operators.phrases import (
+            positional_meta,
+        )
+
+        meta = positional_meta(spark, pos_dir)
+        pagg = (
+            spark.read.parquet(pos_dir)
+            .agg(
+                F.sum("n").alias("positions"),
+                F.sum(F.length("pos_blob")).alias("blob_bytes"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+            .collect()[0]
+        )
+        n_pos = int(pagg["positions"] or 0)
+        out["positions_rows"] = int(pagg["rows"] or 0)
+        out["positions_total"] = n_pos
+        out["positions_bytes_per_position"] = round(
+            (pagg["blob_bytes"] or 0) / max(1, n_pos), 3
+        )
+        out["positions_n_buckets"] = int(meta["n_buckets"])
     return out
 
 
