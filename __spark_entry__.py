@@ -2246,6 +2246,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "score", "rank",
         )
 
+    def upsample_mixture_q(spark, sf):
+        """Mixture epochs: en 2.5x, de 0.25x, everything else 1x —
+        replication counts are a pure function of the split bucket, so
+        DuckDB replays them exactly (incl. which rows get the
+        fractional extra copy)."""
+        from search_engine_spark.operators.mixing import upsample_mixture
+
+        docs = _read(spark, sf, "documents")
+        return upsample_mixture(
+            docs,
+            {"en": 2.5, "de": 0.25},
+            domain_col="lang",
+            default=1.0,
+            salt="v1",
+        ).select(
+            "doc_id", "lang", F.col("copy").cast("int").alias("copy")
+        )
+
+    def bpe_merges_q(spark, sf):
+        """Distributed BPE learning (exact sequential algorithm, one
+        merge per round) — no SQL oracle (iterative argmax); pinned
+        against a pure-Python reference in tests/test_bpe.py."""
+        from search_engine_spark.operators.bpe import (
+            learn_bpe,
+            merges_table,
+        )
+
+        docs = _docs_enriched(spark, sf).select("tokens")
+        merges = learn_bpe(docs, 16)
+        return merges_table(spark, merges).select(
+            F.col("rank").cast("int").alias("rank"), "a", "b"
+        )
+
+    def hll_distinct_per_lang(spark, sf):
+        """Mergeable HLL distinct-doc sketches per lang — estimates
+        are sketch-dependent (no SQL oracle); accuracy and merge
+        semantics pinned in tests/test_mixing.py."""
+        from search_engine_spark.operators.sketches import (
+            hll_build,
+            hll_estimate,
+        )
+
+        docs = _read(spark, sf, "documents")
+        return hll_estimate(hll_build(docs, "doc_id", ["lang"])).select(
+            "lang", F.col("est").cast("long").alias("est")
+        )
+
     return {
         "tokenize_doclen": tokenize_doclen,
         "postings": postings_q,
@@ -2345,6 +2392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_customers": intersect_customers,
         "except_customers": except_customers,
         "site_doclen_quantiles": site_doclen_quantiles,
+        "upsample_mixture": upsample_mixture_q,
+        "bpe_merges": bpe_merges_q,
+        "hll_distinct_per_lang": hll_distinct_per_lang,
     }
 
 
@@ -3020,6 +3070,24 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
                   < CASE lang WHEN 'en' THEN 5000
                               WHEN 'de' THEN 2000
                               ELSE 1000 END
+        """,
+        "upsample_mixture": """
+            WITH w AS (
+              SELECT doc_id, lang,
+                     CAST(CASE lang WHEN 'en' THEN 2
+                                    WHEN 'de' THEN 0
+                                    ELSE 1 END
+                       + CASE WHEN ('0x' || substr(
+                             md5(CAST(doc_id AS VARCHAR) || 'v1'),
+                             18, 15))::BIGINT % 10000
+                           < CASE lang WHEN 'en' THEN 5000
+                                       WHEN 'de' THEN 2500
+                                       ELSE 0 END
+                         THEN 1 ELSE 0 END AS BIGINT) AS n
+              FROM documents)
+            SELECT doc_id, lang,
+                   CAST(unnest(range(0, n)) AS INTEGER) AS copy
+            FROM w
         """,
         "pagerank": """
             WITH nodes AS (

@@ -148,6 +148,16 @@ _LAZY = {
     "cms_build": "search_engine_spark.operators.sketches",
     "cms_merge": "search_engine_spark.operators.sketches",
     "cms_estimate": "search_engine_spark.operators.sketches",
+    "hll_build": "search_engine_spark.operators.sketches",
+    "hll_merge": "search_engine_spark.operators.sketches",
+    "hll_estimate": "search_engine_spark.operators.sketches",
+    "learn_bpe": "search_engine_spark.operators.bpe",
+    "bpe_encode": "search_engine_spark.operators.bpe",
+    "bpe_vocab": "search_engine_spark.operators.bpe",
+    "merges_table": "search_engine_spark.operators.bpe",
+    "sample_mixture": "search_engine_spark.operators.mixing",
+    "upsample_mixture": "search_engine_spark.operators.mixing",
+    "mixture_rates_for_budget": "search_engine_spark.operators.mixing",
 }
 
 

@@ -123,3 +123,61 @@ def cms_error_bound(n_total: int, width: int = CMS_WIDTH) -> float:
     import math
 
     return (math.e / width) * n_total
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketches (Apache DataSketches HLL via the
+# Spark built-ins hll_sketch_agg / hll_union_agg / hll_sketch_estimate)
+# ---------------------------------------------------------------------------
+#
+# Exact distinct counts shuffle every distinct key; an HLL sketch is a
+# fixed ~2^lg_k-register summary with ~1.04/sqrt(2^lg_k) relative error
+# that MERGES — so per-segment / per-batch / per-partition sketches can
+# be persisted next to the index manifest and rolled up without ever
+# re-touching the data, the same partial-aggregate shape the CMS above
+# uses for frequencies.  All three steps are JVM aggregates (Tungsten
+# partial aggregation, no Python, no extra shuffle beyond the groupBy).
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    lg_k: int = 12,
+) -> DataFrame:
+    """``(*group_cols, hll: binary)`` — one DataSketches HLL sketch of
+    the distinct ``key_col`` values per group (one global row when
+    ``group_cols`` is None/empty)."""
+    agg = F.hll_sketch_agg(F.col(key_col), lgConfigK=lg_k).alias("hll")
+    if group_cols:
+        return df.groupBy(*group_cols).agg(agg)
+    return df.agg(agg)
+
+
+def hll_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merged sketch table — HLL union is exact over sketches, so
+    incremental rollups never re-scan data.  Sketches built with
+    different ``lg_k`` still merge (downsized to the smaller)."""
+    both = a.unionByName(b)
+    agg = F.hll_union_agg(F.col("hll"), allowDifferentLgConfigK=True).alias(
+        "hll"
+    )
+    if group_cols:
+        return both.groupBy(*group_cols).agg(agg)
+    return both.agg(agg)
+
+
+def hll_estimate(sketch: DataFrame, out_col: str = "est") -> DataFrame:
+    """Add ``out_col: long`` — the estimated distinct count of each
+    sketch row."""
+    return sketch.withColumn(
+        out_col, F.hll_sketch_estimate(F.col("hll"))
+    )
+
+
+def hll_error_bound(lg_k: int = 12) -> float:
+    """Typical relative standard error of an HLL with 2^lg_k registers
+    (DataSketches HLL_8: ~1.04 / sqrt(2^lg_k))."""
+    return 1.04 / (2 ** (lg_k / 2))
