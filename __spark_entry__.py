@@ -2236,6 +2236,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_docs").cast("long").alias("n_docs"),
         )
 
+    def exact_substr_dedup_q(spark, sf):
+        """ExactSubstr dedup (Lee 2021): cut every non-first occurrence
+        of a 20-token run; fingerprint the surviving token stream."""
+        from search_engine_spark.operators.curation import (
+            remove_duplicate_token_spans,
+        )
+
+        docs = _docs_enriched(spark, sf).select("doc_id", "tokens")
+        out = remove_duplicate_token_spans(docs, k=20)
+        return out.select(
+            "doc_id",
+            F.size("tokens").cast("int").alias("orig_len"),
+            F.size("clean_tokens").cast("int").alias("clean_len"),
+            F.md5(F.concat_ws(" ", "clean_tokens")).alias("clean_fp"),
+        )
+
     def tfidf_keywords_q(spark, sf):
         from search_engine_spark.operators.curation import tfidf_keywords
 
@@ -2349,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": pii_scan,
         "decontaminate": decontaminate_q,
         "c4_span_dedup": c4_span_dups,
+        "exact_substr_dedup": exact_substr_dedup_q,
         "fuzzy_terms": fuzzy_terms_q,
         "pagerank": pagerank_q,
         "sample_per_group": sample_per_group_q,
@@ -3262,6 +3279,44 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             SELECT span_fp, count(*) AS n_occ,
                    count(DISTINCT doc_id) AS n_docs
             FROM sp GROUP BY 1 HAVING count(*) > 1
+        """,
+        "exact_substr_dedup": f"""
+            WITH lt AS (SELECT doc_id, {toks_list} AS tokens
+                        FROM documents),
+            w AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS win_idx,
+                     md5(array_to_string(tokens[i:i+19], ' ')) AS win_fp
+              FROM lt, unnest(range(1, len(tokens) - 18)) AS r(i)
+              WHERE len(tokens) >= 20),
+            occ AS (
+              SELECT doc_id, win_idx, win_fp,
+                     row_number() OVER (PARTITION BY win_fp
+                                        ORDER BY doc_id, win_idx) AS rn,
+                     count(*) OVER (PARTITION BY win_fp) AS n_occ
+              FROM w),
+            bad AS (SELECT doc_id, win_idx FROM occ
+                    WHERE n_occ > 1 AND rn > 1),
+            cov AS (
+              SELECT DISTINCT bad.doc_id, CAST(t.t AS INT) AS t
+              FROM bad, unnest(range(bad.win_idx, bad.win_idx + 20))
+                         AS t(t)),
+            toku AS (
+              SELECT doc_id, CAST(i - 1 AS INT) AS idx, tokens[i] AS tok
+              FROM lt, unnest(range(1, len(tokens) + 1)) AS r(i)),
+            keep AS (
+              SELECT tk.doc_id, tk.idx, tk.tok
+              FROM toku tk LEFT JOIN cov
+                ON cov.doc_id = tk.doc_id AND cov.t = tk.idx
+              WHERE cov.t IS NULL),
+            agg AS (
+              SELECT doc_id, count(*) AS clean_len,
+                     md5(string_agg(tok, ' ' ORDER BY idx)) AS clean_fp
+              FROM keep GROUP BY doc_id)
+            SELECT lt.doc_id,
+                   CAST(len(lt.tokens) AS INT) AS orig_len,
+                   CAST(coalesce(agg.clean_len, 0) AS INT) AS clean_len,
+                   coalesce(agg.clean_fp, md5('')) AS clean_fp
+            FROM lt LEFT JOIN agg USING (doc_id)
         """,
         "decontaminate": f"""
             WITH lt AS (SELECT doc_id, {toks_list} AS tokens

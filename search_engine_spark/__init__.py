@@ -155,6 +155,8 @@ _LAZY = {
     "bpe_encode": "search_engine_spark.operators.bpe",
     "bpe_vocab": "search_engine_spark.operators.bpe",
     "merges_table": "search_engine_spark.operators.bpe",
+    "remove_duplicate_token_spans": "search_engine_spark.operators.curation",
+    "token_window_table": "search_engine_spark.operators.curation",
     "sample_mixture": "search_engine_spark.operators.mixing",
     "upsample_mixture": "search_engine_spark.operators.mixing",
     "mixture_rates_for_budget": "search_engine_spark.operators.mixing",

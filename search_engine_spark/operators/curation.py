@@ -499,6 +499,146 @@ def remove_duplicate_spans(
     return out.drop("__bad_spans", "__sents", "__bad_sents")
 
 
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicate token-span removal (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better": when a run
+# of >= k consecutive tokens occurs more than once corpus-wide, keep the
+# first occurrence and cut the tokens of every other occurrence)
+# ---------------------------------------------------------------------------
+
+# Window fingerprints join tokens with a space, so tokens must not
+# contain spaces themselves (true for this engine's tokenizer, which
+# splits on whitespace/non-letters).  Chosen over an opaque separator
+# because the DuckDB oracle must build the identical string.
+_WIN_SEP = " "
+
+
+def token_window_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    k: int = 50,
+) -> DataFrame:
+    """``(id, win_idx, win_fp)`` — md5 fingerprint of every length-``k``
+    rolling token window (start offsets 0-based; docs shorter than
+    ``k`` emit nothing).
+
+    Fingerprinting is a JVM column expression: O(T·k) bytes hashed per
+    doc (each token lands in k windows).  That constant factor is the
+    price of an oracle-reproducible fingerprint; a production rolling
+    hash (O(T), Karp-Rabin) drops in here without touching the rest of
+    the operator, which only sees ``win_fp`` values.
+    """
+    if k < 2:
+        raise ValueError("window size k must be >= 2")
+    toks = F.col(tokens_col_name)
+    win_t = "array<struct<win_idx:int,win_fp:string>>"
+    wins = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.struct(
+                i.cast("int").alias("win_idx"),
+                F.md5(
+                    F.concat_ws(_WIN_SEP, F.slice(toks, i + 1, k))
+                ).alias("win_fp"),
+            ),
+        ),
+    ).otherwise(F.array().cast(win_t))
+    return df.select(F.col(id_col), F.explode(wins).alias("__w")).select(
+        id_col, F.col("__w.win_idx"), F.col("__w.win_fp")
+    )
+
+
+def remove_duplicate_token_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    k: int = 50,
+    out_col: str = "clean_tokens",
+) -> DataFrame:
+    """ExactSubstr dedup over token arrays: every length-``k`` window
+    occurring more than once corpus-wide keeps only the occurrence with
+    the lowest ``(id, win_idx)``; all tokens covered by any other
+    occurrence are cut from their documents.  Overlapping duplicated
+    windows merge into maximal spans by construction (coverage is a
+    union), so a repeated run of length k+m loses all k+m tokens, not
+    k.  Token-level twin of :func:`remove_duplicate_spans` (C4 cuts
+    sentence triples; this cuts exact token runs, the Lee 2021
+    criterion).
+
+    Plan shape at 100 TB: window fingerprints shuffle ONCE on the
+    uniform md5 key (map-side combined count + min-occurrence);
+    dropped occurrences come back through one fp-keyed join and merge
+    into intervals with a gaps-and-islands window over the near-unique
+    doc key — no quadratic step anywhere (a fully-duplicated doc is
+    ONE island).  Reassembly filters the token array against the
+    merged interval list in place: O(T·I) with I = merged spans per
+    doc, all JVM, no Python.
+    """
+    wins = token_window_table(df, id_col, tokens_col_name, k)
+    occ = wins.withColumn(
+        "__occ", F.struct(F.col(id_col), F.col("win_idx"))
+    )
+    dup = occ.groupBy("win_fp").agg(
+        F.count(F.lit(1)).alias("__n_occ"),
+        F.min("__occ").alias("__keep"),
+    ).filter(F.col("__n_occ") > 1)
+    bad = (
+        occ.join(dup, "win_fp")
+        .filter(F.col("__occ") != F.col("__keep"))
+        .select(id_col, "win_idx")
+    )
+    # gaps-and-islands: merge [j, j+k-1] coverage intervals per doc
+    wspec = Window.partitionBy(id_col).orderBy("win_idx")
+    isl = (
+        bad.withColumn("__prev", F.lag("win_idx").over(wspec))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev").isNull()
+                | (F.col("win_idx") > F.col("__prev") + k)
+            ).cast("int"),
+        )
+        .withColumn(
+            "__isl",
+            F.sum("__new").over(
+                wspec.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    cuts = (
+        isl.groupBy(id_col, "__isl")
+        .agg(
+            F.min("win_idx").alias("s"),
+            (F.max("win_idx") + (k - 1)).alias("e"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias(
+                "__cut"
+            )
+        )
+    )
+    toks = F.col(tokens_col_name)
+    return (
+        df.join(cuts, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("__cut").isNull(), toks).otherwise(
+                F.filter(
+                    toks,
+                    lambda t, i: ~F.exists(
+                        F.col("__cut"),
+                        lambda c: (i >= c["s"]) & (i <= c["e"]),
+                    ),
+                )
+            ),
+        )
+        .drop("__cut")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],
