@@ -35,6 +35,19 @@ class EngineConfig:
     # Broadcast the doc_map side of the compaction join when the
     # corpus has at most this many docs (≈ rows × ~60B ≤ a few 100 MB).
     doc_map_broadcast_max: int = 3_000_000
+    # At-rest layout of the persisted indexes: rows are term-sorted
+    # inside each bucket file (disjoint per-row-group term min/max →
+    # parquet row-group pruning for term = / IN scans) and a parquet
+    # bloom filter is written on `term` (prunes row groups bucket- and
+    # stats-pruning can't — a rare term's query reads ~one row group
+    # instead of the whole bucket).  ndv sizes the filter per row
+    # group; ~1.2 bytes/term at the 1% default false-positive rate.
+    # parquet-mr only materializes the bloom when a chunk falls back
+    # from dictionary to plain encoding — exactly the at-scale case
+    # (fully-dict chunks are already pruned via dictionary filtering),
+    # so small indexes pay zero bytes for this option.
+    write_term_bloom: bool = True
+    term_bloom_ndv: int = 100_000
 
 
 DEFAULT = EngineConfig()

@@ -653,12 +653,26 @@ def write_compact_positional_index(
     packed = compact_positions(pp, id_col).withColumn(
         "bucket", bucket_col(F.col("term"), n_buckets)
     )
-    (
+    from search_engine_spark.config import DEFAULT as _CFG
+
+    # same at-rest layout as the tf index: term-sorted rows inside each
+    # bucket file (disjoint row-group term ranges → min/max pruning)
+    # plus a term bloom filter, so phrase/NEAR scans read ~one row
+    # group per query term instead of the whole bucket
+    writer = (
         packed.repartition(F.col("bucket"))
+        .sortWithinPartitions("bucket", "term", id_col)
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(out_dir)
     )
+    if _CFG.write_term_bloom:
+        writer = writer.option(
+            "parquet.bloom.filter.enabled#term", "true"
+        ).option(
+            "parquet.bloom.filter.expected.ndv#term",
+            str(_CFG.term_bloom_ndv),
+        )
+    writer.parquet(out_dir)
     spark = enriched.sparkSession
     stats = (
         spark.read.parquet(out_dir)

@@ -231,11 +231,23 @@ def build_and_write(
     prev_mode = spark.conf.get(conf_key, "static")
     spark.conf.set(conf_key, "dynamic")
     try:
-        (
-            segs.write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(index_path)
+        # bucket-first sort satisfies the writer's partition-column
+        # ordering (no extra sort injected) and leaves rows term-sorted
+        # inside every bucket file: row-group term ranges are disjoint,
+        # so term = / IN scans prune row groups via min/max stats — and
+        # via the term bloom filter for terms inside a group's range
+        ordered = segs.sortWithinPartitions(
+            "bucket", "term", "shard", "block_id"
         )
+        writer = ordered.write.mode("overwrite").partitionBy("bucket")
+        if config.write_term_bloom:
+            writer = writer.option(
+                "parquet.bloom.filter.enabled#term", "true"
+            ).option(
+                "parquet.bloom.filter.expected.ndv#term",
+                str(config.term_bloom_ndv),
+            )
+        writer.parquet(index_path)
     finally:
         spark.conf.set(conf_key, prev_mode)
     mark("compact_write")
