@@ -162,7 +162,10 @@ def main() -> None:
         "pii_scan",
         "tfidf_keywords",
         "c4_span_dedup",
+        "exact_substr_dedup",
         "decontaminate",
+        "upsample_mixture",
+        "hll_distinct_per_lang",
         "fuzzy_terms",
         "pagerank",
         "pack_sequences",
