@@ -66,6 +66,7 @@ PERCOLATE_QUERIES = [
 
 _INDEX_CACHE: dict = {}
 _COMPACT_CACHE: dict = {}
+_FED_CACHE: dict = {}
 
 
 def _docs_index(spark: SparkSession, sf_dir: str):
@@ -136,6 +137,44 @@ def _docs_compact(spark: SparkSession, sf_dir: str):
         cidx.doc_map = cidx.doc_map.cache()
         _COMPACT_CACHE[key] = cidx
     return _COMPACT_CACHE[key]
+
+
+def _docs_compact_shards(spark: SparkSession, sf_dir: str):
+    """TWO compact indexes over disjoint halves of the documents table
+    (doc_id parity split) — the federation fixture.  Federated search
+    over them must equal the monolithic index's ranking exactly, so
+    the ORACLE is the unchanged bm25_topk SQL over all documents."""
+    from dataclasses import replace
+
+    from search_engine_spark.operators.compact import compact_index
+    from search_engine_spark.operators.postings import build_index
+    from search_engine_spark.sources.pages import documents_as_pages
+
+    key = (id(spark), sf_dir)
+    if key not in _FED_CACHE:
+        shards = []
+        for parity in (0, 1):
+            docs = documents_as_pages(spark, sf_dir).filter(
+                F.col("doc_id") % 2 == parity
+            )
+            idx = build_index(docs, id_col="doc_id", analyzer="tokens")
+            renamed = replace(
+                idx,
+                postings=idx.postings.withColumnRenamed(
+                    "doc_id", "nat_id"
+                ),
+                doc_lens=idx.doc_lens.withColumnRenamed(
+                    "doc_id", "nat_id"
+                ),
+                id_col="nat_id",
+                cached=(),
+            )
+            cidx = compact_index(renamed, n_segments=8)
+            cidx.segments = cidx.segments.cache()
+            cidx.doc_map = cidx.doc_map.cache()
+            shards.append(cidx)
+        _FED_CACHE[key] = shards
+    return _FED_CACHE[key]
 
 
 def _search_docs_wand(spark, sf_dir, query, offset=0, limit=10,
@@ -1032,6 +1071,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_topk(spark, sf):
         return _search_docs(spark, sf, FLAGSHIP_QUERY, limit=10)
+
+    def bm25_federated_topk(spark, sf):
+        """Federated BM25 over TWO disjoint half-corpus compact
+        indexes (plans/federate.py) — exact merged global stats, so
+        the oracle is the unchanged monolithic bm25_topk SQL."""
+        from search_engine_spark.plans.federate import search_federated
+
+        shards = _docs_compact_shards(spark, sf)
+        res = search_federated(
+            shards, FLAGSHIP_QUERY, limit=10, analyzer="tokens"
+        )
+        return res.select(
+            F.col("nat_id").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
 
     def bm25_not_topk(spark, sf):
         return _search_docs(
@@ -2317,6 +2372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stoplist": stoplist_q,
         "query_idf": idf_q,
         "bm25_topk": bm25_topk,
+        "bm25_federated_topk": bm25_federated_topk,
         "bm25_not_topk": bm25_not_topk,
         "bm25_and_topk": bm25_and_topk,
         "bool_search": bool_search,
@@ -2524,6 +2580,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE term IN ({", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)})
         """,
         "bm25_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
+        # federation is EXACT: merged df/n_docs/avg_len equal the
+        # monolithic build's, so the oracle is the same SQL
+        "bm25_federated_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
         "bm25_not_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10, exclude=["window"]),
         "bm25_and_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10, mode="all"),
         "bool_search": f"""

@@ -156,6 +156,9 @@ _LAZY = {
     "bpe_vocab": "search_engine_spark.operators.bpe",
     "merges_table": "search_engine_spark.operators.bpe",
     "remove_duplicate_token_spans": "search_engine_spark.operators.curation",
+    "search_federated": "search_engine_spark.plans.federate",
+    "federated_view": "search_engine_spark.plans.federate",
+    "merged_stats": "search_engine_spark.plans.federate",
     "token_window_table": "search_engine_spark.operators.curation",
     "sample_mixture": "search_engine_spark.operators.mixing",
     "upsample_mixture": "search_engine_spark.operators.mixing",

@@ -1,0 +1,198 @@
+"""Federated search over multiple independently-built compact indexes.
+
+A 100 TB corpus is rarely one build: crawls land as per-snapshot or
+per-shard indexes (each built/maintained on its own cadence with
+plans/build.py).  Federation lets one query treat N such indexes as a
+single corpus with EXACT global statistics — bit-identical ranking to
+a monolithic index over the concatenated corpus (pytest-pinned):
+
+- ``df`` merges by integer addition per term;
+- ``n_docs`` adds; ``avg_len`` re-derives from the exact integer token
+  totals (each shard's ``avg_len`` is an exact int-sum/count, so
+  ``round(avg_len · n_docs)`` recovers the shard's total exactly for
+  any total below 2^52 tokens — comfortably past 100 TB of text);
+- the stop-list is recomputed from the MERGED df table with the same
+  R14 rule, so a term that is stop-frequent only globally stops
+  globally, exactly as in a monolithic build.
+
+Plan shape: per shard the decode stays the compact fast path
+(bucket-partition-pruned scan of the query terms' segments only,
+Arrow block decode); the union of the decoded postings is a
+no-shuffle concatenation; scoring then runs the unchanged logical
+executor against the merged-stats view.  Stats merging is
+metadata-scale (term_stats rows), never corpus-scale.
+
+Corpora must be DISJOINT on the public id (a url in two shards would
+double-score); route re-crawl snapshots through
+``operators/curation.latest_snapshot`` / ``corpus_diff`` before
+building, or pass ``check_disjoint=True`` to pay one count for an
+assertion.
+
+No reference counterpart (the reference is single-database by
+construction: one PostgreSQL schema per deployment,
+services/impl/SearchServiceImpl.java queries one ``lemma`` table);
+semantics follow distributed IR's standard exact-global-statistics
+federation.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.compact import CompactIndex
+from search_engine_spark.operators.postings import (
+    InvertedIndex,
+    compute_stoplist,
+)
+from search_engine_spark.plans.search import analyze_query, search
+
+
+def _check_compatible(cidxs: list[CompactIndex]) -> None:
+    if not cidxs:
+        raise ValueError("need at least one index")
+    head = cidxs[0]
+    for c in cidxs[1:]:
+        if c.id_col != head.id_col:
+            raise ValueError(
+                f"id_col mismatch: {c.id_col!r} vs {head.id_col!r}"
+            )
+        if (
+            c.config.bm25.k1 != head.config.bm25.k1
+            or c.config.bm25.b != head.config.bm25.b
+            or c.config.stoplist_size != head.config.stoplist_size
+        ):
+            raise ValueError(
+                "indexes were built with different scoring configs"
+            )
+
+
+def merged_stats(
+    cidxs: list[CompactIndex],
+) -> tuple[DataFrame, DataFrame, int, float]:
+    """``(term_stats, site_stats, n_docs, avg_len)`` over the union
+    corpus, each exact (integer adds; avg from exact totals)."""
+    _check_compatible(cidxs)
+    term_stats = reduce(
+        DataFrame.unionByName,
+        [c.term_stats.select("term", "df") for c in cidxs],
+    ).groupBy("term").agg(F.sum("df").alias("df"))
+    site_stats = reduce(
+        DataFrame.unionByName,
+        [c.site_stats.select("site", "pages") for c in cidxs],
+    ).groupBy("site").agg(F.sum("pages").alias("pages"))
+    n_docs = sum(c.n_docs for c in cidxs)
+    total_len = sum(round(c.avg_len * c.n_docs) for c in cidxs)
+    avg_len = (total_len / n_docs) if n_docs else 0.0
+    return term_stats, site_stats, n_docs, avg_len
+
+
+def federated_view(
+    cidxs: list[CompactIndex],
+    terms: list[str],
+    check_disjoint: bool = False,
+) -> InvertedIndex:
+    """:class:`InvertedIndex`-shaped view of N compact indexes as ONE
+    corpus, restricted to ``terms`` (each shard decodes only those
+    terms' segments — the same O(query-term postings) guarantee as
+    :func:`plans.wand.logical_view`)."""
+    from search_engine_spark.plans.wand import logical_view
+
+    _check_compatible(cidxs)
+    id_col = cidxs[0].id_col
+    views = [logical_view(c, terms) for c in cidxs]
+    postings = reduce(
+        DataFrame.unionByName, [v.postings for v in views]
+    )
+    doc_lens = reduce(
+        DataFrame.unionByName, [v.doc_lens for v in views]
+    )
+    if check_disjoint:
+        n_ids = doc_lens.select(id_col).distinct().count()
+        n_rows = doc_lens.count()
+        if n_ids != n_rows:
+            raise ValueError(
+                f"shards overlap on {id_col}: {n_rows - n_ids} "
+                "duplicate ids (dedup the corpora before building)"
+            )
+    term_stats, site_stats, n_docs, avg_len = merged_stats(cidxs)
+    stoplist = compute_stoplist(
+        term_stats, n_docs, cidxs[0].config.stoplist_size
+    )
+    return InvertedIndex(
+        postings=postings,
+        doc_lens=doc_lens,
+        term_stats=term_stats,
+        site_stats=site_stats,
+        n_docs=n_docs,
+        avg_len=avg_len,
+        stoplist=stoplist,
+        id_col=id_col,
+        config=cidxs[0].config,
+    )
+
+
+def search_federated(
+    cidxs: list[CompactIndex],
+    query: str,
+    sites: list[str] | None = None,
+    offset: int = 0,
+    limit: int = 20,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+    fuzzy: bool = False,
+    fuzzy_max_dist: int = 1,
+    candidates: str = "rarest",
+    exclude_terms: list[str] | None = None,
+    check_disjoint: bool = False,
+) -> DataFrame:
+    """BM25 top-k over N compact indexes as one corpus — rank- and
+    score-identical to a monolithic index built over the concatenated
+    corpus (pytest-pinned).  Same contract as :func:`plans.search.
+    search`; fuzzy correction and stop-removal run against the MERGED
+    dictionary, so query rewrites match the monolithic behavior too.
+    """
+    terms = analyze_query(query, lang, analyzer)
+    decode = set(terms)
+    for t in exclude_terms or []:
+        decode.update(analyze_query(t, lang, analyzer))
+    view: InvertedIndex | None = None
+    if fuzzy and terms:
+        # pre-correct against the merged dictionary so the view decodes
+        # the CORRECTED terms; search() re-runs the identical correction
+        # against the same merged term_stats, deterministically
+        from search_engine_spark.operators.fuzzy import (
+            correct_query_terms,
+        )
+
+        view = federated_view(
+            cidxs, sorted(decode), check_disjoint=check_disjoint
+        )
+        fixes = correct_query_terms(
+            view.term_stats, terms, max_dist=fuzzy_max_dist
+        )
+        corrected = {v for v in fixes.values() if v}
+        if corrected - decode:
+            decode |= corrected
+            view = None  # rebuild below with the corrected terms
+    if view is None:
+        view = federated_view(
+            cidxs, sorted(decode), check_disjoint=check_disjoint
+        )
+    return search(
+        view,
+        query,
+        sites=sites,
+        offset=offset,
+        limit=limit,
+        lang=lang,
+        analyzer=analyzer,
+        use_stoplist=use_stoplist,
+        fuzzy=fuzzy,
+        fuzzy_max_dist=fuzzy_max_dist,
+        candidates=candidates,
+        exclude_terms=exclude_terms,
+    )
