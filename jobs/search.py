@@ -2,6 +2,7 @@
 
     spark-submit --py-files search_engine_spark.zip jobs/search.py \
         --index /data/index_dir --query "free text query" \
+        [--index /data/other_index ...]  # federated, exact global stats \
         [--site host1 --site host2] [--offset 0] [--limit 20] \
         [--no-prune]  # disable block-max WAND, exact reference path \
         [--ranker bm25|lm|synonyms|prefix] [--mu 2000] \
@@ -25,7 +26,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--index", required=True)
+    ap.add_argument("--index", required=True, action="append",
+                    help="persisted index dir; repeat for federated "
+                         "search over several per-shard/per-crawl "
+                         "indexes (exact merged global stats — "
+                         "plans/federate.py; bm25 ranker only)")
     ap.add_argument("--query", required=True)
     ap.add_argument("--site", action="append", default=None)
     ap.add_argument("--offset", type=int, default=0)
@@ -66,6 +71,27 @@ def main(argv: list[str] | None = None) -> None:
     from search_engine_spark.plans.build import load_compact_index
     from search_engine_spark.plans.wand import search_compact
 
+    index_dirs = args.index
+    if len(index_dirs) > 1:
+        if args.ranker != "bm25" or args.bool_query or args.snippets:
+            ap.error("federated (multiple --index) supports the "
+                     "default bm25 ranker without --bool/--snippets")
+        analyzers = {cidx_analyzer(spark, d) for d in index_dirs}
+        if len(analyzers) > 1:
+            ap.error(f"indexes use different analyzers: {analyzers}")
+        from search_engine_spark.plans.federate import search_federated
+
+        shards = [load_compact_index(spark, d) for d in index_dirs]
+        result = search_federated(
+            shards, args.query, sites=args.site, offset=args.offset,
+            limit=args.limit, analyzer=analyzers.pop(),
+        )
+        for row in result.collect():
+            print(json.dumps(row.asDict(), default=str))
+        spark.stop()
+        return
+
+    args.index = index_dirs[0]
     cidx = load_compact_index(spark, args.index)
     if args.ranker != "bm25" and args.bool_query:
         ap.error("--bool composes with the default bm25 ranker only")
