@@ -559,17 +559,62 @@ def minhash_lsh_pairs_against(
     recompute).  Same banded-LSH candidate generation and estimated-
     Jaccard verification as :func:`minhash_lsh_pairs`; at rest the
     base side's band hashes are a persisted table keyed (band, bh),
-    so each batch joins against it directly.
+    so each batch joins against it directly
+    (:func:`minhash_band_table` builds it,
+    :func:`minhash_pairs_against_bands` consumes it).
     """
+    return minhash_pairs_against_bands(
+        new_df,
+        _banded_signatures(base_df, id_col, tokens_col_name, n, k,
+                           bands),
+        id_col=id_col,
+        tokens_col_name=tokens_col_name,
+        n=n,
+        k=k,
+        bands=bands,
+        threshold=threshold,
+    )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """``(<id>, sig, band, bh)`` — a corpus's LSH state as a plain
+    DataFrame, persistable as the at-rest side of incremental /
+    streaming near-dup dedup.  ~``bands`` fixed-width rows per doc
+    regardless of document size: O(corpus) rows, metadata-width."""
+    return _banded_signatures(df, id_col, tokens_col_name, n, k, bands)
+
+
+def minhash_pairs_against_bands(
+    new_df: DataFrame,
+    base_bands: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs_against` with the base side's band
+    table PRECOMPUTED (``(<id>, sig, band, bh)`` rows from
+    :func:`minhash_band_table`): the batch never re-hashes the
+    standing corpus — per micro-batch cost is O(batch) hashing plus
+    one (band, bh)-keyed join against the persisted table.
+    ``n``/``k``/``bands`` must match the values the table was built
+    with (``k`` is re-checked against the sig width)."""
     a = _banded_signatures(
         new_df, id_col, tokens_col_name, n, k, bands
     ).select(
         F.col(id_col).alias("new_id"), F.col("sig").alias("sig_a"),
         "band", "bh",
     )
-    b = _banded_signatures(
-        base_df, id_col, tokens_col_name, n, k, bands
-    ).select(
+    b = base_bands.select(
         F.col(id_col).alias("base_id"), F.col("sig").alias("sig_b"),
         "band", "bh",
     )
