@@ -2233,6 +2233,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             salt="v1",
         ).select("doc_id", "lang")
 
+    def weighted_sample_q(spark, sf):
+        from search_engine_spark.operators.curation import (
+            weighted_sample,
+        )
+
+        docs = _read(spark, sf, "documents").withColumn(
+            "w", (F.lit(0.5) + F.col("doc_id") % 7).cast("double")
+        )
+        return weighted_sample(docs, 50, "w", salt="v1").select(
+            "doc_id", "lang", "w"
+        )
+
     def pagerank_q(spark, sf):
         # deterministic synthetic link graph over the first 200 docs
         # (docs ending in 9 are dangling sinks; two affine out-edges
@@ -2430,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences_q,
         "suggest_terms": suggest_terms_q,
         "stratified_sample": stratified_sample_q,
+        "weighted_sample": weighted_sample_q,
         "tfidf_keywords": tfidf_keywords_q,
         "event_sessions": event_sessions,
         "asof_join_events": asof_join_events,
@@ -3146,6 +3159,19 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
                   < CASE lang WHEN 'en' THEN 5000
                               WHEN 'de' THEN 2000
                               ELSE 1000 END
+        """,
+        "weighted_sample": """
+            SELECT doc_id, lang, w FROM (
+              SELECT doc_id, lang,
+                     CAST(0.5 + doc_id % 7 AS DOUBLE) AS w
+              FROM documents)
+            ORDER BY
+              -ln((('0x' || substr(
+                      md5(CAST(doc_id AS VARCHAR) || 'v1'),
+                      18, 15))::BIGINT + 0.5)
+                  / 1152921504606846976.0) / w ASC,
+              doc_id ASC
+            LIMIT 50
         """,
         "upsample_mixture": """
             WITH w AS (

@@ -1231,3 +1231,73 @@ def corpus_diff_summary(
             .otherwise(0)
         ).cast("long").alias("n_unchanged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling without replacement (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def _weighted_key_col(
+    id_col: Column, weight_col: Column, salt: str
+) -> Column:
+    """The Efraimidis–Spirakis exponential race key ``-ln(u)/w`` with
+    ``u`` drawn as the 60-bit md5 value of (id, salt) mapped into
+    (0, 1).  Smallest ``k`` keys = a weighted sample without
+    replacement with inclusion odds proportional to the weights
+    (Efraimidis & Spirakis 2006, the `u^(1/w)` top-k formulation —
+    monotonically equivalent under -ln/w).  Pure function of
+    (id, salt, weight): partitioning-, retry- and cluster-size-
+    invariant, same md5 draw convention as :func:`split_bucket_col`
+    so one salt namespace governs every sampling operator."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(salt)))
+    v = F.conv(F.substring(h, 18, 15), 16, 10).cast("long")
+    u = (v.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    return -F.log(u) / weight_col.cast("double")
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "v1",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: ``k`` rows
+    (globally, or per ``group_col`` group) with inclusion probability
+    proportional to ``weight_col`` — quality-weighted corpus
+    subsampling ("keep 1M docs, prefer high quality-score"), the
+    weighted counterpart of :func:`sample_n_per_group`.
+
+    Rows with weight <= 0 or NULL are never selected (the A-ES
+    limit).  Ties (impossible in practice with 60-bit draws) break on
+    the id for full determinism.
+
+    Plan shape at scale: the key is a pure column expression over the
+    scan; global mode is ``ORDER BY key LIMIT k`` — Spark executes it
+    as TakeOrderedAndProject (per-partition top-k heaps + driver
+    merge of k·P rows, never a global sort); group mode is one
+    window over ``group_col`` (head groups rank all their rows — use
+    :func:`sample_n_per_group`'s prefilter idea upstream if a group
+    is corpus-sized).
+    """
+    key = _weighted_key_col(
+        F.col(id_col), F.col(weight_col), salt
+    )
+    eligible = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    )
+    if group_col is None:
+        return (
+            eligible.orderBy(key.asc(), F.col(id_col).asc())
+            .limit(k)
+        )
+    w = Window.partitionBy(group_col).orderBy(
+        key.asc(), F.col(id_col).asc()
+    )
+    return (
+        eligible.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
