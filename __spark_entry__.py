@@ -448,7 +448,8 @@ def _bm25_sql(terms: list[str], sites: list[str] | None = None,
               postings_cte: str = _POSTINGS,
               extra_cte: str = "",
               exclude: list[str] | None = None,
-              mode: str = "rarest") -> str:
+              mode: str = "rarest",
+              collapse_per_site: int | None = None) -> str:
     term_list = ", ".join(f"'{t}'" for t in terms)
     cand_not = ""
     if exclude:
@@ -490,14 +491,32 @@ scored AS (
   CROSS JOIN nn
   GROUP BY c.doc_id
 ),
+{_collapse_cte(collapse_per_site)}
 ranked AS (
   SELECT doc_id, round(score, 6) AS score,
          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
-  FROM scored
+  FROM {"collapsed" if collapse_per_site else "scored"}
 )
 SELECT doc_id, score, rn FROM ranked
 WHERE rn > {offset} AND rn <= {offset + limit}
 """
+
+
+def _collapse_cte(per_site: int | None) -> str:
+    """Host-crowding CTE mirroring plans/search.search_collapsed: at
+    most per_site survivors per site by (score desc, doc_id asc),
+    cut BEFORE the global ranking."""
+    if not per_site:
+        return ""
+    return f"""
+collapsed AS (
+  SELECT doc_id, score FROM (
+    SELECT s.doc_id, s.score,
+           row_number() OVER (PARTITION BY l.site
+                              ORDER BY s.score DESC, s.doc_id ASC) AS sr
+    FROM scored s JOIN lens l USING (doc_id))
+  WHERE sr <= {per_site}
+),"""
 
 
 def _synonyms_sql(limit: int = 10) -> str:
@@ -1085,6 +1104,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select(
             F.col("nat_id").alias("doc_id"),
             F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def bm25_collapsed_topk(spark, sf):  # host-crowding collapse
+        from search_engine_spark.plans.search import search_collapsed
+
+        idx = _docs_index(spark, sf)
+        res = search_collapsed(
+            idx, FLAGSHIP_QUERY, per_site=2, limit=10,
+            analyzer="tokens",
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
             F.col("rn").cast("int").alias("rn"),
         )
 
@@ -2386,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk,
         "bm25_federated_topk": bm25_federated_topk,
         "bm25_not_topk": bm25_not_topk,
+        "bm25_collapsed_topk": bm25_collapsed_topk,
         "bm25_and_topk": bm25_and_topk,
         "bool_search": bool_search,
         "bm25_synonyms_topk": bm25_synonyms_topk,
@@ -2597,6 +2630,9 @@ def oracle_sql() -> dict[str, str]:
         # monolithic build's, so the oracle is the same SQL
         "bm25_federated_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
         "bm25_not_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10, exclude=["window"]),
+        "bm25_collapsed_topk": _bm25_sql(
+            FLAGSHIP_TERMS, limit=10, collapse_per_site=2
+        ),
         "bm25_and_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10, mode="all"),
         "bool_search": f"""
 WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},

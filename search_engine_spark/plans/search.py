@@ -149,6 +149,49 @@ def search(
     anti-join against the excluded terms' postings; cost is
     O(excluded-term postings), never a corpus scan.
     """
+    scored, empty = _scored_pool(
+        index, query, sites, lang, analyzer, use_stoplist,
+        fuzzy, fuzzy_max_dist, candidates, exclude_terms,
+    )
+    if scored is None:
+        return empty
+    return _paginate(scored, index.id_col, offset, limit)
+
+
+def _paginate(
+    scored: DataFrame, id_col: str, offset: int, limit: int
+) -> DataFrame:
+    """R15+R17+R18: distributed top-(offset+limit) —
+    TakeOrderedAndProject, never a global sort — then paginate the
+    tiny surviving set with a window."""
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(
+        offset + limit
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        top.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > offset)
+        .select(id_col, "site", "score", "rn")
+    )
+
+
+def _scored_pool(
+    index: InvertedIndex,
+    query: str,
+    sites: list[str] | None = None,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+    fuzzy: bool = False,
+    fuzzy_max_dist: int = 1,
+    candidates: str = "rarest",
+    exclude_terms: list[str] | None = None,
+) -> tuple[DataFrame | None, DataFrame]:
+    """The shared pre-pagination stage of :func:`search`: analysis →
+    candidate generation → one candidates × query-postings join →
+    per-doc BM25 sums.  Returns ``(scored, empty)``; ``scored`` is
+    None when no query term survives (callers return ``empty``, the
+    correctly-typed zero-row frame)."""
     id_col = index.id_col
     k1, b = index.config.bm25.k1, index.config.bm25.b
 
@@ -176,7 +219,7 @@ def search(
         .withColumn("rn", F.lit(0))
     )
     if not terms:
-        return empty
+        return None, empty
 
     # R13: candidates = postings of the single rarest (max-IDF) lemma;
     # normative tie-break on equal IDF: term asc.  "union" mode widens
@@ -240,18 +283,57 @@ def search(
         .groupBy(id_col, "site")
         .agg(F.sum("term_score").alias("score"))
     )
+    return scored, empty
 
-    # R15+R17+R18: distributed top-(offset+limit), then paginate the
-    # tiny surviving set.
-    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(
-        offset + limit
+
+def search_collapsed(
+    index: InvertedIndex,
+    query: str,
+    per_site: int = 1,
+    sites: list[str] | None = None,
+    offset: int = 0,
+    limit: int = 20,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+    fuzzy: bool = False,
+    fuzzy_max_dist: int = 1,
+    candidates: str = "rarest",
+    exclude_terms: list[str] | None = None,
+) -> DataFrame:
+    """:func:`search` with host crowding collapsed — at most
+    ``per_site`` results per site in the final ranking (the classic
+    web-search diversification; Lucene's ``CollapsingTopDocsCollector``
+    / ES ``collapse`` semantics): within a site, only that site's
+    ``per_site`` best-scored docs compete, ranks/pagination apply to
+    the survivors.
+
+    Exactness: the per-site cut runs over the FULL scored candidate
+    pool (before any top-k), so a doc crowded IN by stronger same-site
+    docs being cut can never be missed — no pool-size heuristic.
+
+    Plan shape at scale: one extra window partitioned by ``site``
+    over the scored pool.  The pool is O(rarest-term postings), and a
+    single site's slice of one query's pool is far smaller still —
+    no skew concern; then the same TakeOrderedAndProject top-k as
+    plain search.  ``per_site=1`` → classic one-hit-per-host SERP.
+    """
+    scored, empty = _scored_pool(
+        index, query, sites, lang, analyzer, use_stoplist,
+        fuzzy, fuzzy_max_dist, candidates, exclude_terms,
     )
-    w = Window.orderBy(F.desc("score"), F.asc(id_col))
-    return (
-        top.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") > offset)
-        .select(id_col, "site", "score", "rn")
+    if scored is None:
+        return empty
+    id_col = index.id_col
+    w = Window.partitionBy("site").orderBy(
+        F.desc("score"), F.asc(id_col)
     )
+    best = (
+        scored.withColumn("__sr", F.row_number().over(w))
+        .filter(F.col("__sr") <= per_site)
+        .drop("__sr")
+    )
+    return _paginate(best, id_col, offset, limit)
 
 
 def search_total(

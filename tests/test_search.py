@@ -202,3 +202,73 @@ def test_search_many_site_restriction(spark_index):
     assert {(r["url"], r["rn"]) for r in batch} == {
         (r["url"], r["rn"]) for r in single
     }
+
+
+# ---------------------------------------------------------------------------
+# host-crowding collapse (search_collapsed)
+# ---------------------------------------------------------------------------
+
+
+def _collapse_expect(pool_rows, per_site, offset, limit):
+    """Python reference: per-site top-N by (score desc, url asc),
+    then global rank and pagination."""
+    by_site = {}
+    for r in sorted(pool_rows, key=lambda r: (-r["score"], r["url"])):
+        by_site.setdefault(r["site"], []).append(r)
+    keep = [r for rs in by_site.values() for r in rs[:per_site]]
+    keep.sort(key=lambda r: (-r["score"], r["url"]))
+    return [(r["url"], r["score"]) for r in keep[offset:offset + limit]]
+
+
+def test_collapsed_large_per_site_equals_plain_search(spark_index):
+    from search_engine_spark.plans.search import search_collapsed
+
+    plain = search(spark_index, "glacier horizon", limit=10).collect()
+    coll = search_collapsed(
+        spark_index, "glacier horizon", per_site=10 ** 6, limit=10
+    ).collect()
+    assert [(r.url, r.score, r.rn) for r in coll] == [
+        (r.url, r.score, r.rn) for r in plain
+    ]
+
+
+def test_collapsed_per_site_one(spark_index):
+    from search_engine_spark.plans.search import search_collapsed
+
+    pool = search(
+        spark_index, "glacier horizon", limit=10 ** 6
+    ).collect()
+    assert len({r.site for r in pool}) < len(pool)  # crowding exists
+    got = search_collapsed(
+        spark_index, "glacier horizon", per_site=1, limit=10
+    ).collect()
+    sites = [r.site for r in got]
+    assert len(sites) == len(set(sites))  # no site repeats
+    want = _collapse_expect(
+        [r.asDict() for r in pool], 1, 0, 10
+    )
+    assert [(r.url, r.score) for r in got] == want
+    assert [r.rn for r in got] == list(range(1, len(got) + 1))
+
+
+def test_collapsed_pagination_and_per_site_two(spark_index):
+    from search_engine_spark.plans.search import search_collapsed
+
+    pool = search(
+        spark_index, "glacier horizon the running", limit=10 ** 6
+    ).collect()
+    want = _collapse_expect([r.asDict() for r in pool], 2, 2, 3)
+    got = search_collapsed(
+        spark_index, "glacier horizon the running",
+        per_site=2, offset=2, limit=3,
+    ).collect()
+    assert [(r.url, r.score) for r in got] == want
+    assert [r.rn for r in got] == [3, 4, 5]
+
+
+def test_collapsed_empty_query(spark_index):
+    from search_engine_spark.plans.search import search_collapsed
+
+    out = search_collapsed(spark_index, "the and of", per_site=1)
+    assert out.count() == 0
+    assert out.columns == ["url", "site", "score", "rn"]
