@@ -449,7 +449,8 @@ def _bm25_sql(terms: list[str], sites: list[str] | None = None,
               extra_cte: str = "",
               exclude: list[str] | None = None,
               mode: str = "rarest",
-              collapse_per_site: int | None = None) -> str:
+              collapse_per_site: int | None = None,
+              prior_weight: float | None = None) -> str:
     term_list = ", ".join(f"'{t}'" for t in terms)
     cand_not = ""
     if exclude:
@@ -491,15 +492,30 @@ scored AS (
   CROSS JOIN nn
   GROUP BY c.doc_id
 ),
-{_collapse_cte(collapse_per_site)}
+{_collapse_cte(collapse_per_site)}{_prior_cte(prior_weight)}
 ranked AS (
   SELECT doc_id, round(score, 6) AS score,
          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
-  FROM {"collapsed" if collapse_per_site else "scored"}
+  FROM {"boosted" if prior_weight is not None
+        else "collapsed" if collapse_per_site else "scored"}
 )
 SELECT doc_id, score, rn FROM ranked
 WHERE rn > {offset} AND rn <= {offset + limit}
 """
+
+
+def _prior_cte(weight: float | None) -> str:
+    """Static-prior boost CTE mirroring plans/search.search_with_priors
+    over the deterministic ``1 + doc_id % 10`` prior used by the
+    bm25_priors_topk entry."""
+    if weight is None:
+        return ""
+    return f"""
+boosted AS (
+  SELECT doc_id,
+         score + {weight} * ln(CAST(1 + doc_id % 10 AS DOUBLE)) AS score
+  FROM scored
+),"""
 
 
 def _collapse_cte(per_site: int | None) -> str:
@@ -1114,6 +1130,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = search_collapsed(
             idx, FLAGSHIP_QUERY, per_site=2, limit=10,
             analyzer="tokens",
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def bm25_priors_topk(spark, sf):  # static-prior boosted ranking
+        from search_engine_spark.plans.search import search_with_priors
+
+        idx = _docs_index(spark, sf)
+        priors = _read(spark, sf, "documents").select(
+            "doc_id",
+            (F.lit(1) + F.col("doc_id") % 10)
+            .cast("double").alias("prior"),
+        )
+        res = search_with_priors(
+            idx, FLAGSHIP_QUERY, priors, prior_weight=0.3,
+            limit=10, analyzer="tokens",
         )
         return res.select(
             "doc_id", F.round("score", 6).alias("score"),
@@ -2419,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_federated_topk": bm25_federated_topk,
         "bm25_not_topk": bm25_not_topk,
         "bm25_collapsed_topk": bm25_collapsed_topk,
+        "bm25_priors_topk": bm25_priors_topk,
         "bm25_and_topk": bm25_and_topk,
         "bool_search": bool_search,
         "bm25_synonyms_topk": bm25_synonyms_topk,
@@ -2632,6 +2667,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_not_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10, exclude=["window"]),
         "bm25_collapsed_topk": _bm25_sql(
             FLAGSHIP_TERMS, limit=10, collapse_per_site=2
+        ),
+        "bm25_priors_topk": _bm25_sql(
+            FLAGSHIP_TERMS, limit=10, prior_weight=0.3
         ),
         "bm25_and_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10, mode="all"),
         "bool_search": f"""

@@ -336,6 +336,64 @@ def search_collapsed(
     return _paginate(best, id_col, offset, limit)
 
 
+def search_with_priors(
+    index: InvertedIndex,
+    query: str,
+    priors: DataFrame,
+    prior_weight: float = 1.0,
+    prior_col: str = "prior",
+    default_prior: float | None = None,
+    sites: list[str] | None = None,
+    offset: int = 0,
+    limit: int = 20,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+    candidates: str = "rarest",
+) -> DataFrame:
+    """:func:`search` with a query-independent static prior folded
+    into the ranking — the classic web-search combination (Brin &
+    Page 1998; Craswell 2005's ``score + w·ln(prior)``): BM25 says
+    how well the doc matches, the prior (PageRank, URL-depth,
+    quality score — any positive per-doc signal, e.g.
+    ``operators.graph.pagerank`` output) says how much the doc is
+    trusted a priori.
+
+    ``final = bm25 + prior_weight * ln(prior)`` — log-dampened so a
+    10× prior difference shifts scores additively, never swamping
+    strong term matches.  Docs absent from ``priors`` get
+    ``default_prior`` (None ⇒ the log term is 0, i.e. neutral
+    prior 1.0).
+
+    Plan shape at scale: the prior join runs AFTER scoring, on the
+    candidate pool (O(rarest-term postings) rows) — the corpus-sized
+    priors table is the probe side of one equi-join keyed by the
+    near-unique doc id, never re-scanned per term; everything else is
+    the unchanged search plan.
+    """
+    scored, empty = _scored_pool(
+        index, query, sites, lang, analyzer, use_stoplist,
+        candidates=candidates,
+    )
+    if scored is None:
+        return empty
+    id_col = index.id_col
+    neutral = F.lit(
+        0.0 if default_prior is None else math.log(default_prior)
+    )
+    boosted = scored.join(
+        priors.select(id_col, F.col(prior_col).alias("__prior")),
+        id_col,
+        "left",
+    ).withColumn(
+        "score",
+        F.col("score")
+        + F.lit(prior_weight)
+        * F.coalesce(F.log(F.col("__prior")), neutral),
+    ).drop("__prior")
+    return _paginate(boosted, id_col, offset, limit)
+
+
 def search_total(
     index: InvertedIndex,
     query: str,

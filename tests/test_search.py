@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from search_engine_spark.operators.postings import build_index
 from search_engine_spark.plans.search import search, search_total
@@ -272,3 +273,77 @@ def test_collapsed_empty_query(spark_index):
     out = search_collapsed(spark_index, "the and of", per_site=1)
     assert out.count() == 0
     assert out.columns == ["url", "site", "score", "rn"]
+
+
+# ---------------------------------------------------------------------------
+# static-prior boosted ranking (search_with_priors)
+# ---------------------------------------------------------------------------
+
+
+def test_priors_neutral_equals_plain(spark, spark_index):
+    from search_engine_spark.plans.search import search_with_priors
+
+    plain = search(spark_index, "glacier horizon", limit=10).collect()
+    ones = spark_index.doc_lens.select(
+        "url", F.lit(1.0).alias("prior")
+    )
+    got = search_with_priors(
+        spark_index, "glacier horizon", ones, prior_weight=5.0,
+        limit=10,
+    ).collect()
+    assert [(r.url, round(r.score, 9), r.rn) for r in got] == [
+        (r.url, round(r.score, 9), r.rn) for r in plain
+    ]
+
+
+def test_priors_reorder_matches_python_reference(spark, spark_index):
+    from search_engine_spark.plans.search import search_with_priors
+
+    pool = search(
+        spark_index, "glacier horizon the running", limit=10 ** 6
+    ).collect()
+    # deterministic synthetic prior: 1 + (len(url) % 7)
+    prior = {r.url: 1.0 + (len(r.url) % 7) for r in pool}
+    pr_df = spark.createDataFrame(
+        [(u, p) for u, p in prior.items()], "url string, prior double"
+    )
+    w = 0.5
+    want = sorted(
+        ((u, s + w * math.log(prior[u])) for u, s in
+         ((r.url, r.score) for r in pool)),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = search_with_priors(
+        spark_index, "glacier horizon the running", pr_df,
+        prior_weight=w, limit=10,
+    ).collect()
+    assert [r.url for r in got] == [u for u, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert abs(r.score - s) < 1e-9
+    # the boost actually changed the order vs plain BM25
+    assert [r.url for r in got] != [r.url for r in pool[:10]]
+
+
+def test_priors_missing_docs_get_default(spark, spark_index):
+    from search_engine_spark.plans.search import search_with_priors
+
+    pool = search(spark_index, "glacier horizon", limit=10 ** 6).collect()
+    assert len(pool) >= 2
+    # prior only for the current #2: boost it above #1
+    pr_df = spark.createDataFrame(
+        [(pool[1].url, 10.0 ** 6)], "url string, prior double"
+    )
+    got = search_with_priors(
+        spark_index, "glacier horizon", pr_df, prior_weight=1.0,
+        limit=3,
+    ).collect()
+    assert got[0].url == pool[1].url
+    # default_prior below 1 demotes the unlisted docs further
+    got2 = search_with_priors(
+        spark_index, "glacier horizon", pr_df, prior_weight=1.0,
+        default_prior=0.5, limit=3,
+    ).collect()
+    others = [r for r in got2 if r.url != pool[1].url]
+    plain_scores = {r.url: r.score for r in pool}
+    for r in others:
+        assert r.score < plain_scores[r.url]
