@@ -397,6 +397,140 @@ def _extract_links_sql() -> str:
     """
 
 
+_ANCHOR_HTML_SQL = """
+          SELECT doc_id,
+                 'https://corpus.example' AS root,
+                 'https://corpus.example/p' || doc_id AS url,
+                 '<html><body><a href="/p' || ((doc_id * 3 + 1) % 100)
+                   || '">fast dup</a><a href="/p'
+                   || ((doc_id * 7 + 2) % 100)
+                   || '">key <b>dup</b></a>'
+                   || '<a href="https://other.example/x">fast</a>'
+                   || '<a href="/img/' || doc_id || '.png">key</a>'
+                   || '<a href="/p' || doc_id
+                   || '">dup</a></body></html>' AS html
+          FROM documents
+"""
+
+
+def _anchor_postings_sql() -> str:
+    """DuckDB mirror of operators/anchors.anchor_postings over the
+    same synthesized per-doc HTML as the ``anchor_postings`` query
+    (same-site absolutization + forbidden-type/self filters, tag
+    strip, tokens-analyzer tokenization, (target, term) counts)."""
+    from search_engine_spark.functions.textproc import (
+        FORBIDDEN_URL_TYPES,
+    )
+
+    forb = ", ".join(f"'{t}'" for t in FORBIDDEN_URL_TYPES)
+    return f"""
+        pg AS ({_ANCHOR_HTML_SQL}),
+        pairs AS (
+          SELECT doc_id, root, url,
+                 unnest(regexp_extract_all(html,
+                   '(?is)<a\\s[^>]*?href\\s*=\\s*["'']([^"'']*)["''][^>]*>(.*?)</a>',
+                   1)) AS href,
+                 unnest(regexp_extract_all(html,
+                   '(?is)<a\\s[^>]*?href\\s*=\\s*["'']([^"'']*)["''][^>]*>(.*?)</a>',
+                   2)) AS anchor
+          FROM pg),
+        absolutized AS (
+          SELECT doc_id, root, url,
+                 CASE WHEN starts_with(href, 'http') THEN href
+                      WHEN starts_with(href, '/') THEN root || href
+                 END AS link,
+                 regexp_replace(anchor, '<[^>]*>', ' ', 'g') AS anchor
+          FROM pairs),
+        kept AS (
+          SELECT link, anchor FROM absolutized
+          WHERE link IS NOT NULL
+            AND starts_with(link, root || '/')
+            AND link <> root || '/'
+            AND link <> url
+            AND len(list_filter([{forb}],
+                  t -> contains(link, t))) = 0),
+        atoks AS (
+          SELECT link AS target,
+                 unnest(list_filter(
+                   string_split_regex(
+                     trim(regexp_replace(lower(anchor),
+                                         '[^a-z\\s]', ' ', 'g')),
+                     '\\s+'),
+                   t -> t <> '')) AS term
+          FROM kept),
+        anchor_postings AS (
+          SELECT target, term, count(*) AS tf
+          FROM atoks GROUP BY 1, 2)
+    """
+
+
+def _anchored_search_sql(terms: list[str], w: float,
+                         limit: int) -> str:
+    """DuckDB mirror of operators/anchors.search_anchored: simple-
+    BM25F merge of body postings with the synthesized anchor field
+    (wtf = tf_body + w·tf_anchor before saturation, wlen likewise,
+    Robertson IDF over any-field df restricted to corpus docs)."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+{_anchor_postings_sql()},
+a_mapped AS (
+  SELECT CAST(regexp_extract(target, 'p(\\d+)$', 1) AS BIGINT)
+           AS doc_id,
+         term, tf
+  FROM anchor_postings),
+qterms AS (
+  SELECT unnest([{term_list}]) AS term
+  EXCEPT SELECT term FROM stop),
+alens AS (
+  SELECT doc_id, sum(tf) AS anchor_len FROM a_mapped GROUP BY 1),
+wlens AS (
+  SELECT l.doc_id,
+         l.doc_len + {w} * coalesce(al.anchor_len, 0) AS wlen
+  FROM lens l LEFT JOIN alens al USING (doc_id)),
+nn AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT avg(wlen) FROM wlens) AS avg_wlen),
+body AS (
+  SELECT doc_id, term, tf FROM postings
+  WHERE term IN (SELECT term FROM qterms)),
+anch AS (
+  SELECT doc_id, term, tf FROM a_mapped
+  WHERE term IN (SELECT term FROM qterms)),
+merged AS (
+  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+         coalesce(b.term, a.term) AS term,
+         coalesce(b.tf, 0)::DOUBLE
+           + {w} * coalesce(a.tf, 0)::DOUBLE AS wtf
+  FROM body b
+  FULL OUTER JOIN anch a
+    ON b.doc_id = a.doc_id AND b.term = a.term),
+si AS (
+  SELECT m.doc_id, m.term, m.wtf, wl.wlen
+  FROM merged m JOIN wlens wl USING (doc_id)),
+dfreq AS (SELECT term, count(*) AS df FROM si GROUP BY 1),
+qt AS (
+  SELECT d.term,
+         ln((nn.n - d.df + 0.5) / (d.df + 0.5)) AS idf
+  FROM dfreq d CROSS JOIN nn
+  WHERE (nn.n - d.df + 0.5) / (d.df + 0.5) > 0),
+scored AS (
+  SELECT si.doc_id,
+         sum(qt.idf * (si.wtf / si.wlen) * ({K1} + 1)
+             / ((si.wtf / si.wlen)
+                + {K1} * (1 - {B} + {B} * si.wlen / nn.avg_wlen)))
+           AS score
+  FROM si JOIN qt USING (term) CROSS JOIN nn
+  GROUP BY si.doc_id),
+ranked AS (
+  SELECT doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS INTEGER) AS rn
+  FROM scored)
+SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
+"""
+
+
 def _gopher_gate_sql(toks_list: str, stopword_list: str) -> str:
     return f"""
         WITH base AS (
@@ -2168,6 +2302,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("link"),
         )
 
+    def _anchor_pages(spark, sf):
+        # deterministically synthesized single-site HTML with anchor
+        # text (same construction in the DuckDB _ANCHOR_HTML_SQL):
+        # two same-site links with text (kept; one has a nested tag),
+        # an off-site link, a forbidden-extension link and a self
+        # link (all dropped)
+        d = F.col("doc_id").cast("string")
+        root = F.lit("https://corpus.example")
+        url = F.concat(root, F.lit("/p"), d)
+        html = F.concat(
+            F.lit('<html><body><a href="/p'),
+            ((F.col("doc_id") * 3 + 1) % 100).cast("string"),
+            F.lit('">fast dup</a><a href="/p'),
+            ((F.col("doc_id") * 7 + 2) % 100).cast("string"),
+            F.lit('">key <b>dup</b></a>'
+                  '<a href="https://other.example/x">fast</a>'
+                  '<a href="/img/'),
+            d,
+            F.lit('.png">key</a><a href="/p'),
+            d,
+            F.lit('">dup</a></body></html>'),
+        )
+        return _read(spark, sf, "documents").select(
+            url.alias("url"), F.encode(html, "UTF-8").alias("html")
+        )
+
+    def anchor_postings_q(spark, sf):
+        from search_engine_spark.operators.anchors import (
+            anchor_postings,
+        )
+
+        return anchor_postings(_anchor_pages(spark, sf)).select(
+            "target", "term", "tf"
+        )
+
+    def bm25f_anchor_topk(spark, sf):
+        from search_engine_spark.operators.anchors import (
+            anchor_postings,
+            search_anchored,
+        )
+
+        idx = _docs_index(spark, sf)
+        anchors = anchor_postings(_anchor_pages(spark, sf)).select(
+            F.regexp_extract("target", r"p(\d+)$", 1)
+            .cast("long").alias("target"),
+            "term", "tf",
+        )
+        res = search_anchored(
+            idx, anchors, FLAGSHIP_QUERY, anchor_weight=2.0,
+            limit=10, analyzer="tokens",
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
     def pii_scan(spark, sf):
         # documents.text carries no digits, so deterministic PII-shaped
         # suffixes derived from doc_id are injected (identically in the
@@ -2536,6 +2726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_split": assign_split_q,
         "site_lang_rollup": site_lang_rollup,
         "extract_links": extract_links,
+        "anchor_postings": anchor_postings_q,
+        "bm25f_anchor_topk": bm25f_anchor_topk,
         "bm25f_topk": bm25f_topk_q,
         "bm25_batch": bm25_batch,
         "bm25_batch_compact": bm25_batch_compact,
@@ -3725,6 +3917,13 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             FROM documents GROUP BY ROLLUP(source, lang)
         """,
         "extract_links": _extract_links_sql(),
+        "anchor_postings": f"""
+            WITH {_anchor_postings_sql()}
+            SELECT target, term, tf FROM anchor_postings
+        """,
+        "bm25f_anchor_topk": _anchored_search_sql(
+            FLAGSHIP_TERMS, w=2.0, limit=10
+        ),
         "bm25f_topk": f"""
             WITH base AS (
               SELECT doc_id, text, substr(text, 1, 50) AS title
