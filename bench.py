@@ -136,6 +136,10 @@ def main() -> None:
         "bm25_and_topk",
         "bool_search",
         "bm25_site_restricted",
+        "bm25_collapsed_topk",
+        "bm25_priors_topk",
+        "bm25f_anchor_topk",
+        "weighted_sample",
         "bm25_pagination",
         "bm25_wand_topk",
         "bm25_batch",
