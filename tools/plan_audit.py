@@ -72,6 +72,11 @@ AUDITED = [
     "near_topk",
     "next_token_suggestions",
     "corpus_diff",
+    "bm25_collapsed_topk",
+    "bm25_priors_topk",
+    "bm25f_anchor_topk",
+    "anchor_postings",
+    "weighted_sample",
 ]
 
 
