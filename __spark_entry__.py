@@ -531,6 +531,60 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
 """
 
 
+def _ltr_sql(terms: list[str], limit: int) -> str:
+    """DuckDB mirror of plans/ltr.ltr_features for ONE query —
+    rarest-term candidates, per-doc BM25 + match statistics."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+nn AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*) FROM lens) AS avg_len),
+qt AS (
+  SELECT ts.term, ts.df,
+         ln((nn.n - ts.df + 0.5) / (ts.df + 0.5)) AS idf
+  FROM tstats ts CROSS JOIN nn
+  WHERE ts.term IN ({term_list})
+    AND ts.term NOT IN (SELECT term FROM stop)
+    AND (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0
+),
+rarest AS (SELECT term FROM qt ORDER BY df ASC, term ASC LIMIT 1),
+cand AS (
+  SELECT p.doc_id FROM postings p JOIN rarest r ON p.term = r.term),
+si AS (
+  SELECT c.doc_id, p.term, p.tf, qt.idf, l.doc_len,
+         qt.idf * (p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+           / ((p.tf::DOUBLE / l.doc_len)
+              + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len))
+           AS term_score
+  FROM cand c
+  JOIN postings p ON p.doc_id = c.doc_id
+  JOIN qt ON qt.term = p.term
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nn),
+feats AS (
+  SELECT doc_id,
+         sum(term_score) AS bm25_raw,
+         CAST(count(*) AS BIGINT) AS matched_terms,
+         CAST((SELECT count(*) FROM qt) AS INTEGER) AS n_query_terms,
+         count(*)::DOUBLE
+           / (SELECT count(*) FROM qt)::DOUBLE AS coverage,
+         CAST(sum(tf) AS BIGINT) AS sum_tf,
+         CAST(max(tf) AS BIGINT) AS max_tf,
+         round(sum(idf), 6) AS idf_sum,
+         round(max(idf), 6) AS idf_max,
+         CAST(max(doc_len) AS BIGINT) AS doc_len
+  FROM si GROUP BY doc_id),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY bm25_raw DESC, doc_id ASC)
+           AS rn
+  FROM feats)
+SELECT doc_id, round(bm25_raw, 6) AS bm25, matched_terms,
+       n_query_terms, coverage, sum_tf, max_tf, idf_sum, idf_max,
+       doc_len
+FROM ranked WHERE rn <= {limit}
+"""
+
+
 def _gopher_gate_sql(toks_list: str, stopword_list: str) -> str:
     return f"""
         WITH base AS (
@@ -2157,6 +2211,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rn").cast("int").alias("rn"),
         )
 
+    def ltr_features_q(spark, sf):  # LTR feature vectors, batched
+        from search_engine_spark.plans.ltr import ltr_features
+
+        idx = _docs_index(spark, sf)
+        res = ltr_features(
+            idx,
+            [FLAGSHIP_QUERY, "window spark", "sort query big",
+             "hash table"],
+            limit=10,
+            analyzer="tokens",
+        )
+        return res.select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "doc_id",
+            F.round("bm25", 6).alias("bm25"),
+            "matched_terms",
+            "n_query_terms",
+            "coverage",
+            "sum_tf",
+            "max_tf",
+            F.round("idf_sum", 6).alias("idf_sum"),
+            F.round("idf_max", 6).alias("idf_max"),
+            "doc_len",
+        )
+
     def facet_counts_q(spark, sf):
         from search_engine_spark.plans.search import facet_counts
 
@@ -2730,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_anchor_topk": bm25f_anchor_topk,
         "bm25f_topk": bm25f_topk_q,
         "bm25_batch": bm25_batch,
+        "ltr_features": ltr_features_q,
         "bm25_batch_compact": bm25_batch_compact,
         "facet_counts": facet_counts_q,
         "novel_documents": novel_documents_q,
@@ -2977,6 +3057,13 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
         ),
         "bm25_batch": " UNION ALL ".join(
             f"SELECT {i} AS query_id, * FROM ({_bm25_sql(terms)})"
+            for i, terms in enumerate(
+                [FLAGSHIP_TERMS, ["window", "spark"],
+                 ["sort", "query", "big"], ["hash", "table"]]
+            )
+        ),
+        "ltr_features": " UNION ALL ".join(
+            f"SELECT {i} AS query_id, * FROM ({_ltr_sql(terms, 10)})"
             for i, terms in enumerate(
                 [FLAGSHIP_TERMS, ["window", "spark"],
                  ["sort", "query", "big"], ["hash", "table"]]
