@@ -2711,6 +2711,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang", F.col("est").cast("long").alias("est")
         )
 
+    def doclen_quantile_sketch(spark, sf):
+        """Dyadic-CMS quantile estimates of documents.n_chars —
+        estimates are sketch-dependent (xxhash64 buckets, no SQL
+        oracle); accuracy/merge pinned in tests/test_sketches.py."""
+        from search_engine_spark.operators.sketches import (
+            quantile_build,
+            quantile_query,
+        )
+
+        docs = _read(spark, sf, "documents")
+        sk = quantile_build(docs, "n_chars")
+        est = quantile_query(sk, [0.1, 0.5, 0.9, 0.99])
+        return spark.createDataFrame(
+            [(q, int(v)) for q, v in sorted(est.items())],
+            "q double, value long",
+        )
+
     return {
         "tokenize_doclen": tokenize_doclen,
         "postings": postings_q,
@@ -2814,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": facet_counts_q,
         "novel_documents": novel_documents_q,
         "cms_term_counts": cms_term_counts,
+        "doclen_quantile_sketch": doclen_quantile_sketch,
         "topk_per_site": topk_per_site,
         "intersect_customers": intersect_customers,
         "except_customers": except_customers,

@@ -181,3 +181,208 @@ def hll_error_bound(lg_k: int = 12) -> float:
     """Typical relative standard error of an HLL with 2^lg_k registers
     (DataSketches HLL_8: ~1.04 / sqrt(2^lg_k))."""
     return 1.04 / (2 ** (lg_k / 2))
+
+
+# ---------------------------------------------------------------------------
+# dyadic Count-Min quantile sketches (Cormode & Muthukrishnan 2005 §4.2)
+# ---------------------------------------------------------------------------
+#
+# Ranks and quantiles over an integer-valued column (doc_len, n_chars,
+# token counts — every corpus metric here is a bounded non-negative
+# int) at constant memory, completing the sketch family: CMS answers
+# "how often", HLL "how many distinct", this answers "what value sits
+# at rank q·N".  One CMS per dyadic LEVEL: level l counts the key
+# ``value >> l``, so any range [0, x) decomposes into ≤ bits dyadic
+# intervals whose counts sum to an ε-additive rank estimate; a
+# quantile is a driver-side binary search over the value domain
+# (≤ bits probes, each O(depth·bits) dictionary lookups — no data
+# touched).  Like the CMS it is LINEAR: sketches merge by summing
+# cells, so per-partition / per-batch / per-segment partials roll up
+# without re-scanning — the shape a 100 TB doc-length monitor needs
+# (exact percentiles would re-sort the corpus; approx_percentile
+# doesn't merge across separately-persisted summaries).
+
+
+QUANTILE_BITS = 20  # value domain [0, 2^bits) — 1M, covers doc stats
+QUANTILE_DEPTH = 4
+QUANTILE_WIDTH = 512
+
+
+def quantile_build(
+    df: DataFrame,
+    value_col: str,
+    bits: int = QUANTILE_BITS,
+    depth: int = QUANTILE_DEPTH,
+    width: int = QUANTILE_WIDTH,
+) -> DataFrame:
+    """``(lvl, row, col, cnt)`` dyadic-CMS cells for the non-negative
+    integer ``value_col`` (values ≥ 2^bits are clamped to the top
+    bucket).  One explode (×bits·depth) + one bounded, skew-free
+    aggregation — key space ≤ bits·depth·width regardless of input."""
+    v = F.least(
+        F.greatest(F.col(value_col).cast("long"), F.lit(0)),
+        F.lit((1 << bits) - 1),
+    )
+    cells = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(lvl).alias("lvl"),
+                    F.lit(row).alias("row"),
+                    F.pmod(
+                        F.xxhash64(
+                            F.shiftright(v, lvl), F.lit(1000 + row)
+                        ),
+                        F.lit(width),
+                    ).alias("col"),
+                )
+                for lvl in range(bits)
+                for row in range(depth)
+            ])
+        ).alias("c")
+    )
+    return cells.groupBy("c.lvl", "c.row", "c.col").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def quantile_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merged sketch (linear: union cells, sum counts)."""
+    return (
+        a.unionByName(b)
+        .groupBy("lvl", "row", "col")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+# --- pure-Python replay of Spark's xxhash64 (XXH64, public spec) ---
+# query-time rank/quantile probes need the bucket of arbitrary dyadic
+# keys; replaying the JVM hash driver-side makes every probe free (no
+# Spark job).  Bit-equality with F.xxhash64(longcol, intcol) is pinned
+# by tests/test_sketches.py.
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _xx_long(value: int, seed: int) -> int:
+    v, h = value & _M64, ((seed & _M64) + _XXP5 + 8) & _M64
+    h ^= (_rotl((v * _XXP2) & _M64, 31) * _XXP1) & _M64
+    return _fmix((_rotl(h, 27) * _XXP1 + _XXP4) & _M64)
+
+
+def _xx_int(value: int, seed: int) -> int:
+    h = ((seed & _M64) + _XXP5 + 4) & _M64
+    h ^= ((value & 0xFFFFFFFF) * _XXP1) & _M64
+    return _fmix((_rotl(h, 23) * _XXP2 + _XXP3) & _M64)
+
+
+def xxhash64_py(long_value: int, int_value: int) -> int:
+    """== F.xxhash64(lit(long_value).cast("long"),
+    lit(int_value).cast("int")) — Spark chains columns from seed 42
+    (hashLong then hashInt), result as a signed 64-bit long."""
+    h = _xx_int(int_value, _xx_long(long_value, 42))
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _dyadic_cells(sketch: DataFrame) -> dict:
+    return {
+        (r["lvl"], r["row"], r["col"]): r["cnt"]
+        for r in sketch.collect()
+    }
+
+
+def _rank_from_cells(
+    cells: dict, v: int, bits: int, depth: int, width: int
+) -> int:
+    """Estimated count of items < v: the dyadic cover of [0, v) is,
+    for each set bit b of v, the level-b node with key (v >> b) ^ 1;
+    each node's count is the CMS min over rows."""
+    v = max(0, min(int(v), (1 << bits) - 1))
+    rank = 0
+    for b in range(bits):
+        if (v >> b) & 1:
+            key = (v >> b) ^ 1
+            rank += min(
+                cells.get(
+                    (b, row, xxhash64_py(key, 1000 + row) % width), 0
+                )
+                for row in range(depth)
+            )
+    return rank
+
+
+def quantile_ranks(
+    sketch: DataFrame,
+    values: list[int],
+    bits: int = QUANTILE_BITS,
+    depth: int = QUANTILE_DEPTH,
+    width: int = QUANTILE_WIDTH,
+) -> dict[int, int]:
+    """Estimated rank (count of items < value) per probe value —
+    driver-side over the collected (bounded-size) cells."""
+    cells = _dyadic_cells(sketch)
+    return {
+        int(v): _rank_from_cells(cells, v, bits, depth, width)
+        for v in values
+    }
+
+
+def quantile_query(
+    sketch: DataFrame,
+    qs: list[float],
+    bits: int = QUANTILE_BITS,
+    depth: int = QUANTILE_DEPTH,
+    width: int = QUANTILE_WIDTH,
+) -> dict[float, int]:
+    """Estimated q-quantiles: smallest v with rank(v+1) > q·N.
+    Binary search over the value domain — ≤ bits rounds of pure
+    driver math; the data is never touched after the one collect."""
+    cells = _dyadic_cells(sketch)
+    n = sum(
+        c for (lvl, row, _), c in cells.items()
+        if lvl == 0 and row == 0
+    )
+    out: dict[float, int] = {}
+    for q in qs:
+        target = q * n
+        lo, hi = 0, (1 << bits) - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if _rank_from_cells(cells, mid + 1, bits, depth,
+                                width) > target:
+                hi = mid
+            else:
+                lo = mid + 1
+        out[q] = lo
+    return out
+
+
+def quantile_error_bound(
+    n_total: int,
+    bits: int = QUANTILE_BITS,
+    width: int = QUANTILE_WIDTH,
+) -> float:
+    """Additive RANK error: each of ≤ bits dyadic point estimates
+    carries the CMS (e/width)·N one-sided bound, so rank error ≤
+    bits·(e/width)·N (loose union bound; typical error far lower)."""
+    import math
+
+    return bits * (math.e / width) * n_total

@@ -105,3 +105,90 @@ def test_cms_streaming_foreachbatch_merge(spark, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# dyadic-CMS quantile sketches
+# ---------------------------------------------------------------------------
+
+
+def test_xxhash64_py_matches_spark(spark):
+    from search_engine_spark.operators.sketches import xxhash64_py
+
+    rows = [(v, s) for v in [0, 1, 7, 123456789, (1 << 20) - 1]
+            for s in [1000, 1001, 1003]]
+    df = spark.createDataFrame(rows, "v long, s int")
+    got = df.select(
+        "v", "s", F.xxhash64(F.col("v"), F.col("s")).alias("h")
+    ).collect()
+    for r in got:
+        assert xxhash64_py(r.v, r.s) == r.h
+
+
+def test_quantile_sketch_accuracy(spark):
+    from search_engine_spark.operators.sketches import (
+        quantile_build,
+        quantile_error_bound,
+        quantile_query,
+        quantile_ranks,
+    )
+
+    # deterministic skewed values: doc-length-like, heavy low tail
+    vals = [((i * 37) % 100) ** 2 % 1000 + (i % 13) for i in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = quantile_build(df, "v")
+    n = len(vals)
+    bound = quantile_error_bound(n)
+
+    svals = sorted(vals)
+    # rank probes
+    ranks = quantile_ranks(sk, [0, 100, 500, 1000])
+    for v, est in ranks.items():
+        true = sum(1 for x in vals if x < v)
+        assert true <= est <= true + bound  # one-sided CMS error
+
+    # quantiles land within rank error of the true order statistic
+    qs = quantile_query(sk, [0.1, 0.5, 0.9, 0.99])
+    for q, v in qs.items():
+        true_rank = q * n
+        lo = max(0, int(true_rank - bound) - 1)
+        hi = min(n - 1, int(true_rank + bound) + 1)
+        assert svals[lo] <= v <= svals[hi]
+
+
+def test_quantile_merge_equals_rebuild(spark):
+    from search_engine_spark.operators.sketches import (
+        quantile_build,
+        quantile_merge,
+    )
+
+    a = [(i % 700,) for i in range(1500)]
+    b = [((i * 3) % 900,) for i in range(1500)]
+    da = spark.createDataFrame(a, "v long")
+    db = spark.createDataFrame(b, "v long")
+    dall = da.unionByName(db)
+    merged = {
+        (r.lvl, r.row, r.col): r.cnt
+        for r in quantile_merge(
+            quantile_build(da, "v"), quantile_build(db, "v")
+        ).collect()
+    }
+    rebuilt = {
+        (r.lvl, r.row, r.col): r.cnt
+        for r in quantile_build(dall, "v").collect()
+    }
+    assert merged == rebuilt
+
+
+def test_quantile_clamps_domain(spark):
+    from search_engine_spark.operators.sketches import (
+        quantile_build,
+        quantile_query,
+    )
+
+    df = spark.createDataFrame(
+        [(-5,), (2 ** 40,), (10,), (10,)], "v long"
+    )
+    sk = quantile_build(df, "v")
+    q = quantile_query(sk, [0.5])
+    assert 0 <= q[0.5] <= (1 << 20) - 1
