@@ -2711,6 +2711,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang", F.col("est").cast("long").alias("est")
         )
 
+    def boilerplate_lines(spark, sf):
+        # synthesized multi-line docs: per-site recurring footer
+        # (dropped), a corpus-wide banner recurring in every doc of
+        # doc_id%4==0 (dropped at site scope only when the site has
+        # >max_df of them), and a unique body line (kept)
+        from search_engine_spark.operators.curation import (
+            remove_boilerplate_lines,
+        )
+
+        d = F.col("doc_id").cast("string")
+        text = F.concat(
+            F.lit("body "), d, F.lit(" "),
+            F.substring(F.col("text"), 1, 40),
+            F.lit("\ncopyright "), F.col("source"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("\nSubscribe To Our Newsletter"))
+            .otherwise(F.lit("")),
+        )
+        docs = _read(spark, sf, "documents").select(
+            "doc_id", F.col("source").alias("site"),
+            text.alias("text"),
+        )
+        return remove_boilerplate_lines(docs, max_df=3).select(
+            "doc_id", "clean_text"
+        )
+
     def doclen_quantile_sketch(spark, sf):
         """Dyadic-CMS quantile estimates of documents.n_chars —
         estimates are sketch-dependent (xxhash64 buckets, no SQL
@@ -2832,6 +2858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novel_documents": novel_documents_q,
         "cms_term_counts": cms_term_counts,
         "doclen_quantile_sketch": doclen_quantile_sketch,
+        "boilerplate_lines": boilerplate_lines,
         "topk_per_site": topk_per_site,
         "intersect_customers": intersect_customers,
         "except_customers": except_customers,
@@ -3037,6 +3064,42 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
         "percolate_all": _percolate_sql(PERCOLATE_QUERIES, "all"),
         "canonical_urls": _canonical_urls_sql(),
         # WAND/compact path must equal the exact path — same oracles
+        "boilerplate_lines": """
+            WITH docs AS (
+              SELECT doc_id, source AS site,
+                     'body ' || doc_id || ' ' || substr(text, 1, 40)
+                     || chr(10) || 'copyright ' || source
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN chr(10) || 'Subscribe To Our Newsletter'
+                             ELSE '' END AS text
+              FROM documents),
+            lines AS (
+              SELECT doc_id, site,
+                     unnest(string_split(text, chr(10))) AS line,
+                     unnest(range(len(string_split(text, chr(10)))))
+                       AS idx
+              FROM docs),
+            norm AS (
+              SELECT *, lower(trim(line)) AS nline FROM lines),
+            bad AS (
+              SELECT site, nline
+              FROM norm WHERE nline <> ''
+              GROUP BY 1, 2
+              HAVING count(DISTINCT doc_id) > 3),
+            kept AS (
+              SELECT n.doc_id, n.idx, n.line
+              FROM norm n
+              ANTI JOIN bad b
+                ON n.site = b.site AND n.nline = b.nline),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY idx)
+                       AS clean_text
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(r.clean_text, '') AS clean_text
+            FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+        """,
         "novel_documents": r"""
             WITH nrm AS (
               SELECT doc_id,

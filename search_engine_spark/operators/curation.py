@@ -1301,3 +1301,65 @@ def weighted_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# site-level boilerplate line removal (CCNet / RefinedWeb line dedup)
+# ---------------------------------------------------------------------------
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    max_df: int = 2,
+    group_col: str | None = "site",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Drop lines whose normalized content recurs in more than
+    ``max_df`` documents of the same group — navigation bars, cookie
+    banners, "all rights reserved" footers: the line-level dedup pass
+    CCNet runs before anything else and RefinedWeb's per-site
+    boilerplate rule.  ``group_col=None`` scopes the rule corpus-wide.
+
+    Normalization for the recurrence test: lower(trim(line)); blank
+    lines are never boilerplate (kept).  The surviving lines keep
+    their original text and order, rejoined with ``\\n`` into
+    ``out_col``; every other column passes through.
+
+    Plan shape at 100 TB: one explode → one (group, line-hash)
+    aggregation (map-side combined; xxhash64 keys, the raw line never
+    shuffles twice), one anti-join of the line stream against the
+    (small) offender set keyed by the same (group, hash), one
+    near-unique-key groupBy(id) to reassemble.  All JVM — no UDF.
+    """
+    gcols = [group_col] if group_col else []
+    norm = F.lower(F.trim(F.col("__line")))
+    lines = df.select(
+        F.col(id_col), *gcols,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "__idx", "__line"
+        ),
+    ).withColumn("__h", F.xxhash64(norm))
+    nonblank = lines.filter(norm != "")
+
+    counts = nonblank.groupBy(*gcols, "__h").agg(
+        F.count_distinct(F.col(id_col)).alias("__docs")
+    )
+    bad = counts.filter(F.col("__docs") > max_df).select(*gcols, "__h")
+
+    kept = lines.join(bad, [*gcols, "__h"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__idx", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias(out_col)
+    )
+    return df.join(rebuilt, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    )
