@@ -2737,6 +2737,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "clean_text"
         )
 
+    def dsir_resample_q(spark, sf):
+        # DSIR: raw pool = all documents, target = the deterministic
+        # en-lang doc_id%7==0 slice; keep the 50 docs whose Gumbel-
+        # noised importance key is largest (selection.py)
+        from search_engine_spark.operators.selection import (
+            dsir_resample,
+        )
+
+        docs = _read(spark, sf, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        target = docs.filter(
+            (F.col("lang") == "en") & (F.col("doc_id") % 7 == 0)
+        )
+        return dsir_resample(
+            docs, target, k=50, n_buckets=4096, salt="sel-v1"
+        ).select("doc_id", "lang", "source")
+
+    def quality_classifier_scores(spark, sf):
+        """GPT-3-style LR quality classifier trained distributed on
+        label = (lang == 'en'), scored corpus-wide.  Iterative GD —
+        no SQL oracle by nature (rows-only); exact-vs-numpy parity is
+        pinned by tests/test_selection.py."""
+        from search_engine_spark.operators.selection import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        docs = _read(spark, sf, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        labeled = docs.withColumn(
+            "label", (F.col("lang") == "en").cast("int")
+        )
+        model = train_quality_classifier(
+            labeled, n_buckets=512, iters=8, lr=5.0, salt="sel-v1"
+        )
+        return score_quality(docs, model).select(
+            "doc_id", F.round("quality_score", 6).alias("quality_score")
+        )
+
     def doclen_quantile_sketch(spark, sf):
         """Dyadic-CMS quantile estimates of documents.n_chars —
         estimates are sketch-dependent (xxhash64 buckets, no SQL
@@ -2859,6 +2900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_term_counts": cms_term_counts,
         "doclen_quantile_sketch": doclen_quantile_sketch,
         "boilerplate_lines": boilerplate_lines,
+        "dsir_resample": dsir_resample_q,
+        "quality_classifier_scores": quality_classifier_scores,
         "topk_per_site": topk_per_site,
         "intersect_customers": intersect_customers,
         "except_customers": except_customers,
@@ -3099,6 +3142,57 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             SELECT d.doc_id,
                    coalesce(r.clean_text, '') AS clean_text
             FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "dsir_resample": r"""
+            WITH toks_arr AS (
+              SELECT doc_id, lang, source,
+                     list_filter(string_split_regex(
+                       trim(regexp_replace(lower(text),
+                                           '[^a-z\s]', ' ', 'g')),
+                       '\s+'), t -> t <> '') AS toks
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(toks || list_transform(
+                       range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS g
+              FROM toks_arr),
+            feats AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(g || 'sel-v1'), 18, 15))
+                       ::BIGINT % 4096 AS bucket,
+                     count(*) AS cnt
+              FROM grams GROUP BY 1, 2),
+            tgt AS (
+              SELECT doc_id FROM documents
+              WHERE lang = 'en' AND doc_id % 7 = 0),
+            qc AS (SELECT bucket, sum(cnt) AS cq FROM feats
+                   GROUP BY 1),
+            pc AS (SELECT bucket, sum(cnt) AS cp FROM feats
+                   JOIN tgt USING (doc_id) GROUP BY 1),
+            tot AS (SELECT (SELECT sum(cq) FROM qc) AS tq,
+                           (SELECT coalesce(sum(cp), 0) FROM pc)
+                             AS tp),
+            ratio AS (
+              SELECT q.bucket,
+                     ln((coalesce(p.cp, 0) + 1.0)
+                        / (t.tp + 1.0 * 4096))
+                     - ln((q.cq + 1.0) / (t.tq + 1.0 * 4096)) AS lr
+              FROM qc q LEFT JOIN pc p USING (bucket)
+              CROSS JOIN tot t),
+            lw AS (
+              SELECT f.doc_id, sum(f.cnt * r.lr) AS logw
+              FROM feats f JOIN ratio r USING (bucket) GROUP BY 1),
+            keyed AS (
+              SELECT d.doc_id, d.lang, d.source,
+                     l.logw - ln(-ln(
+                       (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+                                            || 'sel-v1-gumbel'),
+                                        18, 15))::BIGINT + 0.5)
+                       / 1152921504606846976.0)) AS key
+              FROM documents d JOIN lw l USING (doc_id))
+            SELECT doc_id, lang, source FROM keyed
+            ORDER BY key DESC, doc_id ASC LIMIT 50
         """,
         "novel_documents": r"""
             WITH nrm AS (

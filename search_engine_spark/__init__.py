@@ -160,6 +160,12 @@ _LAZY = {
     "federated_view": "search_engine_spark.plans.federate",
     "merged_stats": "search_engine_spark.plans.federate",
     "token_window_table": "search_engine_spark.operators.curation",
+    "hashed_ngram_counts": "search_engine_spark.operators.selection",
+    "dsir_log_weights": "search_engine_spark.operators.selection",
+    "dsir_resample": "search_engine_spark.operators.selection",
+    "train_quality_classifier": "search_engine_spark.operators.selection",
+    "score_quality": "search_engine_spark.operators.selection",
+    "pareto_filter": "search_engine_spark.operators.selection",
     "sample_mixture": "search_engine_spark.operators.mixing",
     "upsample_mixture": "search_engine_spark.operators.mixing",
     "mixture_rates_for_budget": "search_engine_spark.operators.mixing",
