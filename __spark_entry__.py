@@ -2729,10 +2729,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    F.lit("\nSubscribe To Our Newsletter"))
             .otherwise(F.lit("")),
         )
+        # explicit-count repartition: the sf parquet is one input
+        # split, and AQE would coalesce a count-less repartition right
+        # back — the line explode needs map-side parallelism (a real
+        # corpus gets this from input splits for free)
         docs = _read(spark, sf, "documents").select(
             "doc_id", F.col("source").alias("site"),
             text.alias("text"),
-        )
+        ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
         return remove_boilerplate_lines(docs, max_df=3).select(
             "doc_id", "clean_text"
         )
@@ -2745,9 +2749,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             dsir_resample,
         )
 
+        # explicit-count repartition: one input split + AQE coalescing
+        # would run the gram explode/md5 single-task otherwise
         docs = _read(spark, sf, "documents").select(
             "doc_id", "text", "lang", "source"
-        )
+        ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
         target = docs.filter(
             (F.col("lang") == "en") & (F.col("doc_id") % 7 == 0)
         )

@@ -169,6 +169,8 @@ def main() -> None:
         "exact_substr_dedup",
         "decontaminate",
         "upsample_mixture",
+        "boilerplate_lines",
+        "dsir_resample",
         "hll_distinct_per_lang",
         "fuzzy_terms",
         "pagerank",
