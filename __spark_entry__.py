@@ -1784,6 +1784,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "rrf_score", "rank"
         )
 
+    def mmr_diversify(spark, sf):
+        """MMR-diversified rerank (plans/diversify.py) of the cosine
+        top-50 pool for query vec 0 — λ=0.7, k=10.  ``normalize_rel``
+        is off so the DuckDB oracle (unrolled greedy, one argmax CTE
+        per rank) replays the selection exactly."""
+        from search_engine_spark.plans.diversify import mmr_rerank
+
+        emb = _read(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") == 0)
+        cands = cosine_topk_bruteforce(emb, qs, k=50).select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("sim").alias("score"),
+        )
+        return mmr_rerank(
+            cands, emb, k=10, lambda_=0.7, pool_size=50,
+            emb_id_col="vec_id", normalize_rel=False,
+        )
+
     def text_quality(spark, sf):
         docs = _docs_enriched(spark, sf)
         return docs.select(
@@ -2850,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_lsh": ann_cosine_lsh,
         "ann_cosine_ivfpq": ann_cosine_ivfpq,
         "hybrid_rrf": hybrid_rrf,
+        "mmr_diversify": mmr_diversify,
         "text_quality": text_quality,
         "lang_id": lang_id_q,
         "fingerprint": fingerprint_q,
@@ -2916,6 +2935,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": bpe_merges_q,
         "hll_distinct_per_lang": hll_distinct_per_lang,
     }
+
+
+def _mmr_sql(k: int = 10, lam: float = 0.7, pool: int = 50) -> str:
+    """DuckDB oracle for :func:`mmr_diversify` — the greedy MMR loop
+    unrolled as one argmax CTE per rank.
+
+    ``sel{i}`` picks the candidate maximizing
+    ``round(λ·rel − (1−λ)·max_sim_to_selected, 6)`` (ties → smaller
+    id), exactly mirroring ``plans/diversify.mmr_select``.  Pool
+    relevance is the round-6 cosine to query vec 0 (same as the Spark
+    side's ``cosine_topk_bruteforce`` input); pairwise sims stay full
+    precision until the final round, as in numpy.  ``1 − λ`` is
+    emitted via ``repr`` so both engines multiply by the identical
+    double (0.7 → 0.30000000000000004)."""
+    one_minus = repr(1.0 - lam)
+    parts = [
+        f"""
+        WITH q0 AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+                    FROM embeddings WHERE vec_id = 0),
+        pool AS MATERIALIZED (
+          SELECT e.vec_id AS id,
+                 round(list_cosine_similarity(
+                   q0.qvec, CAST(e.embedding AS DOUBLE[])), 6) AS rel,
+                 CAST(e.embedding AS DOUBLE[]) AS vec
+          FROM embeddings e CROSS JOIN q0
+          WHERE e.vec_id <> 0
+          QUALIFY row_number() OVER (
+            ORDER BY rel DESC, id ASC) <= {pool}
+        ),
+        sims AS MATERIALIZED (
+          SELECT a.id AS ia, b.id AS ib,
+                 list_cosine_similarity(a.vec, b.vec) AS s
+          FROM pool a JOIN pool b ON a.id <> b.id
+        ),
+        sel1 AS MATERIALIZED (
+          SELECT id, rel AS score, 1 AS rank FROM pool
+          ORDER BY score DESC, id ASC LIMIT 1
+        )"""
+    ]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT id FROM sel{j}" for j in range(1, i)
+        )
+        parts.append(
+            f""",
+        sel{i} AS MATERIALIZED (
+          SELECT p.id,
+                 round({lam} * p.rel - {one_minus} * max(s.s), 6)
+                   AS score,
+                 {i} AS rank
+          FROM pool p JOIN sims s
+            ON s.ia = p.id AND s.ib IN ({prev})
+          WHERE p.id NOT IN ({prev})
+          GROUP BY p.id, p.rel
+          ORDER BY score DESC, p.id ASC LIMIT 1
+        )"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT * FROM sel{j}" for j in range(1, k + 1)
+    )
+    parts.append(
+        f"""
+        SELECT id AS doc_id, score AS mmr_score,
+               CAST(rank AS INTEGER) AS mmr_rank
+        FROM ({final}) ORDER BY mmr_rank"""
+    )
+    return "".join(parts)
 
 
 def _lemma_map_cte() -> str:
@@ -3379,6 +3465,7 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             FROM fused
             QUALIFY rank <= 10
         """,
+        "mmr_diversify": _mmr_sql(k=10, lam=0.7, pool=50),
         "text_quality": f"""
             WITH lt AS (
               SELECT doc_id, text, {toks_list} AS tokens FROM documents

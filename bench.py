@@ -159,6 +159,7 @@ def main() -> None:
         "ann_cosine_topk",
         "ann_cosine_lsh",
         "hybrid_rrf",
+        "mmr_diversify",
         "dedup_exact",
         "dedup_clusters",
         "training_pipeline",
