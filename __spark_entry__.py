@@ -1802,6 +1802,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb_id_col="vec_id", normalize_rel=False,
         )
 
+    def kmeans_clusters(spark, sf):
+        """Distributed spherical Lloyd (operators/embcluster.py),
+        k=4 × 2 iterations, deterministic init (unit vectors of the
+        4 smallest ids) — the DuckDB oracle unrolls the whole
+        recursion (assign → per-cluster mean → renormalize) one CTE
+        layer per iteration and hash-matches the final assignment."""
+        from search_engine_spark.operators.embcluster import (
+            assign_centroids, kmeans_lloyd,
+        )
+
+        emb = _read(spark, sf, "embeddings")
+        cents = kmeans_lloyd(emb, k=4, n_iter=2)
+        return assign_centroids(emb, cents).select(
+            "vec_id", "cluster"
+        )
+
+    def semantic_dedup_q(spark, sf):
+        """SemDeDup (Abbas 2023): Lloyd k=4×2 clustering + drop any
+        doc with a smaller-id round-6-cosine ≥ 0.4 neighbor in its
+        cluster (greedy canonical-min)."""
+        from search_engine_spark.operators.embcluster import (
+            semantic_dedup,
+        )
+
+        emb = _read(spark, sf, "embeddings")
+        return semantic_dedup(emb, eps=0.4, k=4, n_iter=2)
+
+    def cluster_top_terms_q(spark, sf):
+        """c-TF-IDF cluster labels (BERTopic): top-5 terms per Lloyd
+        cluster, weight tf(t,c)·ln(1 + A/f(t)), round-6, term-asc
+        tiebreak."""
+        from search_engine_spark.operators.embcluster import (
+            assign_centroids, cluster_top_terms, kmeans_lloyd,
+        )
+
+        emb = _read(spark, sf, "embeddings")
+        cents = kmeans_lloyd(emb, k=4, n_iter=2)
+        assignment = assign_centroids(emb, cents).select(
+            F.col("vec_id").alias("doc_id"), "cluster"
+        )
+        return cluster_top_terms(
+            _docs_enriched(spark, sf), assignment, top_n=5
+        )
+
     def text_quality(spark, sf):
         docs = _docs_enriched(spark, sf)
         return docs.select(
@@ -2869,6 +2913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_ivfpq": ann_cosine_ivfpq,
         "hybrid_rrf": hybrid_rrf,
         "mmr_diversify": mmr_diversify,
+        "kmeans_clusters": kmeans_clusters,
+        "semantic_dedup": semantic_dedup_q,
+        "cluster_top_terms": cluster_top_terms_q,
         "text_quality": text_quality,
         "lang_id": lang_id_q,
         "fingerprint": fingerprint_q,
@@ -3001,6 +3048,77 @@ def _mmr_sql(k: int = 10, lam: float = 0.7, pool: int = 50) -> str:
                CAST(rank AS INTEGER) AS mmr_rank
         FROM ({final}) ORDER BY mmr_rank"""
     )
+    return "".join(parts)
+
+
+def _kmeans_ctes(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Shared DuckDB CTE chain replaying the distributed Lloyd
+    recursion of ``operators/embcluster.kmeans_lloyd`` exactly:
+
+    ``uv`` unit-normalizes (zero vectors stay zero — sims computed
+    as ``list_dot_product`` over unit vectors, never a 0/0 cosine);
+    ``c0`` is the deterministic init (unit vectors of the k smallest
+    ids); each iteration is assign (round-6 dot, first-max-index
+    argmax, matching numpy) → per-cluster element-wise mean over
+    ``range(1, dim+1)`` positions → renormalize, empty clusters
+    keeping the previous centroid via LEFT JOIN + COALESCE.  Ends
+    with ``af(id, u, cluster)`` — the assignment under the FINAL
+    centroids (one more assign than mean steps, mirroring
+    ``assign_centroids`` after training)."""
+    unit = (
+        "CASE WHEN sqrt(list_sum(list_transform({v}, x -> x*x))) > 0"
+        " THEN list_transform({v}, x -> x / sqrt(list_sum("
+        "list_transform({v}, y -> y*y))))"
+        " ELSE list_transform({v}, x -> 0.0) END"
+    )
+    parts = [
+        f"""
+        uv AS MATERIALIZED (
+          SELECT vec_id AS id,
+                 {unit.format(v="CAST(embedding AS DOUBLE[])")} AS u
+          FROM embeddings
+        ),
+        c0 AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY id) - 1 AS cid, u AS cent
+          FROM (SELECT id, u FROM uv ORDER BY id LIMIT {k})
+        )"""
+    ]
+
+    def assign_cte(name: str, cents: str) -> str:
+        sims = ", ".join(
+            f"round(list_dot_product(u, (SELECT cent FROM {cents} "
+            f"WHERE cid = {c})), 6)"
+            for c in range(k)
+        )
+        return f""",
+        {name} AS MATERIALIZED (
+          SELECT id, u,
+                 CAST(list_indexof(s, list_aggregate(s, 'max')) - 1
+                      AS INTEGER) AS cluster
+          FROM (SELECT id, u, [{sims}] AS s FROM uv)
+        )"""
+
+    for i in range(1, iters + 1):
+        parts.append(assign_cte(f"a{i - 1}", f"c{i - 1}"))
+        parts.append(
+            f""",
+        m{i} AS MATERIALIZED (
+          SELECT cluster AS cid, t.pos, avg(u[t.pos]) AS v
+          FROM a{i - 1}, range(1, {dim} + 1) t(pos)
+          GROUP BY cid, t.pos
+        ),
+        n{i} AS MATERIALIZED (
+          SELECT cid, list(v ORDER BY pos) AS m
+          FROM m{i} GROUP BY cid
+        ),
+        c{i} AS MATERIALIZED (
+          SELECT c{i - 1}.cid,
+                 COALESCE({unit.format(v=f"n{i}.m")}, c{i - 1}.cent)
+                   AS cent
+          FROM c{i - 1} LEFT JOIN n{i} USING (cid)
+        )"""
+        )
+    parts.append(assign_cte("af", f"c{iters}"))
     return "".join(parts)
 
 
@@ -3466,6 +3584,51 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             QUALIFY rank <= 10
         """,
         "mmr_diversify": _mmr_sql(k=10, lam=0.7, pool=50),
+        "kmeans_clusters": f"""
+            WITH {_kmeans_ctes(k=4, iters=2, dim=64)}
+            SELECT id AS vec_id, cluster FROM af ORDER BY vec_id
+        """,
+        "semantic_dedup": f"""
+            WITH {_kmeans_ctes(k=4, iters=2, dim=64)},
+            dups AS MATERIALIZED (
+              SELECT DISTINCT b.id
+              FROM af a JOIN af b
+                ON a.cluster = b.cluster AND a.id < b.id
+              WHERE round(list_dot_product(a.u, b.u), 6) >= 0.4
+            )
+            SELECT af.id AS vec_id, af.cluster
+            FROM af LEFT JOIN dups ON af.id = dups.id
+            WHERE dups.id IS NULL
+            ORDER BY vec_id
+        """,
+        "cluster_top_terms": f"""
+            WITH {_kmeans_ctes(k=4, iters=2, dim=64)},
+            {_TOKS},
+            ctf AS MATERIALIZED (
+              SELECT af.cluster, t.term, count(*) AS tf
+              FROM toks t JOIN af ON af.id = t.doc_id
+              GROUP BY af.cluster, t.term
+            ),
+            tot AS (
+              SELECT CAST(sum(tf) AS DOUBLE)
+                     / count(DISTINCT cluster) AS a
+              FROM ctf
+            ),
+            ft AS (SELECT term, sum(tf) AS ft FROM ctf GROUP BY term),
+            w AS (
+              SELECT ctf.cluster, ctf.term,
+                     round(ctf.tf * ln(1 + (SELECT a FROM tot)
+                                           / ft.ft), 6) AS ctfidf
+              FROM ctf JOIN ft USING (term)
+            )
+            SELECT cluster, term, ctfidf, CAST(rn AS INTEGER) AS rn
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY cluster
+                ORDER BY ctfidf DESC, term ASC) AS rn
+              FROM w
+            ) WHERE rn <= 5
+        """,
         "text_quality": f"""
             WITH lt AS (
               SELECT doc_id, text, {toks_list} AS tokens FROM documents

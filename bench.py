@@ -160,6 +160,8 @@ def main() -> None:
         "ann_cosine_lsh",
         "hybrid_rrf",
         "mmr_diversify",
+        "semantic_dedup",
+        "cluster_top_terms",
         "dedup_exact",
         "dedup_clusters",
         "training_pipeline",

@@ -53,6 +53,11 @@ _LAZY = {
     "read_jsonl": "search_engine_spark.sources.jsonl",
     "write_jsonl": "search_engine_spark.sources.jsonl",
     "rrf_fuse": "search_engine_spark.plans.hybrid",
+    "mmr_rerank": "search_engine_spark.plans.diversify",
+    "kmeans_lloyd": "search_engine_spark.operators.embcluster",
+    "assign_centroids": "search_engine_spark.operators.embcluster",
+    "semantic_dedup": "search_engine_spark.operators.embcluster",
+    "cluster_top_terms": "search_engine_spark.operators.embcluster",
     "hybrid_topk": "search_engine_spark.plans.hybrid",
     "explain_prune": "search_engine_spark.plans.wand",
     "parse_simple_query": "search_engine_spark.plans.boolquery",
