@@ -1295,6 +1295,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_topk(spark, sf):
         return _search_docs(spark, sf, FLAGSHIP_QUERY, limit=10)
 
+    def vsm_topk_q(spark, sf):
+        """SMART lnc.ltc TF-IDF cosine top-10 (plans/vsm.py) — the
+        classic vector-space ranking next to BM25 and Dirichlet LM."""
+        from search_engine_spark.plans.vsm import vsm_topk
+
+        idx = _docs_index(spark, sf)
+        return vsm_topk(
+            idx, FLAGSHIP_QUERY, limit=10, analyzer="tokens"
+        )
+
     def bm25_federated_topk(spark, sf):
         """Federated BM25 over TWO disjoint half-corpus compact
         indexes (plans/federate.py) — exact merged global stats, so
@@ -2871,6 +2881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stoplist": stoplist_q,
         "query_idf": idf_q,
         "bm25_topk": bm25_topk,
+        "vsm_topk": vsm_topk_q,
         "bm25_federated_topk": bm25_federated_topk,
         "bm25_not_topk": bm25_not_topk,
         "bm25_collapsed_topk": bm25_collapsed_topk,
@@ -3231,6 +3242,43 @@ def oracle_sql() -> dict[str, str]:
             WHERE term IN ({", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)})
         """,
         "bm25_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
+        "vsm_topk": f"""
+            WITH {_TOKS},
+            {_POSTINGS},
+            dfs AS (SELECT term, count(*) AS df FROM postings
+                    GROUP BY term),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n
+                   FROM documents),
+            q AS (SELECT * FROM (VALUES {", ".join(
+                f"('{t}', 1)" for t in FLAGSHIP_TERMS
+            )}) v(term, tfq)),
+            wq AS (
+              SELECT q.term,
+                     (1 + ln(q.tfq))
+                       * ln((SELECT n FROM nn) / dfs.df) AS w
+              FROM q JOIN dfs USING (term) WHERE dfs.df > 0
+            ),
+            qn AS (SELECT sqrt(sum(w * w)) AS qn FROM wq),
+            norms AS (
+              SELECT doc_id, sqrt(sum(pow(1 + ln(tf), 2))) AS vn
+              FROM postings GROUP BY doc_id
+            ),
+            sc AS (
+              SELECT p.doc_id,
+                     round(sum((1 + ln(p.tf)) * wq.w)
+                           / (max(nm.vn) * (SELECT qn FROM qn)),
+                           6) AS score
+              FROM postings p
+              JOIN wq USING (term)
+              JOIN norms nm USING (doc_id)
+              GROUP BY p.doc_id
+            )
+            SELECT doc_id, score, CAST(rn AS INTEGER) AS rn FROM (
+              SELECT *, row_number() OVER (
+                ORDER BY score DESC, doc_id ASC) AS rn
+              FROM sc
+            ) WHERE rn <= 10 ORDER BY rn
+        """,
         # federation is EXACT: merged df/n_docs/avg_len equal the
         # monolithic build's, so the oracle is the same SQL
         "bm25_federated_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),

@@ -151,6 +151,7 @@ def main() -> None:
         "bm25_topk_lemma",
         "bm25_synonyms_topk",
         "lm_dirichlet_topk",
+        "vsm_topk",
         "proximity_topk",
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs",
