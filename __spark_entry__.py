@@ -1732,6 +1732,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=3, threshold=0.5,
         )
 
+    def ngram_containment(spark, sf):
+        """Broder containment |S(A)∩S(B)|/|S(A)| ≥ 0.5 — the
+        asymmetric quote-inclusion twin of the Jaccard pairs."""
+        from search_engine_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        return ngram_containment_pairs(
+            _docs_enriched(spark, sf), "doc_id", "tokens",
+            n=3, threshold=0.5,
+        )
+
     def minhash_pairs(spark, sf):  # rows-only check (hash not in SQL)
         return minhash_lsh_pairs(
             _docs_enriched(spark, sf), "doc_id", "tokens",
@@ -1837,7 +1849,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _read(spark, sf, "embeddings")
-        return semantic_dedup(emb, eps=0.4, k=4, n_iter=2)
+        # k scales with corpus size (the SemDeDup regime: more
+        # clusters → bounded within-cluster pair joins); 500 vecs →
+        # k=4, matching the fixed-k DuckDB oracle at the sf0.01
+        # correctness scale
+        k = max(4, emb.count() // 125)
+        return semantic_dedup(emb, eps=0.4, k=k, n_iter=2)
 
     def cluster_top_terms_q(spark, sf):
         """c-TF-IDF cluster labels (BERTopic): top-5 terms per Lloyd
@@ -1848,7 +1865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         emb = _read(spark, sf, "embeddings")
-        cents = kmeans_lloyd(emb, k=4, n_iter=2)
+        # same size-scaled k as semantic_dedup (4 at oracle scale)
+        k = max(4, emb.count() // 125)
+        cents = kmeans_lloyd(emb, k=k, n_iter=2)
         assignment = assign_centroids(emb, cents).select(
             F.col("vec_id").alias("doc_id"), "cluster"
         )
@@ -2916,6 +2935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_exact_normalized": dedup_exact_normalized,
         "ngram_jaccard_pairs": ngram_jaccard,
+        "ngram_containment_pairs": ngram_containment,
         "minhash_lsh_pairs": minhash_pairs,
         "simhash": simhash,
         "simhash_near_dup_pairs": simhash_pairs,
@@ -3570,6 +3590,33 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE i::DOUBLE / (sa.n_sh + sb.n_sh - i) >= 0.5
+        """,
+        "ngram_containment_pairs": f"""
+            WITH lt AS (SELECT doc_id, {toks_list} AS tokens FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS shingle
+              FROM lt, unnest(range(1, len(tokens) - 1)) AS r(i)
+              WHERE len(tokens) >= 3
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle
+                               AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            dirs AS (
+              SELECT id_a AS id_src, id_b AS id_dst,
+                     i::DOUBLE / sa.n_sh AS c
+              FROM inter JOIN sizes sa ON sa.doc_id = id_a
+              UNION ALL
+              SELECT id_b AS id_src, id_a AS id_dst,
+                     i::DOUBLE / sb.n_sh AS c
+              FROM inter JOIN sizes sb ON sb.doc_id = id_b
+            )
+            SELECT id_src, id_dst, round(c, 6) AS containment
+            FROM dirs WHERE c >= 0.5
         """,
         "ann_cosine_topk": """
             WITH qs AS (SELECT vec_id AS query_id,

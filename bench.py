@@ -154,6 +154,7 @@ def main() -> None:
         "vsm_topk",
         "proximity_topk",
         "ngram_jaccard_pairs",
+        "ngram_containment_pairs",
         "minhash_lsh_pairs",
         "simhash",
         "simhash_near_dup_pairs",

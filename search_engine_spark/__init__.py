@@ -76,6 +76,7 @@ _LAZY = {
     "simhash_near_dup_pairs": "search_engine_spark.operators.dedup",
     "minhash_lsh_pairs": "search_engine_spark.operators.dedup",
     "ngram_jaccard_pairs": "search_engine_spark.operators.dedup",
+    "ngram_containment_pairs": "search_engine_spark.operators.dedup",
     "exact_dedup": "search_engine_spark.operators.dedup",
     "connected_components": "search_engine_spark.operators.clusters",
     "assign_clusters": "search_engine_spark.operators.clusters",

@@ -270,6 +270,80 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """(id_src, id_dst, containment) — ordered pairs where the SOURCE
+    document's shingle set is mostly contained in the destination's:
+
+        C(A → B) = |S(A) ∩ S(B)| / |S(A)|  ≥  threshold
+
+    Broder's asymmetric *containment* twin of resemblance/Jaccard
+    (Broder 1997, "On the resemblance and containment of documents"
+    §2) — the text-reuse / quote-inclusion detector: a short page
+    quoted verbatim inside a long one scores containment ≈ 1 while
+    its Jaccard stays tiny, so :func:`ngram_jaccard_pairs` never
+    sees it.  Both directions of a pair are evaluated and emitted
+    independently.
+
+    Same scale shape as the Jaccard path: inverted shingle-hash
+    index self-join (never cartesian), one count per unordered pair
+    fanned into both ordered directions, ``max_shingle_df``
+    boilerplate guard (dropped shingles shrink numerator and
+    denominator alike — the same bounded-join contract).
+    """
+    ds = _doc_shingles(df, id_col, tokens_col_name, n)
+    ds = ds.select(id_col, F.xxhash64("shingle").alias("shingle"))
+    if max_shingle_df is not None:
+        hot = (
+            ds.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .select("shingle")
+        )
+        ds = ds.join(F.broadcast(hot), "shingle", "left_anti")
+    ds = ds.cache()
+    sizes = ds.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ds.select(F.col(id_col).alias("id_a"), "shingle")
+    b = ds.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    both = inter.join(
+        sizes.select(F.col(id_col).alias("id_a"),
+                     F.col("n_sh").alias("n_a")), "id_a"
+    ).join(
+        sizes.select(F.col(id_col).alias("id_b"),
+                     F.col("n_sh").alias("n_b")), "id_b"
+    )
+    fwd = both.select(
+        F.col("id_a").alias("id_src"),
+        F.col("id_b").alias("id_dst"),
+        (F.col("inter").cast("double") / F.col("n_a")).alias("__c"),
+    )
+    rev = both.select(
+        F.col("id_b").alias("id_src"),
+        F.col("id_a").alias("id_dst"),
+        (F.col("inter").cast("double") / F.col("n_b")).alias("__c"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("__c") >= threshold)
+        .select(
+            "id_src", "id_dst",
+            F.round("__c", 6).alias("containment"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
