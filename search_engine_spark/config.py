@@ -48,6 +48,13 @@ class EngineConfig:
     # so small indexes pay zero bytes for this option.
     write_term_bloom: bool = True
     term_bloom_ndv: int = 100_000
+    # doc_ids payload codec inside posting blocks: "varint"
+    # (delta-gap LEB128, default) or "ef" (Elias–Fano, Vigna 2013 —
+    # density-adaptive: dense/locality-sorted posting runs drop below
+    # varint's 1-byte/gap floor).  Payloads are tag-byte
+    # self-describing, so mixed-codec indexes decode fine and the
+    # flag only affects what NEW blocks are written with.
+    doc_id_codec: str = "varint"
 
 
 DEFAULT = EngineConfig()

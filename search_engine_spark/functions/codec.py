@@ -98,6 +98,124 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Elias–Fano over sorted doc ids (optional doc_ids codec)
+# ---------------------------------------------------------------------------
+#
+# Quasi-succinct posting representation (Elias 1974; Vigna, WSDM 2013
+# "Quasi-succinct indices" — the MG4J / PISA / Lucene-adjacent
+# layout): n sorted values in [0, u) cost n·(2 + ⌈log₂(u/n)⌉) bits —
+# within half a bit per element of the information-theoretic minimum,
+# and DENSITY-ADAPTIVE: a head term whose block covers a narrow
+# doc-id range (e.g. after site-locality id assignment) compresses
+# far below varint's 1-byte/gap floor, because l = ⌊log₂(u/n)⌋ low
+# bits can be 0–3 bits where LEB128 can never go below 8.
+#
+# Layout per block (values encoded relative to the block's first id):
+#   varint(first) ‖ varint(l) ‖ low bits (n·l bits, LSB-first)
+#                             ‖ high bits (unary bitmap, n + u≫l bits)
+# Both bit sections are little-endian packbits, decoded with
+# vectorized np.unpackbits + flatnonzero — no per-element Python.
+
+
+def _read_leading_varints(buf: bytes, k: int) -> tuple[list[int], int]:
+    """Parse ``k`` LEB128 varints from the head of ``buf`` →
+    (values, bytes consumed)."""
+    vals, off = [], 0
+    for _ in range(k):
+        x, shift = 0, 0
+        while True:
+            byte = buf[off]
+            off += 1
+            x |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        vals.append(x)
+    return vals, off
+
+
+def ef_encode(sorted_ids: np.ndarray) -> bytes:
+    """Elias–Fano encode a sorted (non-decreasing) uint64 array."""
+    ids = np.asarray(sorted_ids, dtype=np.uint64)
+    n = int(ids.size)
+    if n == 0:
+        return b""
+    first = ids[0]
+    x = ids - first
+    u = int(x[-1]) + 1
+    l = max(int(u // n).bit_length() - 1, 0) if u > n else 0
+    head = encode_varint(np.array([first, l], dtype=np.uint64))
+    if l:
+        bits = (
+            (x[:, None] >> np.arange(l, dtype=np.uint64))
+            & np.uint64(1)
+        ).astype(np.uint8)
+        lows = np.packbits(bits.ravel(), bitorder="little").tobytes()
+    else:
+        lows = b""
+    pos = (x >> np.uint64(l)).astype(np.int64) + np.arange(
+        n, dtype=np.int64
+    )
+    bm = np.zeros(int(pos[-1]) + 1, dtype=np.uint8)
+    bm[pos] = 1
+    return head + lows + np.packbits(bm, bitorder="little").tobytes()
+
+
+def ef_decode(buf: bytes, count: int) -> np.ndarray:
+    """Decode :func:`ef_encode` output → uint64 array of ``count``."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    (first, l), off = _read_leading_varints(buf, 2)
+    low_bytes = (count * l + 7) // 8
+    if l:
+        lb = np.unpackbits(
+            np.frombuffer(buf, np.uint8, count=low_bytes, offset=off),
+            bitorder="little",
+        )[: count * l].reshape(count, l)
+        lows = (
+            lb.astype(np.uint64)
+            * (np.uint64(1) << np.arange(l, dtype=np.uint64))
+        ).sum(axis=1, dtype=np.uint64)
+    else:
+        lows = np.zeros(count, dtype=np.uint64)
+    hb = np.unpackbits(
+        np.frombuffer(buf, np.uint8, offset=off + low_bytes),
+        bitorder="little",
+    )
+    pos = np.flatnonzero(hb)[:count]
+    h = (pos - np.arange(count)).astype(np.uint64)
+    return np.uint64(first) + ((h << np.uint64(l)) | lows)
+
+
+# one tag byte prefixes every doc_ids payload so decode is
+# self-describing — no codec threading through the ten decode sites
+_TAG_VARINT = 0x00
+_TAG_EF = 0x01
+
+
+def encode_doc_ids(sorted_ids: np.ndarray, codec: str = "varint") -> bytes:
+    """Sorted doc ids → tagged payload (``varint`` delta-gap LEB128,
+    or ``ef`` Elias–Fano)."""
+    if codec == "ef":
+        return bytes([_TAG_EF]) + ef_encode(sorted_ids)
+    if codec != "varint":  # pragma: no cover - guarded API
+        raise ValueError(f"unknown doc_id codec {codec!r}")
+    return bytes([_TAG_VARINT]) + encode_varint(
+        delta_encode(sorted_ids)
+    )
+
+
+def decode_doc_ids(buf: bytes, count: int) -> np.ndarray:
+    """Tagged payload → sorted uint64 doc ids (tag-dispatched)."""
+    tag = buf[0]
+    if tag == _TAG_EF:
+        return ef_decode(buf[1:], count)
+    if tag != _TAG_VARINT:  # pragma: no cover - corruption guard
+        raise ValueError(f"unknown doc_ids codec tag {tag}")
+    return delta_decode(decode_varint(buf[1:], count))
+
+
+# ---------------------------------------------------------------------------
 # block build / read
 # ---------------------------------------------------------------------------
 
@@ -130,6 +248,7 @@ def build_blocks(
     k1: float,
     b: float,
     block_size: int = 128,
+    id_codec: str = "varint",
 ) -> list[dict]:
     """Split one term's postings into compressed block dicts.
 
@@ -154,7 +273,7 @@ def build_blocks(
                 "last_doc_id": int(bids[-1]),
                 "max_u": float(u.max()),
                 "min_u": float(u.min()),
-                "doc_ids": encode_varint(delta_encode(bids)),
+                "doc_ids": encode_doc_ids(bids, id_codec),
                 "tfs": encode_varint(btf),
                 "doc_lens": encode_varint(bdl),
             }
@@ -163,9 +282,12 @@ def build_blocks(
 
 
 def read_block(block: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Decode one block dict → (doc_ids, tfs, doc_lens) uint64 arrays."""
+    """Decode one block dict → (doc_ids, tfs, doc_lens) uint64 arrays.
+
+    The doc_ids payload is tag-dispatched (varint delta-gap or
+    Elias–Fano) — callers never thread a codec."""
     n = int(block["count"])
-    ids = delta_decode(decode_varint(block["doc_ids"], n))
+    ids = decode_doc_ids(block["doc_ids"], n)
     tfs = decode_varint(block["tfs"], n)
     dls = decode_varint(block["doc_lens"], n)
     return ids, tfs, dls

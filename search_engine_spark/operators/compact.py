@@ -146,7 +146,8 @@ def salt_factors(
     )
 
 
-def _block_builder(avg_len: float, k1: float, b: float, block_size: int):
+def _block_builder(avg_len: float, k1: float, b: float, block_size: int,
+                   id_codec: str = "varint"):
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term, shard = key
         blocks = build_blocks(
@@ -157,6 +158,7 @@ def _block_builder(avg_len: float, k1: float, b: float, block_size: int):
             k1,
             b,
             block_size,
+            id_codec,
         )
         return _blocks_to_pdf(term, int(shard), blocks)
 
@@ -244,7 +246,8 @@ def compact_postings_withlen(
         )
         .drop("n_salt")
     )
-    builder = _block_builder(avg_len, k1, b, config.block_size)
+    builder = _block_builder(avg_len, k1, b, config.block_size,
+                             config.doc_id_codec)
     if not combine:
         return salted.groupBy("term", "salt").applyInPandas(
             builder, SEGMENT_SCHEMA
@@ -272,7 +275,7 @@ def compact_postings_withlen(
         import numpy as np
 
         from search_engine_spark.functions.codec import (
-            delta_encode,
+            encode_doc_ids,
             encode_varint,
         )
 
@@ -296,7 +299,7 @@ def compact_postings_withlen(
                     "term": term,
                     "salt": int(salt),
                     "count": int(ids.size),
-                    "doc_ids": encode_varint(delta_encode(ids)),
+                    "doc_ids": encode_doc_ids(ids),
                     "tfs": encode_varint(tfs),
                     "doc_lens": encode_varint(dls),
                 }
@@ -325,6 +328,7 @@ def compact_postings_withlen(
             k1,
             b,
             config.block_size,
+            config.doc_id_codec,
         )
         return _blocks_to_pdf(term, int(shard), blocks)
 
@@ -335,7 +339,8 @@ def compact_postings_withlen(
 
 
 def _segment_merger(
-    avg_len: float, k1: float, b: float, block_size: int, df_threshold: int
+    avg_len: float, k1: float, b: float, block_size: int,
+    df_threshold: int, id_codec: str = "varint",
 ):
     def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -364,6 +369,7 @@ def _segment_merger(
             k1,
             b,
             block_size,
+            id_codec,
         )
         return _blocks_to_pdf(term, 0, blocks)
 
@@ -398,6 +404,7 @@ def merge_segments(
         config.bm25.b,
         config.block_size,
         config.shard_df_threshold,
+        config.doc_id_codec,
     )
     if term_stats is None or postings_per_shard is None:
         return segments.groupBy("term").applyInPandas(

@@ -189,6 +189,7 @@ def build_and_write(
                     # the original build (N1/N4 invariants survive)
                     "postings_per_shard": postings_per_shard,
                     "n_segments": n_segments,
+                    "doc_id_codec": config.doc_id_codec,
                 },
             ),
             spark,
@@ -311,6 +312,7 @@ def load_compact_index(spark: SparkSession, out_dir: str) -> CompactIndex:
         block_size=meta["block_size"],
         shard_df_threshold=meta["shard_df_threshold"],
         index_buckets=meta["n_buckets"],
+        doc_id_codec=meta.get("doc_id_codec", "varint"),
     )
     return CompactIndex(
         segments=spark.read.parquet(os.path.join(out_dir, "index")),
