@@ -723,6 +723,85 @@ collapsed AS (
 ),"""
 
 
+def _prf_sql(terms: list[str], fb_docs: int = 10, fb_terms: int = 3,
+             beta: float = 0.4, limit: int = 10) -> str:
+    """DuckDB mirror of plans/feedback.search_prf: rarest-candidate
+    initial ranking → top-fb_docs feedback set by (round(score,6)
+    desc, doc_id asc) → Rocchio weights w(t)=Σ tfn·idf over non-query
+    non-stop idf-positive terms, top-fb_terms by (round(w,6) desc,
+    term asc) → union-candidate re-ranking with expansion terms
+    down-weighted by beta."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    bm25 = (
+        f"(p.tf::DOUBLE / l.doc_len) * ({K1} + 1)"
+        f" / ((p.tf::DOUBLE / l.doc_len)"
+        f" + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len))"
+    )
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+nn AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*) FROM lens) AS avg_len),
+ti AS (
+  SELECT ts.term, ts.df,
+         ln((nn.n - ts.df + 0.5) / (ts.df + 0.5)) AS idf
+  FROM tstats ts CROSS JOIN nn
+  WHERE (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0
+),
+qt AS (
+  SELECT term, df, idf FROM ti
+  WHERE term IN ({term_list})
+    AND term NOT IN (SELECT term FROM stop)
+),
+rarest AS (SELECT term FROM qt ORDER BY df ASC, term ASC LIMIT 1),
+cand0 AS (SELECT p.doc_id FROM postings p JOIN rarest r ON p.term = r.term),
+scored0 AS (
+  SELECT c.doc_id, sum(qt.idf * {bm25}) AS score
+  FROM cand0 c
+  JOIN postings p ON p.doc_id = c.doc_id
+  JOIN qt ON qt.term = p.term
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nn
+  GROUP BY c.doc_id
+),
+fb AS (SELECT doc_id FROM scored0
+       ORDER BY round(score, 6) DESC, doc_id ASC LIMIT {fb_docs}),
+et AS (
+  SELECT p.term, sum((p.tf::DOUBLE / l.doc_len) * ti.idf) AS w
+  FROM postings p
+  JOIN fb ON fb.doc_id = p.doc_id
+  JOIN lens l ON l.doc_id = p.doc_id
+  JOIN ti ON ti.term = p.term
+  WHERE p.term NOT IN ({term_list})
+    AND p.term NOT IN (SELECT term FROM stop)
+  GROUP BY p.term
+  ORDER BY round(w, 6) DESC, p.term ASC
+  LIMIT {fb_terms}
+),
+wq AS (
+  SELECT term, idf, 1.0 AS wt FROM qt
+  UNION ALL
+  SELECT ti.term, ti.idf, {beta} AS wt FROM et JOIN ti USING (term)
+),
+cand AS (SELECT DISTINCT p.doc_id FROM postings p
+         JOIN wq ON wq.term = p.term),
+scored AS (
+  SELECT c.doc_id, sum(wq.wt * wq.idf * {bm25}) AS score
+  FROM cand c
+  JOIN postings p ON p.doc_id = c.doc_id
+  JOIN wq ON wq.term = p.term
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nn
+  GROUP BY c.doc_id
+),
+ranked AS (
+  SELECT doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+  FROM scored
+)
+SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
+"""
+
+
 def _synonyms_sql(limit: int = 10) -> str:
     """DuckDB mirror of plans/synonyms.search_synonyms: member
     stop-filter, exact union df per group, Robertson idf positivity
@@ -1617,6 +1696,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_topk_lemma(spark, sf):  # R12 over the lemma analyzer
         return _search_docs_lemma(
             spark, sf, FLAGSHIP_LEMMA_QUERY, limit=10
+        )
+
+    def bm25_prf_topk(spark, sf):
+        """Rocchio pseudo-relevance-feedback expansion
+        (plans/feedback.py): top-10 of the expanded query — feedback
+        docs, expansion-term selection, and the beta-down-weighted
+        final ranking all mirrored in the DuckDB oracle."""
+        from search_engine_spark.plans.feedback import search_prf
+
+        idx = _docs_index(spark, sf)
+        res = search_prf(
+            idx, FLAGSHIP_QUERY, fb_docs=10, fb_terms=3, beta=0.4,
+            limit=10, analyzer="tokens",
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
         )
 
     def bm25_wand_topk(spark, sf):  # N5: same oracle as bm25_topk
@@ -2900,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stoplist": stoplist_q,
         "query_idf": idf_q,
         "bm25_topk": bm25_topk,
+        "bm25_prf_topk": bm25_prf_topk,
         "vsm_topk": vsm_topk_q,
         "bm25_federated_topk": bm25_federated_topk,
         "bm25_not_topk": bm25_not_topk,
@@ -3262,6 +3359,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE term IN ({", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)})
         """,
         "bm25_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
+        "bm25_prf_topk": _prf_sql(
+            FLAGSHIP_TERMS, fb_docs=10, fb_terms=3, beta=0.4,
+            limit=10,
+        ),
         "vsm_topk": f"""
             WITH {_TOKS},
             {_POSTINGS},

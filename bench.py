@@ -149,6 +149,7 @@ def main() -> None:
         "embedding_near_dup",
         "site_statistics",
         "bm25_topk_lemma",
+        "bm25_prf_topk",
         "bm25_synonyms_topk",
         "lm_dirichlet_topk",
         "vsm_topk",

@@ -54,6 +54,8 @@ _LAZY = {
     "write_jsonl": "search_engine_spark.sources.jsonl",
     "rrf_fuse": "search_engine_spark.plans.hybrid",
     "mmr_rerank": "search_engine_spark.plans.diversify",
+    "prf_expansion_terms": "search_engine_spark.plans.feedback",
+    "search_prf": "search_engine_spark.plans.feedback",
     "vsm_topk": "search_engine_spark.plans.vsm",
     "vsm_doc_norms": "search_engine_spark.plans.vsm",
     "kmeans_lloyd": "search_engine_spark.operators.embcluster",

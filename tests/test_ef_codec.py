@@ -37,13 +37,26 @@ def test_ef_round_trip(vals):
         st.integers(min_value=0, max_value=2**50), min_size=1,
         max_size=300,
     ),
-    st.sampled_from(["varint", "ef"]),
+    st.sampled_from(["varint", "ef", "adaptive"]),
 )
 @settings(max_examples=100, deadline=None)
 def test_tagged_dispatch_round_trip(vals, codec):
     ids = np.array(sorted(vals), dtype=np.uint64)
     out = decode_doc_ids(encode_doc_ids(ids, codec), len(ids))
     assert np.array_equal(out, ids)
+
+
+def test_adaptive_picks_smaller_encoding():
+    dense = np.arange(500, 500 + 2048, dtype=np.uint64)
+    tiny = np.array([3, 2990], dtype=np.uint64)
+    for ids in (dense, tiny):
+        a = encode_doc_ids(ids, "adaptive")
+        assert len(a) == min(
+            len(encode_doc_ids(ids, "ef")),
+            len(encode_doc_ids(ids, "varint")),
+        )
+    assert encode_doc_ids(dense, "adaptive")[0] == 0x01  # EF tag
+    assert encode_doc_ids(tiny, "adaptive")[0] == 0x00  # varint tag
 
 
 def test_ef_edge_cases():
