@@ -802,6 +802,58 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
 """
 
 
+def _champions_sql(terms: list[str], m: int = 5,
+                   limit: int = 10) -> str:
+    """DuckDB mirror of operators/champions.search_champions
+    (exact_fallback=False): per-term top-m champions by
+    (round(tf/doc_len, 6) desc, doc_id asc), union candidates,
+    full-postings BM25 scoring."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+nn AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*) FROM lens) AS avg_len),
+qt AS (
+  SELECT ts.term,
+         ln((nn.n - ts.df + 0.5) / (ts.df + 0.5)) AS idf
+  FROM tstats ts CROSS JOIN nn
+  WHERE ts.term IN ({term_list})
+    AND ts.term NOT IN (SELECT term FROM stop)
+    AND (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0
+),
+champ AS (
+  SELECT term, doc_id FROM (
+    SELECT p.term, p.doc_id,
+           row_number() OVER (
+             PARTITION BY p.term
+             ORDER BY round(p.tf::DOUBLE / l.doc_len, 6) DESC,
+                      p.doc_id ASC) AS r
+    FROM postings p JOIN lens l USING (doc_id))
+  WHERE r <= {m}
+),
+cand AS (SELECT DISTINCT c.doc_id FROM champ c
+         JOIN qt ON qt.term = c.term),
+scored AS (
+  SELECT c.doc_id,
+         sum(qt.idf * (p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+             / ((p.tf::DOUBLE / l.doc_len)
+                + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len))) AS score
+  FROM cand c
+  JOIN postings p ON p.doc_id = c.doc_id
+  JOIN qt ON qt.term = p.term
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nn
+  GROUP BY c.doc_id
+),
+ranked AS (
+  SELECT doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+  FROM scored
+)
+SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
+"""
+
+
 def _synonyms_sql(limit: int = 10) -> str:
     """DuckDB mirror of plans/synonyms.search_synonyms: member
     stop-filter, exact union df per group, Robertson idf positivity
@@ -1709,6 +1761,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = search_prf(
             idx, FLAGSHIP_QUERY, fb_docs=10, fb_terms=3, beta=0.4,
             limit=10, analyzer="tokens",
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def bm25_champion_topk(spark, sf):
+        """Champion-list tiered retrieval (operators/champions.py):
+        tier-1-only top-10 (m=5 champions per term, no exact
+        fallback — the branch-free latency-bound variant)."""
+        from search_engine_spark.operators.champions import (
+            search_champions,
+        )
+
+        idx = _docs_index(spark, sf)
+        res = search_champions(
+            idx, FLAGSHIP_QUERY, m=5, limit=10, analyzer="tokens",
+            exact_fallback=False,
         )
         return res.select(
             "doc_id", F.round("score", 6).alias("score"),
@@ -2997,6 +3067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_idf": idf_q,
         "bm25_topk": bm25_topk,
         "bm25_prf_topk": bm25_prf_topk,
+        "bm25_champion_topk": bm25_champion_topk,
         "vsm_topk": vsm_topk_q,
         "bm25_federated_topk": bm25_federated_topk,
         "bm25_not_topk": bm25_not_topk,
@@ -3362,6 +3433,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_prf_topk": _prf_sql(
             FLAGSHIP_TERMS, fb_docs=10, fb_terms=3, beta=0.4,
             limit=10,
+        ),
+        "bm25_champion_topk": _champions_sql(
+            FLAGSHIP_TERMS, m=5, limit=10
         ),
         "vsm_topk": f"""
             WITH {_TOKS},

@@ -150,6 +150,7 @@ def main() -> None:
         "site_statistics",
         "bm25_topk_lemma",
         "bm25_prf_topk",
+        "bm25_champion_topk",
         "bm25_synonyms_topk",
         "lm_dirichlet_topk",
         "vsm_topk",

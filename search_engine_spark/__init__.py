@@ -54,7 +54,9 @@ _LAZY = {
     "write_jsonl": "search_engine_spark.sources.jsonl",
     "rrf_fuse": "search_engine_spark.plans.hybrid",
     "mmr_rerank": "search_engine_spark.plans.diversify",
+    "build_champion_lists": "search_engine_spark.operators.champions",
     "prf_expansion_terms": "search_engine_spark.plans.feedback",
+    "search_champions": "search_engine_spark.operators.champions",
     "search_prf": "search_engine_spark.plans.feedback",
     "vsm_topk": "search_engine_spark.plans.vsm",
     "vsm_doc_norms": "search_engine_spark.plans.vsm",

@@ -32,6 +32,8 @@ sys.path.insert(
 # join-heavy, UDF-bearing, window-bearing)
 AUDITED = [
     "bm25_topk",
+    "bm25_prf_topk",
+    "bm25_champion_topk",
     "bm25_site_restricted",
     "bm25_batch",
     "postings",
