@@ -802,6 +802,37 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
 """
 
 
+def _winnow_fp_ctes(toks_list: str, k: int = 5, w: int = 4) -> str:
+    """CTE chain ending in ``fp(doc_id, pos, h)`` — DuckDB mirror of
+    operators/winnow.winnow_fingerprints: md5-substring gram hashes,
+    per-window minima with the rightmost-tie rule, short docs keep
+    one partial window."""
+    gram = " || ' ' || ".join(f"tokens[i + {j}]" for j in range(k))
+    return f"""
+            lt AS (SELECT doc_id, {toks_list} AS tokens FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CAST(i - 1 AS BIGINT) AS pos,
+                     ('0x' || substr(md5({gram}), 18, 15))::BIGINT AS h,
+                     CAST(len(tokens) - {k - 1} AS BIGINT) AS ng
+              FROM lt, unnest(range(1, len(tokens) - {k - 2})) AS r(i)
+              WHERE len(tokens) >= {k}
+            ),
+            st AS (
+              SELECT doc_id, pos, h, s
+              FROM g, unnest(range(greatest(pos - {w - 1}, 0),
+                                   least(pos, greatest(ng - {w}, 0)) + 1)
+                            ) AS r(s)
+            ),
+            sel AS (
+              SELECT doc_id, s, pos, h,
+                     row_number() OVER (PARTITION BY doc_id, s
+                                        ORDER BY h ASC, pos DESC) AS rr
+              FROM st
+            ),
+            fp AS (SELECT DISTINCT doc_id, pos, h FROM sel WHERE rr = 1)"""
+
+
 def _champions_sql(terms: list[str], m: int = 5,
                    limit: int = 10) -> str:
     """DuckDB mirror of operators/champions.search_champions
@@ -1897,6 +1928,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs_enriched(spark, sf), "doc_id", "tokens",
             n=3, threshold=0.5,
         )
+
+    def winnow_fps(spark, sf):
+        """Winnowing (MOSS) fingerprint selection
+        (operators/winnow.py): position-anchored k-gram minima with
+        the rightmost-tie rule, k=5 w=4 — the passage-reuse detector;
+        selection replayed exactly by the DuckDB oracle."""
+        from search_engine_spark.operators.winnow import (
+            winnow_fingerprints,
+        )
+
+        docs = _docs_enriched(spark, sf).select("doc_id", "text")
+        fp = winnow_fingerprints(docs, k=5, w=4)
+        return fp.select(
+            "doc_id", F.col("pos").cast("long").alias("pos"), "h"
+        )
+
+    def winnow_pairs(spark, sf):
+        """Local text-reuse pairs: docs sharing ≥ 2 winnowing
+        fingerprints (guaranteed to catch any shared run of
+        ≥ w + k − 1 = 8 tokens)."""
+        from search_engine_spark.operators.winnow import (
+            winnow_reuse_pairs,
+        )
+
+        docs = _docs_enriched(spark, sf).select("doc_id", "text")
+        return winnow_reuse_pairs(docs, k=5, w=4, min_shared=2)
 
     def ngram_containment(spark, sf):
         """Broder containment |S(A)∩S(B)|/|S(A)| ≥ 0.5 — the
@@ -3104,6 +3161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_normalized": dedup_exact_normalized,
         "ngram_jaccard_pairs": ngram_jaccard,
         "ngram_containment_pairs": ngram_containment,
+        "winnow_fingerprints": winnow_fps,
+        "winnow_reuse_pairs": winnow_pairs,
         "minhash_lsh_pairs": minhash_pairs,
         "simhash": simhash,
         "simhash_near_dup_pairs": simhash_pairs,
@@ -3792,6 +3851,20 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             )
             SELECT id_src, id_dst, round(c, 6) AS containment
             FROM dirs WHERE c >= 0.5
+        """,
+        "winnow_fingerprints": f"""
+            WITH {_winnow_fp_ctes(toks_list, k=5, w=4)}
+            SELECT doc_id, pos, h FROM fp
+        """,
+        "winnow_reuse_pairs": f"""
+            WITH {_winnow_fp_ctes(toks_list, k=5, w=4)},
+            fph AS (SELECT DISTINCT doc_id, h FROM fp)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS shared
+            FROM fph a JOIN fph b ON a.h = b.h
+                              AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
         "ann_cosine_topk": """
             WITH qs AS (SELECT vec_id AS query_id,

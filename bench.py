@@ -157,6 +157,7 @@ def main() -> None:
         "proximity_topk",
         "ngram_jaccard_pairs",
         "ngram_containment_pairs",
+        "winnow_reuse_pairs",
         "minhash_lsh_pairs",
         "simhash",
         "simhash_near_dup_pairs",

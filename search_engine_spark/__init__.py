@@ -57,6 +57,8 @@ _LAZY = {
     "build_champion_lists": "search_engine_spark.operators.champions",
     "prf_expansion_terms": "search_engine_spark.plans.feedback",
     "search_champions": "search_engine_spark.operators.champions",
+    "winnow_fingerprints": "search_engine_spark.operators.winnow",
+    "winnow_reuse_pairs": "search_engine_spark.operators.winnow",
     "search_prf": "search_engine_spark.plans.feedback",
     "vsm_topk": "search_engine_spark.plans.vsm",
     "vsm_doc_norms": "search_engine_spark.plans.vsm",

@@ -1,0 +1,181 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+SIGMOD 2003 — the MOSS algorithm) and local text-reuse pair
+detection.
+
+Where the MinHash/SimHash family answers "are these documents
+globally similar?", winnowing answers "do they SHARE A PASSAGE?":
+it selects a position-anchored subset of k-gram hashes with the
+guarantee that any shared token run of length ≥ w + k − 1 produces
+at least one shared fingerprint — the detector for quotation,
+boilerplate reuse and partial plagiarism that whole-document
+sketches are blind to. Complements the C4 span dedup (exact
+sentence spans) with token-granular, alignment-free matching.
+
+Selection rule (robust winnowing): in every window of ``w``
+consecutive k-gram hashes select the minimum, breaking ties by the
+RIGHTMOST position; a document shorter than one full window keeps
+its global minimum, so every ≥ k-token document has ≥ 1
+fingerprint. The k-gram hash is the integer value of an md5
+substring (15 hex digits, exact in a long) — the repo-standard
+SQL-reproducible hash, so the DuckDB oracle replays selection
+exactly.
+
+Scale shape: one JVM pass builds grams (`transform` over a token
+array — no shuffle, no Python), the window expansion fans each gram
+into ≤ w (gram, window-start) rows, and selection is ONE map-side-
+combined `min(struct(hash, −pos))` aggregate keyed by (doc, start) —
+partial aggregation absorbs the fan-out before the shuffle. The
+reuse-pair join is an inverted fingerprint-hash index join with the
+same hot-key guard as the shingle dedups — never a cartesian.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from search_engine_spark.functions.textproc import tokens_col
+
+log = logging.getLogger(__name__)
+
+
+def _gram_hash(s: Column) -> Column:
+    """SQL-reproducible 60-bit k-gram hash (md5-substring integer,
+    the same idiom as curation.split_bucket_col)."""
+    return F.conv(F.substring(F.md5(s), 18, 15), 16, 10).cast("long")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "english",
+) -> DataFrame:
+    """(id, pos, h): the winnowing fingerprint set of every document.
+
+    ``k``: tokens per gram (noise threshold — matches shorter than k
+    tokens are never seen). ``w``: window size (guarantee threshold —
+    matches of ≥ w + k − 1 tokens are always seen). Documents with
+    fewer than ``k`` tokens yield no fingerprints (no gram exists)."""
+    toks = df.select(
+        id_col,
+        tokens_col(F.col(text_col), F.lit(lang)).alias("_toks"),
+    )
+    ng = F.size("_toks") - F.lit(k - 1)
+    grams = (
+        toks.filter(ng >= 1)
+        .withColumn("_ng", ng)
+        # one JVM pass: all (pos, hash) grams of the doc.  The whole
+        # expression must be TOTAL (when-guarded): codegen fuses this
+        # projection with the ng>=1 filter via subexpression
+        # elimination, so it can be evaluated on shorter-than-k docs
+        # where sequence(0, ng-1) would descend into slice(start=0).
+        .withColumn(
+            "_g",
+            F.when(
+                F.col("_ng") >= 1,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_ng") - 1),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        _gram_hash(
+                            F.concat_ws(
+                                " ",
+                                F.slice(F.col("_toks"), i + 1, k),
+                            )
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<pos:int,h:bigint>>"
+                )
+            ),
+        )
+        .select(id_col, "_ng", F.explode("_g").alias("_e"))
+        .select(
+            id_col, "_ng", F.col("_e.pos").alias("pos"),
+            F.col("_e.h").alias("h"),
+        )
+    )
+    # a gram at pos participates in windows starting at
+    # [max(0, pos-w+1), min(pos, nw-1)]; nw = max(ng-w+1, 1) also
+    # covers short docs (one partial window keeps the global min)
+    nw = F.greatest(F.col("_ng") - F.lit(w - 1), F.lit(1))
+    starts = grams.withColumn(
+        "_s",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - F.lit(w - 1), F.lit(0)),
+                F.least(F.col("pos"), nw - 1),
+            )
+        ),
+    )
+    sel = (
+        starts.groupBy(id_col, "_s")
+        .agg(
+            F.min(
+                F.struct(F.col("h"), (-F.col("pos")).alias("np"))
+            ).alias("_m")
+        )
+        .select(
+            id_col,
+            (-F.col("_m.np")).alias("pos"),
+            F.col("_m.h").alias("h"),
+        )
+    )
+    return sel.distinct()
+
+
+def winnow_reuse_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_hash_df: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang: str = "english",
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, shared) — unordered doc pairs sharing ≥
+    ``min_shared`` winnowing fingerprints (id_a < id_b).
+
+    ``max_hash_df`` drops fingerprint hashes shared by more than that
+    many documents before the pair join (boilerplate guard — the same
+    reasoning as the shingle dedups' max_shingle_df; pass None to
+    disable). ``fingerprints`` accepts a precomputed
+    :func:`winnow_fingerprints` frame."""
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(df, k, w, text_col, id_col, lang)
+    )
+    # pair detection needs hash membership only, not positions
+    fph = fp.select(id_col, "h").distinct()
+    if max_hash_df is not None:
+        hdf = fph.groupBy("h").agg(
+            F.countDistinct(id_col).alias("hdf")
+        )
+        hot = hdf.filter(F.col("hdf") > max_hash_df).select("h")
+        n_hot = hot.count()
+        if n_hot:
+            log.warning(
+                "winnow_reuse_pairs: dropping %d fingerprint hashes "
+                "with doc-frequency > %d (boilerplate guard)",
+                n_hot, max_hash_df,
+            )
+            fph = fph.join(hot, "h", "left_anti")
+    a = fph.select(F.col("h"), F.col(id_col).alias("id_a"))
+    b = fph.select(F.col("h"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
