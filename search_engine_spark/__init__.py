@@ -43,6 +43,7 @@ _LAZY = {
     "append_pages": "search_engine_spark.plans.incremental",
     "tombstone_urls": "search_engine_spark.plans.incremental",
     "reindex_pages": "search_engine_spark.plans.incremental",
+    "merge_delta_epochs": "search_engine_spark.plans.incremental",
     "vacuum": "search_engine_spark.plans.incremental",
     "enrich_pages": "search_engine_spark.sources.pages",
     "read_pages": "search_engine_spark.sources.pages",

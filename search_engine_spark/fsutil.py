@@ -96,3 +96,14 @@ def rename(src: str, dst: str, spark: SparkSession | None = None) -> None:
     jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
     if not jfs.rename(jsrc, jdst):
         raise IOError(f"rename {src} -> {dst} failed")
+
+
+def list_dir(path: str, spark: SparkSession | None = None) -> list[str]:
+    """Child FULL paths of a directory; [] when it doesn't exist."""
+    spark = _session(spark)
+    jfs, jpath = _fs(spark, path)
+    if not jfs.exists(jpath):
+        return []
+    return [
+        st.getPath().toString() for st in jfs.listStatus(jpath)
+    ]

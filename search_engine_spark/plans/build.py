@@ -301,6 +301,35 @@ def build_and_write(
     }
 
 
+def delta_epoch_dirs(spark: SparkSession, out_dir: str) -> list[str]:
+    """Full paths of the LSM-style delta-epoch segment directories
+    (``index_deltas/epoch=N``) written by incremental appends, sorted
+    by epoch number. Empty for a fresh (or just-vacuumed/merged-down)
+    index."""
+    base = os.path.join(out_dir, "index_deltas")
+    out = []
+    for p in fsutil.list_dir(base, spark):
+        name = p.rstrip("/").rsplit("/", 1)[-1]
+        if name.startswith("epoch="):
+            out.append((int(name.split("=", 1)[1]), p))
+    return [p for _, p in sorted(out)]
+
+
+def read_segments(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All live segment rows: the base build's ``index/`` plus every
+    appended delta epoch. Each directory is bucket-partitioned, so
+    WAND's bucket pruning applies per union leg; delta epochs are
+    kept in separate directories (not appended into the base) so
+    tiered maintenance (:func:`plans.incremental.merge_delta_epochs`)
+    can consolidate deltas without rewriting the base — merge cost is
+    proportional to delta size, the LSM property a 100 TB index
+    needs."""
+    segs = spark.read.parquet(os.path.join(out_dir, "index"))
+    for d in delta_epoch_dirs(spark, out_dir):
+        segs = segs.unionByName(spark.read.parquet(d))
+    return segs
+
+
 def load_compact_index(spark: SparkSession, out_dir: str) -> CompactIndex:
     """Open a persisted index directory for querying."""
     meta = json.loads(
@@ -315,7 +344,7 @@ def load_compact_index(spark: SparkSession, out_dir: str) -> CompactIndex:
         doc_id_codec=meta.get("doc_id_codec", "varint"),
     )
     return CompactIndex(
-        segments=spark.read.parquet(os.path.join(out_dir, "index")),
+        segments=read_segments(spark, out_dir),
         doc_map=spark.read.parquet(os.path.join(out_dir, "docs")),
         term_stats=spark.read.parquet(os.path.join(out_dir, "term_stats")),
         site_stats=spark.read.parquet(os.path.join(out_dir, "site_stats")),

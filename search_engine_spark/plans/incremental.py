@@ -11,20 +11,25 @@ Reference semantics being re-expressed:
   (services/utils/RecursiveWebParser.java:94-117)
 
 Physical design over the persisted layout (plans/build.py): the index
-is **append + tombstone**.  New docs get doc_ids in fresh id-segments
-(``next_id_segment`` cursor in stats.json) and their term blocks are
-appended into the same bucket partitions; removed/re-indexed docs are
-recorded in a ``tombstones/`` table that the query path anti-joins
-(broadcast — tombstones are small between vacuums).  ``vacuum``
-rewrites every block dropping tombstoned ids and re-merges each
-term's segments (N3) — after it the index is bit-equivalent to a
-fresh build of the surviving corpus.
+is **LSM-style append + tombstone**.  New docs get doc_ids in fresh
+id-segments (``next_id_segment`` cursor in stats.json) and their term
+blocks land in a per-append delta-epoch directory
+(``index_deltas/epoch=N``, bucket-partitioned like the base) — the
+base ``index/`` files are never touched by an append; removed/
+re-indexed docs are recorded in a ``tombstones/`` table that the
+query path anti-joins (broadcast — tombstones are small between
+vacuums).  Two consolidation tiers: ``merge_delta_epochs`` rebuilds
+ALL delta epochs into one (cost ∝ delta size — the LSM property),
+and ``vacuum`` rewrites everything, dropping tombstoned ids and
+re-merging each term's segments (N3) — after it the index is
+bit-equivalent to a fresh build of the surviving corpus.
 
-Scale posture: append touches only the delta's buckets; tombstone
-touches only the stats + tombstone table (O(deleted docs) work: the
-terms of a dead doc are recovered by range-filtered block decode on
-``first_doc_id/last_doc_id``, not a full index scan); vacuum is the
-only full rewrite and is resumable the same way a build is.
+Scale posture: append writes only the delta (one new epoch dir);
+tombstone touches only the stats + tombstone table (O(deleted docs)
+work: the terms of a dead doc are recovered by range-filtered block
+decode on ``first_doc_id/last_doc_id``, not a full index scan);
+delta consolidation costs O(deltas); vacuum is the only full rewrite
+and is resumable the same way a build is.
 """
 
 from __future__ import annotations
@@ -54,7 +59,9 @@ from search_engine_spark.operators.postings import (
 )
 from search_engine_spark.plans.build import (
     MANIFEST_SCHEMA,
+    delta_epoch_dirs,
     load_compact_index,
+    read_segments,
 )
 from search_engine_spark.sources.pages import enrich_pages
 
@@ -197,11 +204,17 @@ def append_pages(
         (F.col("shard") + F.lit(epoch << 16)).cast("int"),
     )
     segs = segs.withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+    # LSM-style: each append lands in its OWN epoch directory under
+    # index_deltas/ (never appended into the base index/ files), so
+    # merge_delta_epochs can consolidate deltas proportionally to
+    # delta size and vacuum/merges can drop whole directories
     (
         segs.repartition(F.col("bucket"))
-        .write.mode("append")
+        .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(os.path.join(out_dir, "index"))
+        .parquet(
+            os.path.join(out_dir, "index_deltas", f"epoch={epoch}")
+        )
     )
 
     # positional-index co-maintenance: when the build wrote a
@@ -300,7 +313,7 @@ def tombstone_urls(
         return {"tombstoned": 0}
     dead_ids = [r["doc_id"] for r in dead_rows]
 
-    segments = spark.read.parquet(os.path.join(out_dir, "index"))
+    segments = read_segments(spark, out_dir)
     dec = (
         terms_of_docs(segments, dead_ids)
         .groupBy("term")
@@ -343,6 +356,83 @@ def reindex_pages(
     return {**t, **a}
 
 
+def merge_delta_epochs(
+    spark: SparkSession,
+    out_dir: str,
+    min_epochs: int = 2,
+) -> dict:
+    """Tiered (LSM-style) delta consolidation: rebuild ALL delta
+    epochs into ONE fresh epoch, leaving the base ``index/``
+    untouched.
+
+    Every append lands in its own ``index_deltas/epoch=N`` directory;
+    unchecked, a long-lived index accumulates one query-time union
+    leg (and per-term block fan-out) per append. This op decodes the
+    delta rows only — merge cost is proportional to DELTA size, never
+    base size (the property that distinguishes tiered merging from
+    :func:`vacuum`, which rewrites everything). Tombstones are NOT
+    applied here (they live in their own table until vacuum); query
+    results are invariant by construction since decode→rebuild
+    preserves the logical (term, doc_id, tf, doc_len) multiset.
+
+    No-op (returns ``{"merged_epochs": 0}``) when fewer than
+    ``min_epochs`` delta directories exist. Salting/sharding reuse
+    the live full-index term_stats, so the N1/N4 invariants hold for
+    the consolidated epoch; block metadata keeps the shared
+    ``blocks_avg_len`` baseline so WAND gating semantics are
+    unchanged."""
+    dirs = delta_epoch_dirs(spark, out_dir)
+    if len(dirs) < min_epochs:
+        return {"merged_epochs": 0}
+    meta = _stats(out_dir)
+    config = _config_from(meta)
+    n_buckets = meta["n_buckets"]
+    pps = int(meta.get("postings_per_shard", 1 << 20))
+    blocks_avg = meta.get("blocks_avg_len", meta["avg_len"])
+
+    deltas = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        deltas = deltas.unionByName(spark.read.parquet(d))
+    posts = decode_segments(deltas).select(
+        "term", "doc_id", "tf", "doc_len"
+    )
+    # salt factors from the LIVE full-index df (a delta-local df
+    # would under-salt a head term that is mostly in the base)
+    live_ts = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    segs = compact_postings_withlen(
+        posts, live_ts, blocks_avg, config, pps
+    )
+    segs = merge_segments(
+        segs, blocks_avg, config,
+        term_stats=live_ts, postings_per_shard=pps,
+    )
+    epoch = int(meta.get("append_epoch", 0)) + 1
+    segs = segs.withColumn(
+        "shard", (F.col("shard") + F.lit(epoch << 16)).cast("int")
+    ).withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+
+    base = os.path.join(out_dir, "index_deltas")
+    tmp = os.path.join(out_dir, "index_deltas_tmp")
+    (
+        segs.repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(tmp, f"epoch={epoch}"))
+    )
+    # tmp is fully materialized → atomically replace the old level
+    fsutil.delete(base)
+    fsutil.rename(tmp, base)
+
+    meta["append_epoch"] = epoch
+    _write_stats(out_dir, meta)
+    spark.createDataFrame(
+        [(None, "merge_deltas", len(dirs), None, time.time(),
+          uuid.uuid4().hex[:12])],
+        MANIFEST_SCHEMA,
+    ).write.mode("append").parquet(os.path.join(out_dir, "manifest"))
+    return {"merged_epochs": len(dirs), "new_epoch": epoch}
+
+
 def vacuum(spark: SparkSession, out_dir: str) -> dict:
     """Physically drop tombstoned postings and re-merge each term's
     segments; clears the tombstone table.
@@ -360,7 +450,7 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     config = _config_from(meta)
     n_buckets = meta["n_buckets"]
     pps = int(meta.get("postings_per_shard", 1 << 20))
-    segments = spark.read.parquet(os.path.join(out_dir, "index"))
+    segments = read_segments(spark, out_dir)
 
     dead_ids = (
         {r["doc_id"] for r in tomb.select("doc_id").collect()}
@@ -409,6 +499,10 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     final = os.path.join(out_dir, "index")
     fsutil.delete(final)
     fsutil.rename(tmp, final)
+    # delta epochs were incorporated into the rebuilt base — drop the
+    # whole LSM level (safe: rebuilt tmp and ts_tmp were materialized
+    # above, before any old file is deleted)
+    fsutil.delete(os.path.join(out_dir, "index_deltas"))
     _swap(ts_tmp, ts_path)
     live_ts.unpersist()
 
@@ -459,6 +553,8 @@ def _config_from(meta: dict) -> EngineConfig:
         block_size=meta["block_size"],
         shard_df_threshold=meta["shard_df_threshold"],
         index_buckets=meta["n_buckets"],
+        # maintenance re-encodes with the index's own codec
+        doc_id_codec=meta.get("doc_id_codec", "varint"),
     )
 
 

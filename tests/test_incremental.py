@@ -190,6 +190,88 @@ def test_vacuum_preserves_salting_and_sharding(spark, corpora, tmp_path):
         assert a == b == _expected(spark, survivors, q, off, lim)
 
 
+def test_merge_delta_epochs(spark, corpora, tmp_path):
+    """Tiered LSM consolidation: N delta epochs → 1, base untouched,
+    queries rank-identical, logical postings multiset preserved."""
+    from search_engine_spark.plans.build import (
+        delta_epoch_dirs,
+        read_segments,
+    )
+    from search_engine_spark.plans.incremental import (
+        merge_delta_epochs,
+    )
+    from search_engine_spark.operators.compact import decode_segments
+
+    base, extra = corpora
+    out = str(tmp_path / "idx")
+    cfg = EngineConfig(block_size=32, index_buckets=8)
+    build_and_write(spark, base, out, analyzer="lemma", config=cfg,
+                    n_segments=8)
+
+    # two appends → two delta epoch directories
+    append_pages(spark, out, extra.limit(40))
+    append_pages(spark, out, extra)
+    assert len(delta_epoch_dirs(spark, out)) == 2
+    # single epoch is below min_epochs=3 → no-op
+    assert merge_delta_epochs(spark, out, min_epochs=3) == {
+        "merged_epochs": 0
+    }
+
+    full = base.union(extra)
+    before_posts = sorted(
+        map(
+            tuple,
+            decode_segments(read_segments(spark, out))
+            .select("term", "doc_id", "tf", "doc_len")
+            .collect(),
+        )
+    )
+    before_base = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out + "/index").drop("bucket").collect(),
+        )
+    )
+
+    m = merge_delta_epochs(spark, out)
+    assert m["merged_epochs"] == 2
+    assert len(delta_epoch_dirs(spark, out)) == 1
+
+    # base files byte-identical in content (rows unchanged)
+    after_base = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out + "/index").drop("bucket").collect(),
+        )
+    )
+    assert before_base == after_base
+    # logical postings multiset preserved by decode→rebuild
+    after_posts = sorted(
+        map(
+            tuple,
+            decode_segments(read_segments(spark, out))
+            .select("term", "doc_id", "tf", "doc_len")
+            .collect(),
+        )
+    )
+    assert before_posts == after_posts
+    # queries rank-identical to a fresh logical build
+    for q, off, lim in QUERIES:
+        assert _actual(spark, out, q, off, lim) == _expected(
+            spark, full, q, off, lim
+        )
+
+    # a further append opens a NEW epoch above the merged one
+    assert len(delta_epoch_dirs(spark, out)) == 1
+    # vacuum clears the whole delta level
+    vacuum(spark, out)
+    assert delta_epoch_dirs(spark, out) == []
+    for q, off, lim in QUERIES:
+        assert _actual(spark, out, q, off, lim) == _expected(
+            spark, full, q, off, lim
+        )
+
+
 def test_statistics_report(spark, corpora):
     base, _ = corpora
     idx = build_index(enrich_pages(base), analyzer="lemma")

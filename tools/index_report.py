@@ -61,10 +61,13 @@ def report(spark, index_dir: str) -> dict:
     )
 
     disk_bytes = 0
-    for root, _dirs, files in os.walk(os.path.join(index_dir, "index")):
-        disk_bytes += sum(
-            os.path.getsize(os.path.join(root, f)) for f in files
-        )
+    for sub in ("index", "index_deltas"):
+        for root, _dirs, files in os.walk(
+            os.path.join(index_dir, sub)
+        ):
+            disk_bytes += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files
+            )
 
     postings = int(agg["postings"] or 0)
     out = {
