@@ -27,6 +27,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 K1, B = 1.5, 0.75
 STOPLIST_SIZE = 20
+
+# shared robots.txt body for the robots_filter contract query — the
+# oracle embeds the SAME literal and re-parses it in SQL
+ROBOTS_BODY = (
+    "# synthetic policy\n"
+    "User-agent: googlebot\n"
+    "User-agent: crawler\n"
+    "Disallow: /p1\n"
+    "Allow: /p12*\n"
+    "Disallow: /*3$\n"
+    "\n"
+    "User-agent: *\n"
+    "Disallow: /\n"
+)
 FLAGSHIP_TERMS = ["dup", "fast", "key"]
 FLAGSHIP_QUERY = " ".join(FLAGSHIP_TERMS)
 # lemma-analyzer flagship: "data" exercises the exception table
@@ -2833,6 +2847,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             deny_patterns=[".*0$"],
         )
 
+    def robots_filter_q(spark, sf):
+        """RFC 9309 robots.txt policy (operators/robots.py): the
+        group-stateful parser AND the longest-match/allow-ties
+        matcher both replayed by the DuckDB oracle (window-function
+        parse on the same literal body)."""
+        from search_engine_spark.operators.robots import (
+            robots_allowed,
+        )
+
+        url = F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example/p"),
+            F.col("doc_id").cast("string"),
+        )
+        docs = _read(spark, sf, "documents").select(
+            "doc_id", url.alias("url")
+        )
+        robots = (
+            docs.select(
+                F.regexp_extract(
+                    "url", r"^https?://([^/]+)", 1
+                ).alias("site")
+            )
+            .distinct()
+            .withColumn("robots_txt", F.lit(ROBOTS_BODY))
+        )
+        res = robots_allowed(docs, robots, agent="crawler")
+        return res.select("doc_id", "crawl_allowed")
+
     def chunk_documents_q(spark, sf):
         from search_engine_spark.operators.packing import (
             chunk_documents,
@@ -3189,6 +3233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": pagerank_q,
         "sample_per_group": sample_per_group_q,
         "filter_urls": filter_urls_q,
+        "robots_filter": robots_filter_q,
         "chunk_documents": chunk_documents_q,
         "pack_sequences": pack_sequences_q,
         "suggest_terms": suggest_terms_q,
@@ -4205,6 +4250,100 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
                        PARTITION BY source ORDER BY bk, doc_id) AS rn
               FROM b)
             SELECT doc_id, source FROM r WHERE rn <= 5
+        """,
+        "robots_filter": f"""
+            WITH docs AS (
+              SELECT doc_id,
+                     'site' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example' AS site,
+                     '/p' || CAST(doc_id AS VARCHAR) AS path
+              FROM documents),
+            body AS (
+              SELECT DISTINCT site,
+                     '{ROBOTS_BODY}' AS txt
+              FROM docs),
+            lines0 AS (
+              SELECT site,
+                     unnest(string_split(txt, chr(10))) AS raw,
+                     unnest(range(len(string_split(txt, chr(10)))))
+                       AS ln
+              FROM body),
+            lines1 AS (
+              SELECT site, ln,
+                     trim(regexp_replace(raw, '#.*', '')) AS line
+              FROM lines0),
+            lns AS (
+              SELECT site, ln,
+                     lower(regexp_extract(line,
+                       '^([A-Za-z-]+)\\s*:', 1)) AS key,
+                     trim(regexp_extract(line,
+                       '^[A-Za-z-]+\\s*:\\s*(.*)$', 1)) AS value
+              FROM lines1
+              WHERE lower(regexp_extract(line,
+                      '^([A-Za-z-]+)\\s*:', 1))
+                    IN ('user-agent', 'allow', 'disallow')),
+            g0 AS (
+              SELECT site, ln, key, value,
+                     CASE WHEN key = 'user-agent' THEN 1 ELSE 0 END
+                       AS ua,
+                     coalesce(lag(CASE WHEN key = 'user-agent'
+                                       THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY site ORDER BY ln), 0)
+                       AS prev_ua
+              FROM lns),
+            g AS (
+              SELECT site, ln, key, value, ua,
+                     sum(CASE WHEN ua = 1 AND prev_ua = 0
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY site ORDER BY ln
+                             ROWS UNBOUNDED PRECEDING) AS gid
+              FROM g0),
+            agents AS (
+              SELECT DISTINCT site, gid, lower(value) AS agent
+              FROM g WHERE key = 'user-agent'),
+            matching AS (
+              SELECT * FROM agents
+              WHERE agent IN ('crawler', '*')),
+            best AS (
+              SELECT site,
+                     max(CASE WHEN agent = 'crawler' THEN 1 ELSE 0
+                         END) AS has_exact
+              FROM matching GROUP BY 1),
+            applicable AS (
+              SELECT DISTINCT m.site, m.gid
+              FROM matching m JOIN best b USING (site)
+              WHERE m.agent = 'crawler'
+                 OR (b.has_exact = 0 AND m.agent = '*')),
+            rules AS (
+              SELECT DISTINCT g.site, (key = 'allow') AS allow,
+                              value AS path
+              FROM g JOIN applicable a
+                ON g.site = a.site AND g.gid = a.gid
+              WHERE key IN ('allow', 'disallow') AND value <> ''),
+            pat AS (
+              SELECT site, allow, path, len(path) AS plen,
+                     '^' || replace(
+                       regexp_replace(
+                         regexp_replace(path, '\\$$', ''),
+                         '([.^$+?(){{}}\\[\\]|\\\\])', '\\\\\\1',
+                         'g'),
+                       '*', '.*')
+                     || CASE WHEN path LIKE '%$' THEN '$' ELSE ''
+                        END AS pattern
+              FROM rules),
+            hits AS (
+              SELECT d.doc_id, p.allow,
+                     row_number() OVER (
+                       PARTITION BY d.doc_id
+                       ORDER BY p.plen DESC,
+                                CAST(p.allow AS INT) DESC) AS rr
+              FROM docs d JOIN pat p ON p.site = d.site
+              WHERE regexp_matches(d.path, p.pattern))
+            SELECT d.doc_id,
+                   coalesce(h.allow, TRUE) AS crawl_allowed
+            FROM docs d
+            LEFT JOIN (SELECT doc_id, allow FROM hits WHERE rr = 1) h
+              USING (doc_id)
         """,
         "filter_urls": """
             WITH u AS (

@@ -172,6 +172,7 @@ def main() -> None:
         "training_pipeline",
         "text_quality",
         "pii_scan",
+        "robots_filter",
         "tfidf_keywords",
         "c4_span_dedup",
         "exact_substr_dedup",

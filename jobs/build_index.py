@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="terms with df above this stay salt-sharded "
                          "at rest (N4) instead of merging to one task")
     ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument("--doc-id-codec", default="adaptive",
+                    choices=["adaptive", "varint", "ef"],
+                    help="posting-block doc-id payload codec "
+                         "(adaptive = per-block smaller of varint/"
+                         "Elias-Fano)")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument(
         "--positions", action="store_true",
@@ -90,6 +95,7 @@ def main(argv: list[str] | None = None) -> None:
         block_size=args.block_size,
         index_buckets=args.buckets,
         shard_df_threshold=args.shard_df_threshold,
+        doc_id_codec=args.doc_id_codec,
     )
     from search_engine_spark.util import warm_python_workers
 

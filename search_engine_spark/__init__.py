@@ -59,6 +59,9 @@ _LAZY = {
     "build_champion_lists": "search_engine_spark.operators.champions",
     "prf_expansion_terms": "search_engine_spark.plans.feedback",
     "search_champions": "search_engine_spark.operators.champions",
+    "robots_rules": "search_engine_spark.operators.robots",
+    "robots_allowed": "search_engine_spark.operators.robots",
+    "filter_by_robots": "search_engine_spark.operators.robots",
     "winnow_fingerprints": "search_engine_spark.operators.winnow",
     "winnow_reuse_pairs": "search_engine_spark.operators.winnow",
     "search_prf": "search_engine_spark.plans.feedback",
