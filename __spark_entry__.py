@@ -2877,6 +2877,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = robots_allowed(docs, robots, agent="crawler")
         return res.select("doc_id", "crawl_allowed")
 
+    def sitemap_entries_q(spark, sf):
+        """XML sitemap parse (sources/sitemap.py): site-varying
+        synthesized urlset bodies, the regex parse replayed by the
+        DuckDB oracle."""
+        from search_engine_spark.sources.sitemap import parse_sitemap
+
+        site = F.concat(
+            F.lit("site"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example"),
+        )
+        sites = (
+            _read(spark, sf, "documents")
+            .select(site.alias("site"))
+            .distinct()
+        )
+        xml = F.concat(
+            F.lit("<urlset><url><loc>https://"), F.col("site"),
+            F.lit("/p1</loc><lastmod>2024-03-05</lastmod>"
+                  "<priority>0.8</priority></url>"
+                  "<url><loc> https://"), F.col("site"),
+            F.lit("/p2 </loc><changefreq>daily</changefreq></url>"
+                  "<url><lastmod>2024-01-01</lastmod></url>"
+                  "</urlset>"),
+        )
+        return parse_sitemap(sites.withColumn("sitemap_xml", xml))
+
     def chunk_documents_q(spark, sf):
         from search_engine_spark.operators.packing import (
             chunk_documents,
@@ -3234,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": sample_per_group_q,
         "filter_urls": filter_urls_q,
         "robots_filter": robots_filter_q,
+        "sitemap_entries": sitemap_entries_q,
         "chunk_documents": chunk_documents_q,
         "pack_sequences": pack_sequences_q,
         "suggest_terms": suggest_terms_q,
@@ -4344,6 +4371,52 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             FROM docs d
             LEFT JOIN (SELECT doc_id, allow FROM hits WHERE rr = 1) h
               USING (doc_id)
+        """,
+        "sitemap_entries": """
+            WITH sites AS (
+              SELECT DISTINCT
+                     'site' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example' AS site
+              FROM documents),
+            sm AS (
+              SELECT site,
+                     '<urlset><url><loc>https://' || site
+                     || '/p1</loc><lastmod>2024-03-05</lastmod>'
+                     || '<priority>0.8</priority></url>'
+                     || '<url><loc> https://' || site
+                     || '/p2 </loc><changefreq>daily</changefreq></url>'
+                     || '<url><lastmod>2024-01-01</lastmod></url>'
+                     || '</urlset>' AS xml
+              FROM sites),
+            blocks AS (
+              SELECT site,
+                     unnest(regexp_extract_all(
+                       xml, '(?s)<url>(.*?)</url>', 1)) AS b
+              FROM sm),
+            f AS (
+              SELECT site,
+                     regexp_extract(b,
+                       '(?s)<loc>\\s*([^<\\s][^<]*?)\\s*</loc>', 1)
+                       AS url0,
+                     regexp_extract(b,
+                       '(?s)<lastmod>\\s*([^<\\s][^<]*?)\\s*</lastmod>',
+                       1) AS lastmod0,
+                     regexp_extract(b,
+                       '(?s)<changefreq>\\s*([^<\\s][^<]*?)\\s*</changefreq>',
+                       1) AS changefreq0,
+                     regexp_extract(b,
+                       '(?s)<priority>\\s*([^<\\s][^<]*?)\\s*</priority>',
+                       1) AS priority0
+              FROM blocks)
+            SELECT site,
+                   url0 AS url,
+                   CASE WHEN lastmod0 <> '' THEN lastmod0 END
+                     AS lastmod,
+                   CASE WHEN changefreq0 <> '' THEN changefreq0 END
+                     AS changefreq,
+                   CASE WHEN priority0 <> ''
+                        THEN CAST(priority0 AS DOUBLE) END AS priority
+            FROM f WHERE url0 <> ''
         """,
         "filter_urls": """
             WITH u AS (

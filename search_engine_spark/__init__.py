@@ -49,6 +49,7 @@ _LAZY = {
     "read_pages": "search_engine_spark.sources.pages",
     "canonical_url_col": "search_engine_spark.operators.curation",
     "canonicalize_urls": "search_engine_spark.operators.curation",
+    "parse_sitemap": "search_engine_spark.sources.sitemap",
     "read_warc": "search_engine_spark.sources.warc",
     "read_wet": "search_engine_spark.sources.wet",
     "write_wet": "search_engine_spark.sources.wet",
