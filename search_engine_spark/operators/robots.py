@@ -68,6 +68,37 @@ def robots_rules(
     module docstring. Empty-path rules are dropped (RFC: an empty
     ``Disallow:`` imposes no restriction). Agent matching is
     exact-or-``*`` with exact groups taking precedence."""
+    grouped, applicable = _grouped_and_applicable(
+        robots, agent, site_col, robots_col
+    )
+    rules = (
+        grouped.filter(
+            F.col("key").isin("allow", "disallow")
+            & (F.col("value") != "")
+        )
+        .join(applicable, ["site", "gid"])
+        .select(
+            "site",
+            (F.col("key") == "allow").alias("allow"),
+            F.col("value").alias("path"),
+        )
+        .distinct()
+    )
+    return rules.select(
+        "site", "allow", "path",
+        _wildcard_regex(F.col("path")).alias("pattern"),
+        F.length("path").alias("plen"),
+    )
+
+
+def _grouped_and_applicable(
+    robots: DataFrame,
+    agent: str,
+    site_col: str,
+    robots_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared parse core: (grouped directive lines with gid,
+    applicable (site, gid) groups for ``agent``)."""
     a = agent.lower()
     lines = robots.select(
         F.col(site_col).alias("site"),
@@ -87,7 +118,9 @@ def robots_rules(
             F.regexp_extract("_line", r"^[A-Za-z-]+\s*:\s*(.*)$", 1)
         ).alias("value"),
     ).filter(
-        F.col("key").isin("user-agent", "allow", "disallow")
+        F.col("key").isin(
+            "user-agent", "allow", "disallow", "crawl-delay"
+        )
     )
 
     from pyspark.sql import Window
@@ -132,23 +165,32 @@ def robots_rules(
         .select("site", "gid")
         .distinct()
     )
-    rules = (
+    return grouped, applicable
+
+
+def crawl_delays(
+    robots: DataFrame,
+    agent: str = "*",
+    site_col: str = "site",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-site ``Crawl-delay`` (the de-facto politeness extension) →
+    ``(site, crawl_delay)`` seconds as double, for the groups that
+    apply to ``agent`` (same exact-beats-``*`` selection as
+    :func:`robots_rules`); the minimum wins when several applicable
+    groups declare one. Sites without a parseable delay are absent —
+    left-join and coalesce to the crawler's default."""
+    grouped, applicable = _grouped_and_applicable(
+        robots, agent, site_col, robots_col
+    )
+    return (
         grouped.filter(
-            F.col("key").isin("allow", "disallow")
-            & (F.col("value") != "")
+            (F.col("key") == "crawl-delay")
+            & F.col("value").rlike(r"^\d+(\.\d+)?$")
         )
         .join(applicable, ["site", "gid"])
-        .select(
-            "site",
-            (F.col("key") == "allow").alias("allow"),
-            F.col("value").alias("path"),
-        )
-        .distinct()
-    )
-    return rules.select(
-        "site", "allow", "path",
-        _wildcard_regex(F.col("path")).alias("pattern"),
-        F.length("path").alias("plen"),
+        .groupBy("site")
+        .agg(F.min(F.col("value").cast("double")).alias("crawl_delay"))
     )
 
 

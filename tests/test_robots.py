@@ -131,6 +131,28 @@ def test_filter_by_robots_gate(spark):
     assert "crawl_allowed" not in kept.columns
 
 
+def test_crawl_delays(spark):
+    from search_engine_spark.operators.robots import crawl_delays
+
+    body = (
+        "User-agent: mybot\nCrawl-delay: 2.5\nDisallow: /x\n\n"
+        "User-agent: *\nCrawl-delay: 10\n"
+    )
+    rows = [("a.example", body),
+            ("b.example", "User-agent: *\nDisallow: /\n")]
+    got = {
+        r["site"]: r["crawl_delay"]
+        for r in crawl_delays(_robots(spark, rows), "mybot").collect()
+    }
+    # exact group's delay wins over *; b has no delay → absent
+    assert got == {"a.example": 2.5}
+    got_star = {
+        r["site"]: r["crawl_delay"]
+        for r in crawl_delays(_robots(spark, rows), "other").collect()
+    }
+    assert got_star == {"a.example": 10.0}
+
+
 def test_root_path_default(spark):
     rows = [("a.example", "User-agent: *\nDisallow: /\n")]
     got = _verdicts(

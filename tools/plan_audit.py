@@ -34,6 +34,8 @@ AUDITED = [
     "bm25_topk",
     "bm25_prf_topk",
     "bm25_champion_topk",
+    "robots_filter",
+    "winnow_reuse_pairs",
     "bm25_site_restricted",
     "bm25_batch",
     "postings",
