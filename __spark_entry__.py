@@ -107,7 +107,19 @@ def _docs_index_lemma(spark: SparkSession, sf_dir: str):
 
     key = (id(spark), sf_dir, "lemma")
     if key not in _INDEX_CACHE:
+        from search_engine_spark.functions.textproc import (
+            analyze_text_udf,
+        )
+
         docs = documents_as_pages(spark, sf_dir)
+        # fused T3–T7 counts: with `analyzed` in the cached
+        # projection, every query re-derives postings as a JVM
+        # explode of the cached counts — WITHOUT this column the
+        # lemma Arrow UDF re-runs over the corpus per query
+        # (doc_len stays the token count, matching the oracle)
+        docs = docs.withColumn(
+            "analyzed", analyze_text_udf(F.col("text"), F.col("lang"))
+        )
         _INDEX_CACHE[key] = build_index(
             docs, id_col="doc_id", analyzer="lemma"
         )
