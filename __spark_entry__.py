@@ -1965,7 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         docs = _docs_enriched(spark, sf).select("doc_id", "text")
-        fp = winnow_fingerprints(docs, k=5, w=4)
+        fp = winnow_fingerprints(docs, k=5, w=4, hash_method="md5")
         return fp.select(
             "doc_id", F.col("pos").cast("long").alias("pos"), "h"
         )
@@ -1979,7 +1979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         docs = _docs_enriched(spark, sf).select("doc_id", "text")
-        return winnow_reuse_pairs(docs, k=5, w=4, min_shared=2)
+        return winnow_reuse_pairs(
+            docs, k=5, w=4, min_shared=2, hash_method="md5"
+        )
 
     def ngram_containment(spark, sf):
         """Broder containment |S(A)∩S(B)|/|S(A)| ≥ 0.5 — the

@@ -41,10 +41,21 @@ from search_engine_spark.functions.textproc import tokens_col
 log = logging.getLogger(__name__)
 
 
-def _gram_hash(s: Column) -> Column:
-    """SQL-reproducible 60-bit k-gram hash (md5-substring integer,
-    the same idiom as curation.split_bucket_col)."""
-    return F.conv(F.substring(F.md5(s), 18, 15), 16, 10).cast("long")
+def _gram_hash(s: Column, method: str = "xxhash64") -> Column:
+    """k-gram hash. ``xxhash64`` (default): the fast native
+    non-cryptographic hash — the production path. ``md5``:
+    md5-substring integer (the repo-standard SQL-reproducible idiom,
+    curation.split_bucket_col) — ~4× slower, used where a DuckDB
+    oracle must replay selection bit-exactly. Fingerprint SETS from
+    the two methods differ (different minima win), but the winnowing
+    guarantee and all downstream semantics hold for either."""
+    if method == "md5":
+        return F.conv(
+            F.substring(F.md5(s), 18, 15), 16, 10
+        ).cast("long")
+    if method != "xxhash64":  # pragma: no cover - guarded API
+        raise ValueError(f"unknown winnow hash {method!r}")
+    return F.xxhash64(s)
 
 
 def winnow_fingerprints(
@@ -54,13 +65,15 @@ def winnow_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
     lang: str = "english",
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """(id, pos, h): the winnowing fingerprint set of every document.
 
     ``k``: tokens per gram (noise threshold — matches shorter than k
     tokens are never seen). ``w``: window size (guarantee threshold —
     matches of ≥ w + k − 1 tokens are always seen). Documents with
-    fewer than ``k`` tokens yield no fingerprints (no gram exists)."""
+    fewer than ``k`` tokens yield no fingerprints (no gram exists).
+    ``hash_method``: see :func:`_gram_hash`."""
     toks = df.select(
         id_col,
         tokens_col(F.col(text_col), F.lit(lang)).alias("_toks"),
@@ -86,7 +99,8 @@ def winnow_fingerprints(
                             F.concat_ws(
                                 " ",
                                 F.slice(F.col("_toks"), i + 1, k),
-                            )
+                            ),
+                            hash_method,
                         ).alias("h"),
                     ),
                 ),
@@ -141,6 +155,7 @@ def winnow_reuse_pairs(
     id_col: str = "doc_id",
     lang: str = "english",
     fingerprints: DataFrame | None = None,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """(id_a, id_b, shared) — unordered doc pairs sharing ≥
     ``min_shared`` winnowing fingerprints (id_a < id_b).
@@ -153,10 +168,18 @@ def winnow_reuse_pairs(
     fp = (
         fingerprints
         if fingerprints is not None
-        else winnow_fingerprints(df, k, w, text_col, id_col, lang)
+        else winnow_fingerprints(
+            df, k, w, text_col, id_col, lang, hash_method
+        )
     )
-    # pair detection needs hash membership only, not positions
-    fph = fp.select(id_col, "h").distinct()
+    # pair detection needs hash membership only, not positions.
+    # CACHED: this frame is consumed up to four times (hot-hash df,
+    # anti-join, both join sides) — uncached, each consumer re-runs
+    # the whole gram/selection pipeline.  It is ~ng/w rows per doc
+    # (the winnowing density guarantee), orders of magnitude below
+    # the gram stream; at corpus scale persist it as an artifact and
+    # pass it back via ``fingerprints``.
+    fph = fp.select(id_col, "h").distinct().cache()
     if max_hash_df is not None:
         hdf = fph.groupBy("h").agg(
             F.countDistinct(id_col).alias("hdf")

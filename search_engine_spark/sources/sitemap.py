@@ -90,6 +90,69 @@ def sitemap_index_entries(
     )
 
 
+def recrawl_plan(
+    corpus: DataFrame,
+    sitemaps: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+    default_delay: float = 1.0,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    site_col: str = "site",
+    sitemap_col: str = "sitemap_xml",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Politeness-scheduled re-crawl plan — the composition of the
+    whole crawl-control surface: :func:`stale_urls` (what needs
+    fetching), :func:`operators.robots.filter_by_robots` (what MAY be
+    fetched) and :func:`operators.robots.crawl_delays` (how fast per
+    site).
+
+    Returns ``(site, url, reason, fetch_rank, fetch_offset_sec)``:
+    per-site fetch order is (priority desc NULLS LAST, lastmod desc
+    NULLS LAST, url asc) — declared-important and recently-changed
+    pages first — and ``fetch_offset_sec`` = (rank−1) × the site's
+    Crawl-delay (``default_delay`` when the site declares none), i.e.
+    the earliest polite start time relative to the site's crawl
+    start. Per-site ranking windows are bounded by each site's OWN
+    worklist (metadata scale), never the corpus."""
+    from pyspark.sql import Window
+
+    from search_engine_spark.operators.robots import (
+        crawl_delays,
+        filter_by_robots,
+    )
+
+    work = stale_urls(
+        corpus, sitemaps, url_col, ts_col, site_col, sitemap_col
+    )
+    entries = parse_sitemap(sitemaps, site_col, sitemap_col).select(
+        "url", "priority",
+    )
+    allowed = filter_by_robots(
+        work.join(entries, "url", "left"),
+        robots, agent, "url", "site", robots_col,
+    )
+    delays = crawl_delays(robots, agent, site_col, robots_col)
+    w = Window.partitionBy("site").orderBy(
+        F.desc_nulls_last("priority"),
+        F.desc_nulls_last("lastmod"),
+        F.asc("url"),
+    )
+    return (
+        allowed.withColumn("fetch_rank", F.row_number().over(w))
+        .join(F.broadcast(delays), "site", "left")
+        .withColumn(
+            "fetch_offset_sec",
+            (F.col("fetch_rank") - 1)
+            * F.coalesce(F.col("crawl_delay"), F.lit(default_delay)),
+        )
+        .select(
+            "site", "url", "reason", "fetch_rank", "fetch_offset_sec"
+        )
+    )
+
+
 def stale_urls(
     corpus: DataFrame,
     sitemaps: DataFrame,

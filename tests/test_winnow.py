@@ -71,7 +71,9 @@ def docs(spark):
 def test_fingerprints_match_reference(docs):
     got = {
         (r["doc_id"], r["pos"], r["h"])
-        for r in winnow_fingerprints(docs, k=K, w=W).collect()
+        for r in winnow_fingerprints(
+            docs, k=K, w=W, hash_method="md5"
+        ).collect()
     }
     want = {
         (i, pos, h)
@@ -79,6 +81,20 @@ def test_fingerprints_match_reference(docs):
         for pos, h in _ref_winnow(_tok(txt), K, W)
     }
     assert got == want
+
+
+def test_default_hash_guarantee_holds(docs):
+    # xxhash64 (the fast production default) selects a different
+    # fingerprint SET, but the ≥ w+k−1 shared-run guarantee and the
+    # density bound are hash-independent
+    fp = winnow_fingerprints(docs, k=K, w=W)  # default hash
+    assert fp.filter(F.col("doc_id") == 3).count() == 0
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_reuse_pairs(docs, k=K, w=W,
+                                    min_shared=1).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) not in pairs
 
 
 def test_short_doc_has_no_fingerprints(docs):
