@@ -828,6 +828,63 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
 """
 
 
+def _minhash_md5_sql(toks_list: str, k: int = 16, bands: int = 4,
+                     threshold: float = 0.5) -> str:
+    """DuckDB mirror of minhash_lsh_pairs(hash_method='md5'): the
+    seed-varied signature minima, band hashes, candidate join and
+    estimated-Jaccard verify all replayed with the md5-substring
+    integer hash (3-gram shingles)."""
+    r = k // bands
+    mins_cols = ",\n                     ".join(
+        f"min(('0x' || substr(md5(shingle || '#{i}'), 18, 15))"
+        f"::BIGINT) AS h{i}"
+        for i in range(k)
+    )
+    band_selects = "\n              UNION ALL\n              ".join(
+        "SELECT doc_id, {b} AS band, ('0x' || substr(md5({cc}), 18, "
+        "15))::BIGINT AS bh FROM mins".format(
+            b=i,
+            cc=" || '#' || ".join(
+                f"CAST(h{j} AS VARCHAR)"
+                for j in range(i * r, (i + 1) * r)
+            ),
+        )
+        for i in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+        for i in range(k)
+    )
+    return f"""
+            WITH lt AS (SELECT doc_id, {toks_list} AS tokens
+                        FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     tokens[i] || ' ' || tokens[i+1] || ' '
+                       || tokens[i+2] AS shingle
+              FROM lt, unnest(range(1, len(tokens) - 1)) AS r(i)
+              WHERE len(tokens) >= 3),
+            mins AS (SELECT doc_id,
+                     {mins_cols}
+                     FROM sh GROUP BY doc_id),
+            bnd AS (
+              {band_selects}),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM bnd x JOIN bnd y
+                ON x.band = y.band AND x.bh = y.bh
+              WHERE x.doc_id < y.doc_id),
+            est AS (
+              SELECT c.id_a, c.id_b,
+                     round(({agree}) / {float(k)}, 6) AS est_jaccard
+              FROM cand c
+              JOIN mins a ON a.doc_id = c.id_a
+              JOIN mins b ON b.doc_id = c.id_b)
+            SELECT id_a, id_b, est_jaccard FROM est
+            WHERE est_jaccard >= {threshold}
+"""
+
+
 def _winnow_fp_ctes(toks_list: str, k: int = 5, w: int = 4) -> str:
     """CTE chain ending in ``fp(doc_id, pos, h)`` — DuckDB mirror of
     operators/winnow.winnow_fingerprints: md5-substring gram hashes,
@@ -1999,6 +2056,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return minhash_lsh_pairs(
             _docs_enriched(spark, sf), "doc_id", "tokens",
             n=3, k=32, bands=8, threshold=0.5,
+        )
+
+    def minhash_pairs_md5(spark, sf):
+        """MinHash+LSH with the SQL-reproducible md5-substring hash:
+        the DuckDB oracle hash-checks the WHOLE pipeline — seed-varied
+        signature minima, band hashing, candidate join, estimated-
+        Jaccard verify — not just row counts (the xxhash64 twin above
+        stays the fast production default)."""
+        return minhash_lsh_pairs(
+            _docs_enriched(spark, sf), "doc_id", "tokens",
+            n=3, k=16, bands=4, threshold=0.5, hash_method="md5",
         )
 
     def simhash(spark, sf):  # rows-only check
@@ -3248,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": winnow_fps,
         "winnow_reuse_pairs": winnow_pairs,
         "minhash_lsh_pairs": minhash_pairs,
+        "minhash_pairs_md5": minhash_pairs_md5,
         "simhash": simhash,
         "simhash_near_dup_pairs": simhash_pairs,
         "ann_cosine_topk": ann_cosine_topk,
@@ -3938,6 +4007,9 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             SELECT id_src, id_dst, round(c, 6) AS containment
             FROM dirs WHERE c >= 0.5
         """,
+        "minhash_pairs_md5": _minhash_md5_sql(
+            toks_list, k=16, bands=4, threshold=0.5
+        ),
         "winnow_fingerprints": f"""
             WITH {_winnow_fp_ctes(toks_list, k=5, w=4)}
             SELECT doc_id, pos, h FROM fp

@@ -349,22 +349,46 @@ def ngram_containment_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _md5_long(s: Column) -> Column:
+    """The repo-standard SQL-reproducible 60-bit hash
+    (md5-substring integer — curation.split_bucket_col idiom)."""
+    return F.conv(F.substring(F.md5(s), 18, 15), 16, 10).cast("long")
+
+
+def _perm_hash(shingle: Column, seed: int, method: str) -> Column:
+    if method == "md5":
+        return _md5_long(
+            F.concat_ws("#", shingle, F.lit(str(seed)))
+        )
+    if method != "xxhash64":  # pragma: no cover - guarded API
+        raise ValueError(f"unknown minhash hash {method!r}")
+    return F.xxhash64(shingle, F.lit(seed))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     tokens_col_name: str = "tokens",
     n: int = 3,
     k: int = 32,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<long>) — k MinHash values per doc.
 
-    Permutation i is xxhash64(shingle, i) (seed-varied JVM hash); the
-    min per doc is a partial aggregate — one shuffle on the doc id.
-    """
+    Permutation i is a seed-varied hash of the shingle; the min per
+    doc is a partial aggregate — one shuffle on the doc id.
+    ``hash_method``: ``xxhash64`` (fast native JVM hash — the
+    production default) or ``md5`` (md5-substring integers, ~4×
+    slower but reproducible in any SQL engine, so a DuckDB oracle
+    can hash-check the WHOLE pipeline — signatures, banding, pair
+    extraction). Signature values differ between methods; Jaccard
+    estimation quality is equivalent."""
     ds = _doc_shingles(df, id_col, tokens_col_name, n)
     mins = ds.groupBy(id_col).agg(
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            F.min(
+                _perm_hash(F.col("shingle"), i, hash_method)
+            ).alias(f"h{i}")
             for i in range(k)
         ]
     )
@@ -381,12 +405,24 @@ def _banded_signatures(
     n: int,
     k: int,
     bands: int,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig, band, bh) — each doc exploded into its LSH band
     hashes (cached: both sides of a banded join reuse it)."""
     assert k % bands == 0
     r = k // bands
-    sigs = minhash_signatures(df, id_col, tokens_col_name, n, k).cache()
+
+    def band_hash(i):
+        cols = [F.col("sig")[j] for j in range(i * r, (i + 1) * r)]
+        if hash_method == "md5":
+            return _md5_long(
+                F.concat_ws("#", *[c.cast("string") for c in cols])
+            )
+        return F.xxhash64(*cols)
+
+    sigs = minhash_signatures(
+        df, id_col, tokens_col_name, n, k, hash_method
+    ).cache()
     return sigs.select(
         F.col(id_col),
         F.col("sig"),
@@ -395,10 +431,7 @@ def _banded_signatures(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[j]
-                              for j in range(i * r, (i + 1) * r)]
-                        ).alias("bh"),
+                        band_hash(i).alias("bh"),
                     )
                     for i in range(bands)
                 ]
@@ -415,14 +448,16 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via LSH banding, verified with estimated Jaccard.
 
     sig agreement fraction estimates Jaccard; pairs sharing >= 1 of the
     ``bands`` band-hashes are candidates (the only join is per-bucket).
+    ``hash_method``: see :func:`minhash_signatures`.
     """
     banded = _banded_signatures(
-        df, id_col, tokens_col_name, n, k, bands
+        df, id_col, tokens_col_name, n, k, bands, hash_method
     )
 
     a = banded.select(

@@ -215,6 +215,43 @@ def test_minhash_estimates_track_exact_jaccard(spark, boilerplate_docs):
             assert exact.get(pair, 0.0) >= 0.3
 
 
+def test_minhash_md5_matches_python_reference(spark):
+    """hash_method='md5' (the SQL-reproducible oracle variant) pins
+    bit-exactly against a pure-python md5 MinHash."""
+    import hashlib
+
+    from search_engine_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta",
+        1: "alpha beta gamma delta epsilon theta iota",
+    }
+    df = spark.createDataFrame(
+        [(i, t.split()) for i, t in texts.items()],
+        "doc_id long, tokens array<string>",
+    )
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in minhash_signatures(
+            df, "doc_id", "tokens", n=3, k=8, hash_method="md5"
+        ).collect()
+    }
+
+    def h(s):  # substring(md5, 18, 15) is 1-based → hexdigest[17:32]
+        return int(hashlib.md5(s.encode()).hexdigest()[17:32], 16)
+
+    for i, t in texts.items():
+        toks = t.split()
+        sh = {
+            " ".join(toks[j : j + 3])
+            for j in range(len(toks) - 2)
+        }
+        want = [min(h(f"{s}#{seed}") for s in sh) for seed in range(8)]
+        assert got[i] == want
+
+
 # ---------------------------------------------------------------------------
 # S2 link extraction + frontier
 # ---------------------------------------------------------------------------
