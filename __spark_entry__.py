@@ -828,6 +828,69 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
 """
 
 
+def _simhash_md5_ctes(toks_list: str) -> str:
+    """CTE chain ending in ``sig(doc_id, simhash)`` — DuckDB mirror
+    of simhash_table(hash_method='md5'): 60-bit signatures from
+    per-bit ±1 sums over md5-substring token hashes (token-less docs
+    get signature 0, matching the UDF path)."""
+    bitsums = ",\n                     ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS b{b}"
+        for b in range(60)
+    )
+    sig_expr = "\n                     | ".join(
+        f"((CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END) << {b})"
+        for b in range(60)
+    )
+    return f"""
+            lt AS (SELECT doc_id, {toks_list} AS tokens
+                   FROM documents),
+            ex AS (SELECT doc_id, unnest(tokens) AS tok FROM lt),
+            th AS (SELECT doc_id,
+                          ('0x' || substr(md5(tok), 18, 15))::BIGINT
+                            AS h
+                   FROM ex),
+            bs AS (SELECT doc_id,
+                     {bitsums}
+                   FROM th GROUP BY doc_id),
+            sg0 AS (SELECT doc_id,
+                     {sig_expr} AS simhash
+                    FROM bs),
+            sig AS (SELECT d.doc_id,
+                           coalesce(s.simhash, 0) AS simhash
+                    FROM documents d LEFT JOIN sg0 s USING (doc_id))"""
+
+
+def _simhash_md5_pairs_sql(toks_list: str, bands: int = 4,
+                           max_hamming: int = 3) -> str:
+    """DuckDB mirror of simhash_near_dup_pairs(hash_method='md5'):
+    15-bit bands over the 60-bit signature, exact banded candidate
+    join, bit_count(xor) Hamming verify."""
+    width = 60 // bands
+    mask = (1 << width) - 1
+    band_selects = "\n              UNION ALL\n              ".join(
+        f"SELECT doc_id, simhash, {i} AS band,"
+        f" (simhash >> {i * width}) & {mask} AS bk FROM sig"
+        for i in range(bands)
+    )
+    return f"""
+            WITH {_simhash_md5_ctes(toks_list)},
+            bnd AS (
+              {band_selects}),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                     x.simhash AS sa, y.simhash AS sb
+              FROM bnd x JOIN bnd y
+                ON x.band = y.band AND x.bk = y.bk
+              WHERE x.doc_id < y.doc_id)
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+            FROM cand
+            WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
 def _minhash_md5_sql(toks_list: str, k: int = 16, bands: int = 4,
                      threshold: float = 0.5) -> str:
     """DuckDB mirror of minhash_lsh_pairs(hash_method='md5'): the
@@ -2071,6 +2134,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def simhash(spark, sf):  # rows-only check
         return simhash_table(_docs_enriched(spark, sf), "doc_id", "tokens")
+
+    def simhash_md5(spark, sf):
+        """60-bit md5-variant SimHash signatures as pure JVM column
+        work — the DuckDB oracle replays the per-bit ±1 sums and
+        bit assembly exactly (the blake2b Arrow-UDF twin above stays
+        the fast default, rows-only)."""
+        return simhash_table(
+            _docs_enriched(spark, sf), "doc_id", "tokens",
+            hash_method="md5",
+        )
+
+    def simhash_pairs_md5(spark, sf):
+        """Banded exact-Hamming near-dup pairs over the md5-variant
+        signatures — the whole pipeline hash-checked in SQL."""
+        from search_engine_spark.operators.dedup import (
+            simhash_near_dup_pairs,
+        )
+
+        return simhash_near_dup_pairs(
+            _docs_enriched(spark, sf), "doc_id", "tokens",
+            bands=4, max_hamming=3, hash_method="md5",
+        )
 
     def simhash_pairs(spark, sf):  # rows-only (hash not in SQL);
         # banded join is EXACT for max_hamming < bands (pytest-proven
@@ -3317,6 +3402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_reuse_pairs": winnow_pairs,
         "minhash_lsh_pairs": minhash_pairs,
         "minhash_pairs_md5": minhash_pairs_md5,
+        "simhash_md5": simhash_md5,
+        "simhash_pairs_md5": simhash_pairs_md5,
         "simhash": simhash,
         "simhash_near_dup_pairs": simhash_pairs,
         "ann_cosine_topk": ann_cosine_topk,
@@ -4009,6 +4096,13 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
         """,
         "minhash_pairs_md5": _minhash_md5_sql(
             toks_list, k=16, bands=4, threshold=0.5
+        ),
+        "simhash_md5": f"""
+            WITH {_simhash_md5_ctes(toks_list)}
+            SELECT doc_id, simhash FROM sig
+        """,
+        "simhash_pairs_md5": _simhash_md5_pairs_sql(
+            toks_list, bands=4, max_hamming=3
         ),
         "winnow_fingerprints": f"""
             WITH {_winnow_fp_ctes(toks_list, k=5, w=4)}

@@ -551,19 +551,70 @@ def simhash64_udf(tokens: pd.Series) -> pd.Series:
 
 
 def simhash_table(
-    df: DataFrame, id_col: str = "doc_id", tokens_col_name: str = "tokens"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    hash_method: str = "blake2b",
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col), simhash64_udf(F.col(tokens_col_name)).alias("simhash")
+    """(id, simhash). ``blake2b`` (default): 64-bit signatures via
+    the batch-vectorized Arrow UDF. ``md5``: 60-bit signatures as
+    PURE JVM column work — explode tokens, md5-substring hash, one
+    map-side-combined 60-conditional-sum aggregate, bits reassembled
+    with shifts — SQL-reproducible, so the DuckDB oracle replays
+    signatures AND the banded pair join bit-exactly. Signatures
+    differ between methods; the Hamming/banding semantics are
+    identical (md5 bands are 15-bit over 60)."""
+    if hash_method == "blake2b":
+        return df.select(
+            F.col(id_col),
+            simhash64_udf(F.col(tokens_col_name)).alias("simhash"),
+        )
+    if hash_method != "md5":  # pragma: no cover - guarded API
+        raise ValueError(f"unknown simhash hash {hash_method!r}")
+    ex = df.select(
+        F.col(id_col),
+        F.explode(F.col(tokens_col_name)).alias("_tok"),
+    ).withColumn("_h", _md5_long(F.col("_tok")))
+    bitsum = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("_h"), b)
+                .bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(60)
+    ]
+    sig = None
+    for b in range(60):
+        bit = F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("long")) \
+            .otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    sigs = ex.groupBy(id_col).agg(*bitsum).select(
+        F.col(id_col), sig.alias("simhash")
+    )
+    # token-less docs: the UDF path emits 0 — mirror it
+    return (
+        df.select(id_col)
+        .join(sigs, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("simhash"), F.lit(0).cast("long"))
+            .alias("simhash"),
+        )
     )
 
 
 _EMPTY_OBJ = np.empty(0, dtype=object)
 
 
-def simhash_band_col(sig: Column, band: int, bands: int) -> Column:
-    """``band``-th ``64/bands``-bit slice of a simhash (JVM bit ops)."""
-    width = 64 // bands
+def simhash_band_col(
+    sig: Column, band: int, bands: int, bits: int = 64
+) -> Column:
+    """``band``-th ``bits/bands``-bit slice of a simhash (JVM bit
+    ops); ``bits`` is 64 for blake2b signatures, 60 for md5."""
+    width = bits // bands
     sliced = F.shiftrightunsigned(sig, band * width)
     if width < 64:
         sliced = sliced.bitwiseAND(F.lit((1 << width) - 1))
@@ -576,6 +627,7 @@ def simhash_near_dup_pairs(
     tokens_col_name: str = "tokens",
     bands: int = 4,
     max_hamming: int = 3,
+    hash_method: str = "blake2b",
 ) -> DataFrame:
     """(id_a, id_b, hamming) for all pairs within Hamming distance
     ``max_hamming`` of each other's 64-bit SimHash.
@@ -599,7 +651,10 @@ def simhash_near_dup_pairs(
     # cache: both self-join sides derive from the signatures — without
     # this the Arrow-vectorized signature UDF runs twice (once per
     # side), doubling the only Python cost in the operator
-    sigs = simhash_table(df, id_col, tokens_col_name).cache()
+    sigs = simhash_table(
+        df, id_col, tokens_col_name, hash_method
+    ).cache()
+    sig_bits = 60 if hash_method == "md5" else 64
     banded = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -609,7 +664,7 @@ def simhash_near_dup_pairs(
                     F.struct(
                         F.lit(i).alias("band"),
                         simhash_band_col(
-                            F.col("simhash"), i, bands
+                            F.col("simhash"), i, bands, sig_bits
                         ).alias("bk"),
                     )
                     for i in range(bands)

@@ -252,6 +252,58 @@ def test_minhash_md5_matches_python_reference(spark):
         assert got[i] == want
 
 
+def test_simhash_md5_matches_python_reference(spark):
+    """hash_method='md5' SimHash (pure JVM columns, SQL-replayable)
+    pins bit-exactly against the definitional implementation."""
+    import hashlib
+
+    from search_engine_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_table,
+    )
+
+    texts = {
+        0: "alpha beta gamma alpha",
+        1: "alpha beta gamma delta",
+        2: "",  # token-less → signature 0
+        3: "zz yy xx ww vv uu",
+    }
+    df = spark.createDataFrame(
+        [(i, t.split()) for i, t in texts.items()],
+        "doc_id long, tokens array<string>",
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_table(df, hash_method="md5").collect()
+    }
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[17:32], 16)
+
+    def ref(toks):
+        if not toks:
+            return 0
+        sums = [0] * 60
+        for t in toks:
+            x = h(t)
+            for b in range(60):
+                sums[b] += 1 if (x >> b) & 1 else -1
+        return sum((1 << b) for b in range(60) if sums[b] > 0)
+
+    assert got == {i: ref(t.split()) for i, t in texts.items()}
+
+    # banded join over the 60-bit signatures: the near-identical
+    # pair (0, 1) surfaces with the exact Hamming distance
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(
+            df, bands=16, max_hamming=15, hash_method="md5"
+        ).collect()
+    }
+    want_h = bin(ref(texts[0].split()) ^ ref(texts[1].split()))
+    assert pairs.get((0, 1)) == want_h.count("1")
+
+
 # ---------------------------------------------------------------------------
 # S2 link extraction + frontier
 # ---------------------------------------------------------------------------
