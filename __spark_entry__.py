@@ -828,6 +828,45 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
 """
 
 
+def _cms_md5_sql(toks_list: str, keys: list[str], depth: int = 5,
+                 width: int = 2048) -> str:
+    """DuckDB mirror of cms_build+cms_estimate(hash_method='md5'):
+    the depth×width cell table and the min-over-probes estimates,
+    bucket = md5-substring-int('key#row') mod width."""
+    def bucket(expr, row):
+        return (
+            f"(('0x' || substr(md5({expr} || '#{row}'), 18, 15))"
+            f"::BIGINT % {width})"
+        )
+
+    cell_rows = "\n                UNION ALL\n                ".join(
+        f"SELECT {r} AS row, {bucket('term', r)} AS col FROM tk"
+        for r in range(depth)
+    )
+    probe_rows = "\n                UNION ALL\n                ".join(
+        f"SELECT key, {r} AS row, {bucket('key', r)} AS col FROM pk"
+        for r in range(depth)
+    )
+    key_vals = ", ".join(f"('{k}')" for k in sorted(set(keys)))
+    return f"""
+            WITH lt AS (SELECT doc_id, {toks_list} AS tokens
+                        FROM documents),
+            tk AS (SELECT unnest(tokens) AS term FROM lt),
+            cells AS (
+              SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+              FROM (
+                {cell_rows})
+              GROUP BY row, col),
+            pk AS (SELECT * FROM (VALUES {key_vals}) AS v(key)),
+            pc AS (
+                {probe_rows})
+            SELECT pc.key,
+                   min(coalesce(c.cnt, 0)) AS est
+            FROM pc LEFT JOIN cells c USING (row, col)
+            GROUP BY pc.key
+"""
+
+
 def _simhash_md5_ctes(toks_list: str) -> str:
     """CTE chain ending in ``sig(doc_id, simhash)`` — DuckDB mirror
     of simhash_table(hash_method='md5'): 60-bit signatures from
@@ -2768,6 +2807,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sk = cms_build(toks, "term")
         return cms_estimate(sk, FLAGSHIP_TERMS + ["zzz_absent"])
 
+    def cms_counts_md5(spark, sf):
+        """Count-Min sketch with the SQL-reproducible md5 bucket
+        hash: build cells AND min-probe estimates hash-checked by the
+        DuckDB oracle (the xxhash64 twin above stays the fast
+        default, rows-only)."""
+        from search_engine_spark.operators.sketches import (
+            cms_build,
+            cms_estimate,
+        )
+
+        toks = _docs_enriched(spark, sf).select(
+            F.explode("tokens").alias("term")
+        )
+        sk = cms_build(toks, "term", hash_method="md5")
+        return cms_estimate(
+            sk, FLAGSHIP_TERMS + ["zzz_absent"], hash_method="md5"
+        )
+
     def bm25f_topk_q(spark, sf):  # field-weighted (title+body) BM25F
         from search_engine_spark.functions.textproc import tokens_col
         from search_engine_spark.plans.search import bm25f_topk
@@ -3470,6 +3527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": facet_counts_q,
         "novel_documents": novel_documents_q,
         "cms_term_counts": cms_term_counts,
+        "cms_counts_md5": cms_counts_md5,
         "doclen_quantile_sketch": doclen_quantile_sketch,
         "boilerplate_lines": boilerplate_lines,
         "dsir_resample": dsir_resample_q,
@@ -4101,6 +4159,9 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             WITH {_simhash_md5_ctes(toks_list)}
             SELECT doc_id, simhash FROM sig
         """,
+        "cms_counts_md5": _cms_md5_sql(
+            toks_list, FLAGSHIP_TERMS + ["zzz_absent"]
+        ),
         "simhash_pairs_md5": _simhash_md5_pairs_sql(
             toks_list, bands=4, max_hamming=3
         ),

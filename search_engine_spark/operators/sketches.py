@@ -31,7 +31,21 @@ CMS_DEPTH = 5
 CMS_WIDTH = 2048
 
 
-def _bucket(key_col, row: int, width: int):
+def _bucket(key_col, row: int, width: int,
+            hash_method: str = "xxhash64"):
+    if hash_method == "md5":
+        # SQL-reproducible row hash (md5-substring integer idiom):
+        # DuckDB oracles can replay build + estimate bit-exactly
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", key_col, F.lit(str(row)))),
+                18, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        return F.pmod(h, F.lit(width))
+    if hash_method != "xxhash64":  # pragma: no cover - guarded API
+        raise ValueError(f"unknown cms hash {hash_method!r}")
     return F.pmod(F.xxhash64(key_col, F.lit(row)), F.lit(width))
 
 
@@ -41,6 +55,7 @@ def cms_build(
     weight_col: str | None = None,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """``(row, col, cnt)`` sketch cells for the keys in ``key_col``
     (optionally weighted).  One explode (×depth) + one aggregation;
@@ -54,7 +69,7 @@ def cms_build(
     rows = [
         df.select(
             F.lit(i).alias("row"),
-            _bucket(F.col(key_col), i, width).alias("col"),
+            _bucket(F.col(key_col), i, width, hash_method).alias("col"),
             w.alias("w"),
         )
         for i in range(depth)
@@ -80,6 +95,7 @@ def cms_estimate(
     keys: list[str],
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """``(key, est)`` point estimates: min over the depth probes.
 
@@ -91,7 +107,7 @@ def cms_estimate(
     ).select(
         "key",
         *[
-            _bucket(F.col("key"), i, width).alias(f"c{i}")
+            _bucket(F.col("key"), i, width, hash_method).alias(f"c{i}")
             for i in range(depth)
         ],
     )
