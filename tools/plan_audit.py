@@ -36,6 +36,9 @@ AUDITED = [
     "bm25_champion_topk",
     "robots_filter",
     "winnow_reuse_pairs",
+    "minhash_pairs_md5",
+    "simhash_pairs_md5",
+    "cms_counts_md5",
     "bm25_site_restricted",
     "bm25_batch",
     "postings",
