@@ -3214,6 +3214,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pr = pagerank(nodes, edges, n_iter=6)
         return pr.select("node_id", F.round("rank", 6).alias("rank"))
 
+    def hits_q(spark, sf):
+        # HITS hubs/authorities (Kleinberg 1999) over the same
+        # synthetic link graph as pagerank_q; 3 iterations of
+        # L2-normalized mutual reinforcement, oracle = the generated
+        # 3-iteration CTE chain (_hits_sql).
+        from search_engine_spark.operators.graph import hits
+
+        docs = (
+            _read(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 200)
+        )
+        nodes = docs.select(F.col("doc_id").alias("node_id"))
+        src = docs.filter(F.col("doc_id") % 10 != 9)
+        edges = src.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 7 + 1) % 200).alias("dst"),
+        ).unionByName(
+            src.select(
+                F.col("doc_id").alias("src"),
+                ((F.col("doc_id") * 13 + 3) % 200).alias("dst"),
+            )
+        )
+        hs = hits(nodes, edges, n_iter=3)
+        return hs.select(
+            "node_id",
+            F.round("authority", 6).alias("authority"),
+            F.round("hub", 6).alias("hub"),
+        )
+
+    def _impressions(spark, sf):
+        # deterministic synthetic search-impression log derived from
+        # the events stream table (identical projection in the
+        # oracles): query, result doc, SERP position, click flag
+        ev = _read(spark, sf, "events")
+        return ev.select(
+            (F.col("event_id") % 20).alias("query_id"),
+            ((F.col("event_id") * 7) % 500).alias("doc_id"),
+            (F.col("event_id") % 10 + 1).alias("position"),
+            (F.col("event_type") == "click").alias("clicked"),
+        )
+
+    def click_coec_q(spark, sf):
+        from search_engine_spark.operators.clicks import coec_scores
+
+        return coec_scores(_impressions(spark, sf)).select(
+            "query_id",
+            "doc_id",
+            "n_impressions",
+            "n_clicks",
+            F.round("expected_clicks", 6).alias("expected_clicks"),
+            F.round("coec", 6).alias("coec"),
+        )
+
+    def click_pbm_q(spark, sf):
+        from search_engine_spark.operators.clicks import pbm_em_step
+
+        return pbm_em_step(
+            _impressions(spark, sf), alpha0=0.5
+        ).select(
+            "query_id",
+            "doc_id",
+            "n_impressions",
+            F.round("alpha", 6).alias("alpha"),
+        )
+
     def fuzzy_terms_q(spark, sf):
         # SymSpell deletion-neighborhood candidates + JVM levenshtein
         # verify == brute-force scan (the oracle) for d=1, by the
@@ -3484,6 +3550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr_dedup": exact_substr_dedup_q,
         "fuzzy_terms": fuzzy_terms_q,
         "pagerank": pagerank_q,
+        "hits_scores": hits_q,
+        "click_coec": click_coec_q,
+        "click_pbm_alpha": click_pbm_q,
         "sample_per_group": sample_per_group_q,
         "filter_urls": filter_urls_q,
         "robots_filter": robots_filter_q,
@@ -3728,6 +3797,68 @@ _LPOSTINGS = (
     "postings AS (SELECT lm.lemma AS term, toks.doc_id, count(*) AS tf "
     "FROM toks JOIN lemma_map lm ON toks.term = lm.word GROUP BY 1, 2)"
 )
+
+
+def _hits_sql(n_iter: int) -> str:
+    """Generated ``n_iter``-iteration HITS CTE chain over the
+    pagerank oracle's synthetic link graph (whole block is
+    regenerated on any edit — never spliced)."""
+    ctes = [
+        "nodes AS (SELECT doc_id AS node_id FROM documents"
+        " WHERE doc_id < 200)",
+        "srcd AS (SELECT doc_id FROM documents"
+        " WHERE doc_id < 200 AND doc_id % 10 <> 9)",
+        "edges AS ("
+        "SELECT doc_id AS src, (doc_id * 7 + 1) % 200 AS dst FROM srcd"
+        " UNION ALL "
+        "SELECT doc_id AS src, (doc_id * 13 + 3) % 200 AS dst"
+        " FROM srcd)",
+        "h0 AS (SELECT node_id, CAST(1.0 AS DOUBLE) AS hub"
+        " FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"a{i}r AS (SELECT e.dst AS node_id, sum(h.hub) AS v"
+            f" FROM edges e JOIN h{i - 1} h ON h.node_id = e.src"
+            " GROUP BY 1)"
+        )
+        ctes.append(
+            f"a{i}n AS (SELECT sqrt(sum(v * v)) AS s FROM a{i}r)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT n.node_id, CASE WHEN an.s > 0 THEN"
+            " COALESCE(r.v, CAST(0 AS DOUBLE)) / an.s"
+            " ELSE CAST(0 AS DOUBLE) END AS authority"
+            f" FROM nodes n LEFT JOIN a{i}r r"
+            " ON r.node_id = n.node_id"
+            f" CROSS JOIN a{i}n an)"
+        )
+        ctes.append(
+            f"h{i}r AS (SELECT e.src AS node_id,"
+            " sum(a.authority) AS v"
+            f" FROM edges e JOIN a{i} a ON a.node_id = e.dst"
+            " GROUP BY 1)"
+        )
+        ctes.append(
+            f"h{i}n AS (SELECT sqrt(sum(v * v)) AS s FROM h{i}r)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT n.node_id, CASE WHEN hn.s > 0 THEN"
+            " COALESCE(r.v, CAST(0 AS DOUBLE)) / hn.s"
+            " ELSE CAST(0 AS DOUBLE) END AS hub"
+            f" FROM nodes n LEFT JOIN h{i}r r"
+            " ON r.node_id = n.node_id"
+            f" CROSS JOIN h{i}n hn)"
+        )
+    return (
+        "WITH "
+        + ",\n            ".join(ctes)
+        + "\n            SELECT a.node_id,"
+        " round(a.authority, 6) AS authority,"
+        " round(h.hub, 6) AS hub"
+        + f" FROM a{n_iter} a JOIN h{n_iter} h"
+        " ON h.node_id = a.node_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4770,6 +4901,58 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             SELECT doc_id, lang,
                    CAST(unnest(range(0, n)) AS INTEGER) AS copy
             FROM w
+        """,
+        "hits_scores": _hits_sql(3),
+        "click_coec": """
+            WITH impr AS (
+              SELECT event_id % 20 AS query_id,
+                     (event_id * 7) % 500 AS doc_id,
+                     event_id % 10 + 1 AS position,
+                     (event_type = 'click') AS clicked
+              FROM events),
+            pctr AS (
+              SELECT position,
+                     CAST(sum(CASE WHEN clicked THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*) AS ctr
+              FROM impr GROUP BY 1)
+            SELECT i.query_id, i.doc_id,
+                   count(*) AS n_impressions,
+                   CAST(sum(CASE WHEN i.clicked THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clicks,
+                   round(sum(p.ctr), 6) AS expected_clicks,
+                   round(CASE WHEN sum(p.ctr) > 0 THEN
+                     CAST(sum(CASE WHEN i.clicked THEN 1 ELSE 0 END)
+                          AS DOUBLE) / sum(p.ctr) END, 6) AS coec
+            FROM impr i JOIN pctr p USING(position)
+            GROUP BY 1, 2
+        """,
+        "click_pbm_alpha": """
+            WITH impr AS (
+              SELECT event_id % 20 AS query_id,
+                     (event_id * 7) % 500 AS doc_id,
+                     event_id % 10 + 1 AS position,
+                     (event_type = 'click') AS clicked
+              FROM events),
+            pctr AS (
+              SELECT position,
+                     CAST(sum(CASE WHEN clicked THEN 1 ELSE 0 END)
+                          AS DOUBLE) / count(*) AS ctr
+              FROM impr GROUP BY 1),
+            mx AS (SELECT max(ctr) AS m FROM pctr),
+            gam AS (
+              SELECT position,
+                     CASE WHEN m > 0 THEN
+                       least(CAST(0.999999 AS DOUBLE), ctr / m)
+                     ELSE CAST(0 AS DOUBLE) END AS gamma
+              FROM pctr CROSS JOIN mx)
+            SELECT i.query_id, i.doc_id,
+                   count(*) AS n_impressions,
+                   round(avg(CASE WHEN i.clicked THEN CAST(1.0 AS DOUBLE)
+                     ELSE CAST(0.5 AS DOUBLE) * (1 - g.gamma)
+                          / (1 - CAST(0.5 AS DOUBLE) * g.gamma)
+                     END), 6) AS alpha
+            FROM impr i JOIN gam g USING(position)
+            GROUP BY 1, 2
         """,
         "pagerank": """
             WITH nodes AS (

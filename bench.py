@@ -183,6 +183,8 @@ def main() -> None:
         "hll_distinct_per_lang",
         "fuzzy_terms",
         "pagerank",
+        "hits_scores",
+        "click_coec",
         "pack_sequences",
         "phrase_search",
         "gopher_gate",

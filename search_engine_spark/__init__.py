@@ -122,6 +122,10 @@ _LAZY = {
     "pack_sequences": "search_engine_spark.operators.packing",
     "exclusive_prefix_sum": "search_engine_spark.operators.packing",
     "pagerank": "search_engine_spark.operators.graph",
+    "hits": "search_engine_spark.operators.graph",
+    "position_ctr": "search_engine_spark.operators.clicks",
+    "coec_scores": "search_engine_spark.operators.clicks",
+    "pbm_em_step": "search_engine_spark.operators.clicks",
     "suggest_terms": "search_engine_spark.operators.fuzzy",
     "stratified_sample": "search_engine_spark.operators.curation",
     "out_degrees": "search_engine_spark.operators.graph",

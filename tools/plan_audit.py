@@ -84,6 +84,9 @@ AUDITED = [
     "bm25f_anchor_topk",
     "anchor_postings",
     "weighted_sample",
+    "hits_scores",
+    "click_coec",
+    "click_pbm_alpha",
 ]
 
 
