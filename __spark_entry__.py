@@ -664,7 +664,8 @@ def _bm25_sql(terms: list[str], sites: list[str] | None = None,
               exclude: list[str] | None = None,
               mode: str = "rarest",
               collapse_per_site: int | None = None,
-              prior_weight: float | None = None) -> str:
+              prior_weight: float | None = None,
+              prior_expr: str | None = None) -> str:
     term_list = ", ".join(f"'{t}'" for t in terms)
     cand_not = ""
     if exclude:
@@ -706,7 +707,7 @@ scored AS (
   CROSS JOIN nn
   GROUP BY c.doc_id
 ),
-{_collapse_cte(collapse_per_site)}{_prior_cte(prior_weight)}
+{_collapse_cte(collapse_per_site)}{_prior_cte(prior_weight, prior_expr)}
 ranked AS (
   SELECT doc_id, round(score, 6) AS score,
          CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
@@ -718,16 +719,22 @@ WHERE rn > {offset} AND rn <= {offset + limit}
 """
 
 
-def _prior_cte(weight: float | None) -> str:
-    """Static-prior boost CTE mirroring plans/search.search_with_priors
-    over the deterministic ``1 + doc_id % 10`` prior used by the
-    bm25_priors_topk entry."""
+def _prior_cte(weight: float | None,
+               prior_expr: str | None = None) -> str:
+    """Static-prior boost CTE mirroring plans/search.search_with_priors.
+
+    ``prior_expr`` is the per-doc prior as a SQL expression over
+    ``doc_id``; default is the deterministic ``1 + doc_id % 10``
+    prior used by the bm25_priors_topk entry (bm25_fresh_topk passes
+    the closed form of its synthetic recency decay instead)."""
     if weight is None:
         return ""
+    if prior_expr is None:
+        prior_expr = "CAST(1 + doc_id % 10 AS DOUBLE)"
     return f"""
 boosted AS (
   SELECT doc_id,
-         score + {weight} * ln(CAST(1 + doc_id % 10 AS DOUBLE)) AS score
+         score + {weight} * ln({prior_expr}) AS score
   FROM scored
 ),"""
 
@@ -1692,6 +1699,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         res = search_with_priors(
             idx, FLAGSHIP_QUERY, priors, prior_weight=0.3,
+            limit=10, analyzer="tokens",
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def bm25_fresh_topk(spark, sf):  # recency-decayed ranking
+        # synthetic deterministic crawl timestamps: doc aged
+        # (doc_id % 400) days at the fixed "now"; the engine goes
+        # through real date arithmetic (to_date/datediff), the oracle
+        # uses the closed form of the same decay
+        from search_engine_spark.plans.freshness import search_fresh
+
+        idx = _docs_index(spark, sf)
+        now = "2026-08-19"
+        pages = _read(spark, sf, "documents").select(
+            "doc_id",
+            F.date_sub(
+                F.to_date(F.lit(now)),
+                (F.col("doc_id") % 400).cast("int"),
+            ).alias("warc_ts"),
+        )
+        res = search_fresh(
+            idx, FLAGSHIP_QUERY, pages, now=now,
+            half_life_days=90.0, prior_weight=0.3,
             limit=10, analyzer="tokens",
         )
         return res.select(
@@ -3490,6 +3523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_not_topk": bm25_not_topk,
         "bm25_collapsed_topk": bm25_collapsed_topk,
         "bm25_priors_topk": bm25_priors_topk,
+        "bm25_fresh_topk": bm25_fresh_topk,
         "bm25_and_topk": bm25_and_topk,
         "bool_search": bool_search,
         "bm25_synonyms_topk": bm25_synonyms_topk,
@@ -3973,6 +4007,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_priors_topk": _bm25_sql(
             FLAGSHIP_TERMS, limit=10, prior_weight=0.3
+        ),
+        "bm25_fresh_topk": _bm25_sql(
+            FLAGSHIP_TERMS, limit=10, prior_weight=0.3,
+            prior_expr=(
+                "pow(2.0, -CAST(doc_id % 400 AS DOUBLE) / 90.0)"
+            ),
         ),
         "bm25_and_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10, mode="all"),
         "bool_search": f"""

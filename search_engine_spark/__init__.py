@@ -122,6 +122,8 @@ _LAZY = {
     "pack_sequences": "search_engine_spark.operators.packing",
     "exclusive_prefix_sum": "search_engine_spark.operators.packing",
     "pagerank": "search_engine_spark.operators.graph",
+    "recency_prior": "search_engine_spark.plans.freshness",
+    "search_fresh": "search_engine_spark.plans.freshness",
     "hits": "search_engine_spark.operators.graph",
     "position_ctr": "search_engine_spark.operators.clicks",
     "coec_scores": "search_engine_spark.operators.clicks",

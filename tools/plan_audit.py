@@ -87,6 +87,7 @@ AUDITED = [
     "hits_scores",
     "click_coec",
     "click_pbm_alpha",
+    "bm25_fresh_topk",
 ]
 
 
