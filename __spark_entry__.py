@@ -3313,6 +3313,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("alpha", 6).alias("alpha"),
         )
 
+    def _synth_rankings(spark, sf):
+        # two deterministic overlapping top-10 rankings per query
+        # (10 queries), derived from the documents table; identical
+        # arithmetic in the oracles
+        base = (
+            _read(spark, sf, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") < 10)
+        )
+        qi = base.select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("i"),
+        )
+        a = qi.select(
+            "query_id",
+            ((F.col("query_id") * 31 + F.col("i") * 7) % 200)
+            .alias("doc_id"),
+            (F.col("i") + 1).cast("long").alias("rn"),
+        )
+        b = qi.select(
+            "query_id",
+            ((F.col("query_id") * 31 + F.col("i") * 11 + 3) % 200)
+            .alias("doc_id"),
+            (F.col("i") + 1).cast("long").alias("rn"),
+        )
+        return a, b
+
+    def interleave_balanced_q(spark, sf):
+        # balanced interleaving (Joachims 2003) of two rankers'
+        # top-10 lists; md5 leader coin so the DuckDB oracle replays
+        # the merge bit-exactly
+        from search_engine_spark.operators.interleave import (
+            balanced_interleave,
+        )
+
+        a, b = _synth_rankings(spark, sf)
+        return balanced_interleave(
+            a, b, k=10, seed=42, hash_method="md5"
+        ).select(
+            "query_id", "pos", "doc_id",
+            F.col("rank_a").cast("long").alias("rank_a"),
+            F.col("rank_b").cast("long").alias("rank_b"),
+        )
+
+    def interleave_outcome_q(spark, sf):
+        # balanced-interleaving credit rule over deterministic
+        # synthetic clicks (docs divisible by 3)
+        from search_engine_spark.operators.interleave import (
+            balanced_outcome,
+        )
+
+        a, b = _synth_rankings(spark, sf)
+        clicks = (
+            a.select("query_id", "doc_id")
+            .unionByName(b.select("query_id", "doc_id"))
+            .filter(F.col("doc_id") % 3 == 0)
+        )
+        return balanced_outcome(a, b, clicks).select(
+            "query_id",
+            F.col("k").cast("long").alias("k"),
+            F.col("clicks_a").cast("long").alias("clicks_a"),
+            F.col("clicks_b").cast("long").alias("clicks_b"),
+            "winner",
+        )
+
+    def interleave_team_draft_q(spark, sf):
+        # team-draft interleaving (Radlinski et al. 2008) — the
+        # per-round captain pick is sequential per query (Arrow
+        # applyInPandas), not SQL-expressible; pytest validates the
+        # algorithm against a verbatim sequential reference
+        from search_engine_spark.operators.interleave import (
+            team_draft_interleave,
+        )
+
+        a, b = _synth_rankings(spark, sf)
+        return team_draft_interleave(a, b, k=10, seed=42)
+
     def fuzzy_terms_q(spark, sf):
         # SymSpell deletion-neighborhood candidates + JVM levenshtein
         # verify == brute-force scan (the oracle) for d=1, by the
@@ -3587,6 +3664,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": hits_q,
         "click_coec": click_coec_q,
         "click_pbm_alpha": click_pbm_q,
+        "interleave_balanced": interleave_balanced_q,
+        "interleave_outcome": interleave_outcome_q,
+        "interleave_team_draft": interleave_team_draft_q,
         "sample_per_group": sample_per_group_q,
         "filter_urls": filter_urls_q,
         "robots_filter": robots_filter_q,
@@ -3831,6 +3911,57 @@ _LPOSTINGS = (
     "postings AS (SELECT lm.lemma AS term, toks.doc_id, count(*) AS tf "
     "FROM toks JOIN lemma_map lm ON toks.term = lm.word GROUP BY 1, 2)"
 )
+
+
+# shared CTE chain for the interleave oracles: the two synthetic
+# rankings, their full-outer (query, doc) join with absent-rank
+# sentinel 2^40, the md5 leader coin, and the closed-form balanced
+# merge order (sort by min-rank, leader's doc first on ties) that the
+# pytest suite proves equivalent to the sequential pointer algorithm
+_INTERLEAVE_BASE = """q AS (
+              SELECT doc_id AS query_id FROM documents
+              WHERE doc_id < 10),
+            iidx AS (
+              SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS i),
+            qa AS (
+              SELECT query_id,
+                     (query_id * 31 + i * 7) % 200 AS doc_id,
+                     i + 1 AS rn
+              FROM q CROSS JOIN iidx),
+            qb AS (
+              SELECT query_id,
+                     (query_id * 31 + i * 11 + 3) % 200 AS doc_id,
+                     i + 1 AS rn
+              FROM q CROSS JOIN iidx),
+            j AS (
+              SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+                     COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                     COALESCE(a.rn, 1099511627776) AS rank_a,
+                     COALESCE(b.rn, 1099511627776) AS rank_b
+              FROM qa a FULL OUTER JOIN qb b
+                ON a.query_id = b.query_id
+               AND a.doc_id = b.doc_id),
+            coin AS (
+              SELECT query_id,
+                     ('0x' || substr(md5(CAST(query_id AS VARCHAR)
+                                         || '#' || '42'), 18, 15)
+                     )::BIGINT % 2 AS leads_b
+              FROM q),
+            ordd AS (
+              SELECT j.query_id, j.doc_id, j.rank_a, j.rank_b,
+                     least(j.rank_a, j.rank_b) AS m,
+                     CASE WHEN (c.leads_b = 0 AND
+                                j.rank_a = least(j.rank_a, j.rank_b))
+                            OR (c.leads_b = 1 AND
+                                j.rank_b = least(j.rank_a, j.rank_b))
+                          THEN 0 ELSE 1 END AS pref
+              FROM j JOIN coin c ON c.query_id = j.query_id),
+            ranked AS (
+              SELECT query_id, doc_id, rank_a, rank_b,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY m, pref, doc_id) AS INTEGER) AS pos
+              FROM ordd)"""
 
 
 def _hits_sql(n_iter: int) -> str:
@@ -4943,6 +5074,41 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             FROM w
         """,
         "hits_scores": _hits_sql(3),
+        "interleave_balanced": f"""
+            WITH {_INTERLEAVE_BASE}
+            SELECT query_id, pos, doc_id, rank_a, rank_b
+            FROM ranked WHERE pos <= 10
+        """,
+        "interleave_outcome": f"""
+            WITH {_INTERLEAVE_BASE},
+            cl AS (
+              SELECT DISTINCT query_id, doc_id FROM (
+                SELECT query_id, doc_id FROM qa
+                UNION ALL SELECT query_id, doc_id FROM qb)
+              WHERE doc_id % 3 = 0),
+            jc AS (
+              SELECT j.query_id, j.rank_a, j.rank_b,
+                     least(j.rank_a, j.rank_b) AS m
+              FROM j JOIN cl ON cl.query_id = j.query_id
+                            AND cl.doc_id = j.doc_id),
+            agg AS (
+              SELECT query_id, max(m) AS k FROM jc GROUP BY 1),
+            cr AS (
+              SELECT a.query_id, a.k,
+                     CAST(sum(CASE WHEN jc.rank_a <= a.k
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS clicks_a,
+                     CAST(sum(CASE WHEN jc.rank_b <= a.k
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS clicks_b
+              FROM agg a JOIN jc ON jc.query_id = a.query_id
+              GROUP BY 1, 2)
+            SELECT query_id, k, clicks_a, clicks_b,
+                   CASE WHEN clicks_a > clicks_b THEN 'A'
+                        WHEN clicks_b > clicks_a THEN 'B'
+                        ELSE 'tie' END AS winner
+            FROM cr
+        """,
         "click_coec": """
             WITH impr AS (
               SELECT event_id % 20 AS query_id,

@@ -88,6 +88,8 @@ AUDITED = [
     "click_coec",
     "click_pbm_alpha",
     "bm25_fresh_topk",
+    "interleave_balanced",
+    "interleave_outcome",
 ]
 
 
