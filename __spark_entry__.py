@@ -3313,6 +3313,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("alpha", 6).alias("alpha"),
         )
 
+    def related_coclick_q(spark, sf):
+        # co-click related queries over a synthetic impression log
+        # (hot-doc guard active at its default).  doc modulus 499 is
+        # coprime to the query modulus 20, so distinct queries DO
+        # co-click docs (with modulus 500 every doc collision implied
+        # the same query — a degenerate always-empty result)
+        from search_engine_spark.operators.querylog import (
+            related_queries_coclick,
+        )
+
+        ev = _read(spark, sf, "events")
+        imp = ev.select(
+            (F.col("event_id") % 20).alias("query_id"),
+            ((F.col("event_id") * 7) % 499).alias("doc_id"),
+            (F.col("event_type") == "click").alias("clicked"),
+        )
+        return related_queries_coclick(imp, k=5)
+
+    def query_transitions_q(spark, sf):
+        # session reformulation mining over a deterministic synthetic
+        # query log derived from events (same projection in the
+        # oracle)
+        from search_engine_spark.operators.querylog import (
+            query_transitions,
+        )
+
+        # 10 synthetic users keep same-user consecutive events ~20
+        # minutes apart at sf0.01 — inside the 30-minute session gap
+        ev = _read(spark, sf, "events")
+        log = ev.select(
+            (F.col("event_id") % 10).alias("user_id"),
+            F.col("ts"),
+            ((F.col("event_id") * 13) % 30).alias("query_id"),
+        )
+        return query_transitions(log, k=5)
+
     def _synth_rankings(spark, sf):
         # two deterministic overlapping top-10 rankings per query
         # (10 queries), derived from the documents table; identical
@@ -3667,6 +3703,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_balanced": interleave_balanced_q,
         "interleave_outcome": interleave_outcome_q,
         "interleave_team_draft": interleave_team_draft_q,
+        "related_coclick": related_coclick_q,
+        "query_transitions": query_transitions_q,
         "sample_per_group": sample_per_group_q,
         "filter_urls": filter_urls_q,
         "robots_filter": robots_filter_q,
@@ -5131,6 +5169,78 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
                           AS DOUBLE) / sum(p.ctr) END, 6) AS coec
             FROM impr i JOIN pctr p USING(position)
             GROUP BY 1, 2
+        """,
+        "related_coclick": """
+            WITH impr AS (
+              SELECT event_id % 20 AS query_id,
+                     (event_id * 7) % 499 AS doc_id,
+                     (event_type = 'click') AS clicked
+              FROM events),
+            qd AS (
+              SELECT DISTINCT query_id AS q, doc_id AS d
+              FROM impr WHERE clicked),
+            hotd AS (
+              SELECT d FROM (
+                SELECT d, count(*) AS nq FROM qd GROUP BY 1)
+              WHERE nq > 1000),
+            qd2 AS (
+              SELECT * FROM qd
+              WHERE d NOT IN (SELECT d FROM hotd)),
+            nq AS (SELECT q, count(*) AS n FROM qd2 GROUP BY 1),
+            pairs AS (
+              SELECT l.q, r.q AS q2, count(*) AS coclicks
+              FROM qd2 l JOIN qd2 r
+                ON l.d = r.d AND l.q <> r.q
+              GROUP BY 1, 2),
+            scored AS (
+              SELECT p.q AS query_id,
+                     p.q2 AS related_query_id,
+                     p.coclicks,
+                     round(p.coclicks / sqrt(n1.n * n2.n), 6)
+                       AS score
+              FROM pairs p
+              JOIN nq n1 ON n1.q = p.q
+              JOIN nq n2 ON n2.q = p.q2),
+            rr AS (
+              SELECT query_id, related_query_id, coclicks, score,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score DESC, related_query_id)
+                     AS INTEGER) AS rn
+              FROM scored)
+            SELECT query_id, related_query_id, coclicks, score, rn
+            FROM rr WHERE rn <= 5
+        """,
+        "query_transitions": """
+            WITH lg AS (
+              SELECT event_id % 10 AS u, ts AS t,
+                     (event_id * 13) % 30 AS q
+              FROM events),
+            nx AS (
+              SELECT u, t, q,
+                     lead(q) OVER (PARTITION BY u ORDER BY t, q)
+                       AS q2,
+                     lead(t) OVER (PARTITION BY u ORDER BY t, q)
+                       AS t2
+              FROM lg),
+            fl AS (
+              SELECT q, q2 FROM nx
+              WHERE q2 IS NOT NULL AND q2 <> q
+                AND epoch_us(t2) - epoch_us(t)
+                    <= 1800 * 1000000),
+            cnt AS (
+              SELECT q AS query_id, q2 AS next_query_id,
+                     count(*) AS n
+              FROM fl GROUP BY 1, 2),
+            rr AS (
+              SELECT query_id, next_query_id, n,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY n DESC, next_query_id)
+                     AS INTEGER) AS rn
+              FROM cnt)
+            SELECT query_id, next_query_id, n, rn
+            FROM rr WHERE rn <= 5
         """,
         "click_pbm_alpha": """
             WITH impr AS (

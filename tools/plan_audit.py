@@ -90,6 +90,8 @@ AUDITED = [
     "bm25_fresh_topk",
     "interleave_balanced",
     "interleave_outcome",
+    "related_coclick",
+    "query_transitions",
 ]
 
 
