@@ -637,9 +637,17 @@ _STOP = f"stop AS (SELECT term FROM tstats ORDER BY df DESC, term ASC LIMIT {STO
 
 def _cand_body(mode: str, cand_site: str, cand_not: str) -> str:
     """Candidate CTE body for _bm25_sql: reference R13 rarest-term
-    membership, or strict-AND ("all": docs containing EVERY surviving
+    membership, strict-AND ("all": docs containing EVERY surviving
     scoring term — mirrors search(candidates='all')'s count
-    aggregate)."""
+    aggregate), or OR ("union": docs containing ANY surviving term —
+    mirrors search(candidates='union') / search_maxscore_compact)."""
+    if mode == "union":
+        return f"""
+  SELECT DISTINCT p.doc_id FROM postings p
+  JOIN qt ON p.term = qt.term
+  {cand_site}
+  {cand_not}
+"""
     if mode == "all":
         return f"""
   SELECT p.doc_id FROM postings p
@@ -2040,6 +2048,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_wand_pagination(spark, sf):
         return _search_docs_wand(
             spark, sf, FLAGSHIP_QUERY, offset=3, limit=5
+        )
+
+    def bm25_maxscore_topk(spark, sf):
+        # MaxScore-pruned union (OR) semantics over the compact
+        # index — oracle is the union-candidates BM25 SQL
+        from search_engine_spark.plans.maxscore import (
+            search_maxscore_compact,
+        )
+
+        cidx = _docs_compact(spark, sf)
+        res = search_maxscore_compact(
+            cidx, FLAGSHIP_QUERY, limit=10, analyzer="tokens"
+        )
+        return res.select(
+            F.col("nat_id").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
         )
 
     def _percolate(spark, sf, mode):
@@ -3657,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_lemma": postings_lemma,
         "bm25_topk_lemma": bm25_topk_lemma,
         "bm25_wand_topk": bm25_wand_topk,
+        "bm25_maxscore_topk": bm25_maxscore_topk,
         "bm25_wand_pagination": bm25_wand_pagination,
         "percolate_rarest": percolate_rarest,
         "percolate_all": percolate_all,
@@ -4397,6 +4423,9 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             )
         ),
         "bm25_wand_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
+        "bm25_maxscore_topk": _bm25_sql(
+            FLAGSHIP_TERMS, limit=10, mode="union"
+        ),
         "bm25_wand_pagination": _bm25_sql(
             FLAGSHIP_TERMS, offset=3, limit=5
         ),

@@ -92,6 +92,7 @@ AUDITED = [
     "interleave_outcome",
     "related_coclick",
     "query_transitions",
+    "bm25_maxscore_topk",
 ]
 
 
