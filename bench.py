@@ -185,6 +185,10 @@ def main() -> None:
         "pagerank",
         "hits_scores",
         "click_coec",
+        "related_coclick",
+        "interleave_balanced",
+        "bm25_maxscore_topk",
+        "bm25_fresh_topk",
         "pack_sequences",
         "phrase_search",
         "gopher_gate",
