@@ -3338,6 +3338,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("alpha", 6).alias("alpha"),
         )
 
+    def ltr_linear_rerank_q(spark, sf):
+        # closed-form linear LTR: train on (bm25, coverage) with a
+        # deterministic synthetic relevance label, rerank the pools.
+        # bm25 is quantized to 6 dp BEFORE training so engine and
+        # oracle fit on identical values; the oracle replays the
+        # Gram sums + 3x3 adjugate solve (same operation order as
+        # plans/ltr._solve3) in SQL
+        from search_engine_spark.plans.ltr import (
+            ltr_features,
+            score_linear_ltr,
+            train_linear_ltr,
+        )
+
+        idx = _docs_index(spark, sf)
+        feats = ltr_features(
+            idx,
+            [FLAGSHIP_QUERY, "window spark", "sort query big",
+             "hash table"],
+            limit=10,
+            analyzer="tokens",
+        ).select(
+            "query_id",
+            "doc_id",
+            F.round("bm25", 6).alias("bm25"),
+            "coverage",
+        )
+        labeled = feats.withColumn(
+            "label", (F.col("doc_id") % 3).cast("double")
+        )
+        w = train_linear_ltr(labeled, ["bm25", "coverage"])
+        scored = score_linear_ltr(
+            feats, w, ["bm25", "coverage"]
+        ).withColumn("ltr_score", F.round("ltr_score", 6))
+        win = Window.partitionBy("query_id").orderBy(
+            F.desc("ltr_score"), F.asc("doc_id")
+        )
+        return scored.select(
+            F.col("query_id").cast("int").alias("query_id"),
+            "doc_id",
+            "ltr_score",
+            F.row_number().over(win).cast("int").alias("rn"),
+        )
+
     def related_coclick_q(spark, sf):
         # co-click related queries over a synthetic impression log
         # (hot-doc guard active at its default).  doc modulus 499 is
@@ -3731,6 +3774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_team_draft": interleave_team_draft_q,
         "related_coclick": related_coclick_q,
         "query_transitions": query_transitions_q,
+        "ltr_linear_rerank": ltr_linear_rerank_q,
         "sample_per_group": sample_per_group_q,
         "filter_urls": filter_urls_q,
         "robots_filter": robots_filter_q,
@@ -3975,6 +4019,69 @@ _LPOSTINGS = (
     "postings AS (SELECT lm.lemma AS term, toks.doc_id, count(*) AS tf "
     "FROM toks JOIN lemma_map lm ON toks.term = lm.word GROUP BY 1, 2)"
 )
+
+
+# DuckDB replay of the closed-form linear-LTR pipeline: the batched
+# feature oracle (rounded bm25 + exact coverage), synthetic label
+# doc_id % 3, the 9 Gram/moment sums, and the 3x3 adjugate solve in
+# EXACTLY plans/ltr._solve3's operation order (A is symmetric:
+# a10=a01, a20=a02, a21=a12), then w0 + w1*bm25 + w2*coverage.
+def _ltr_linear_sql() -> str:
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS query_id, doc_id, bm25, coverage"
+        f" FROM ({_ltr_sql(terms, 10)})"
+        for i, terms in enumerate(
+            [FLAGSHIP_TERMS, ["window", "spark"],
+             ["sort", "query", "big"], ["hash", "table"]]
+        )
+    )
+    return f"""
+            WITH f AS ({union}),
+            lab AS (
+              SELECT bm25, coverage,
+                     CAST(doc_id % 3 AS DOUBLE) AS y
+              FROM f),
+            g AS (
+              SELECT sum(1.0) AS a00, sum(bm25) AS a01,
+                     sum(coverage) AS a02,
+                     sum(bm25 * bm25) AS a11,
+                     sum(bm25 * coverage) AS a12,
+                     sum(coverage * coverage) AS a22,
+                     sum(y) AS b0, sum(bm25 * y) AS b1,
+                     sum(coverage * y) AS b2
+              FROM lab),
+            w AS (
+              SELECT
+                (a00 * (a11 * a22 - a12 * a12)
+                 - a01 * (a01 * a22 - a12 * a02)
+                 + a02 * (a01 * a12 - a11 * a02)) AS det,
+                (b0 * (a11 * a22 - a12 * a12)
+                 - a01 * (b1 * a22 - a12 * b2)
+                 + a02 * (b1 * a12 - a11 * b2)) AS d0,
+                (a00 * (b1 * a22 - a12 * b2)
+                 - b0 * (a01 * a22 - a12 * a02)
+                 + a02 * (a01 * b2 - b1 * a02)) AS d1,
+                (a00 * (a11 * b2 - b1 * a12)
+                 - a01 * (a01 * b2 - b1 * a02)
+                 + b0 * (a01 * a12 - a11 * a02)) AS d2
+              FROM g),
+            s AS (
+              SELECT f.query_id, f.doc_id,
+                     round((w.d0 / w.det)
+                           + (w.d1 / w.det) * f.bm25
+                           + (w.d2 / w.det) * f.coverage,
+                           6) AS ltr_score
+              FROM f CROSS JOIN w)
+            SELECT query_id, doc_id, ltr_score,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY ltr_score DESC, doc_id)
+                   AS INTEGER) AS rn
+            FROM s
+    """
+
+
+_LTR_LINEAR_SQL = _ltr_linear_sql()
 
 
 # shared CTE chain for the interleave oracles: the two synthetic
@@ -4422,6 +4529,7 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
                  ["sort", "query", "big"], ["hash", "table"]]
             )
         ),
+        "ltr_linear_rerank": _LTR_LINEAR_SQL,
         "bm25_wand_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
         "bm25_maxscore_topk": _bm25_sql(
             FLAGSHIP_TERMS, limit=10, mode="union"

@@ -188,3 +188,111 @@ def ltr_features(
             "left",
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# linear LTR training (closed-form ridge regression) + scoring
+# ---------------------------------------------------------------------------
+
+
+def _solve3(A, b):
+    """Explicit adjugate solve for a 3×3 system — the EXACT operation
+    order is mirrored by the DuckDB oracle's Cramer CTE, so keep the
+    parenthesization stable."""
+    (a00, a01, a02), (a10, a11, a12), (a20, a21, a22) = A
+    b0, b1, b2 = b
+    det = (
+        a00 * (a11 * a22 - a12 * a21)
+        - a01 * (a10 * a22 - a12 * a20)
+        + a02 * (a10 * a21 - a11 * a20)
+    )
+    d0 = (
+        b0 * (a11 * a22 - a12 * a21)
+        - a01 * (b1 * a22 - a12 * b2)
+        + a02 * (b1 * a21 - a11 * b2)
+    )
+    d1 = (
+        a00 * (b1 * a22 - a12 * b2)
+        - b0 * (a10 * a22 - a12 * a20)
+        + a02 * (a10 * b2 - b1 * a20)
+    )
+    d2 = (
+        a00 * (a11 * b2 - b1 * a21)
+        - a01 * (a10 * b2 - b1 * a20)
+        + b0 * (a10 * a21 - a11 * a20)
+    )
+    return [d0 / det, d1 / det, d2 / det]
+
+
+def train_linear_ltr(
+    features: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    l2: float = 0.0,
+) -> dict[str, float]:
+    """Closed-form pointwise linear ranker (ridge regression on the
+    normal equations): ``{"intercept": w0, <feature>: w_i, ...}``.
+
+    The Gram matrix Σ x·xᵀ and moment vector Σ x·y are ONE map-side-
+    combined aggregation over the labeled feature rows — (k+1)² JVM
+    column-expression sums, no Python in the data path, no iteration.
+    The (k+1)×(k+1) solve happens on the driver: the explicit
+    adjugate for k ≤ 2 features (SQL-oracle-replayable), LAPACK
+    (``numpy.linalg.solve``) beyond.  ``l2`` adds ridge damping to
+    the non-intercept diagonal.
+
+    Pointwise least squares on graded labels is the standard strong
+    linear baseline (Li 2011, "Learning to rank for IR and NLP",
+    ch. 2); for listwise objectives export the features and train
+    off-cluster.  At 100 TB the entire cost is one pass over the
+    feature table — training state is k² doubles.
+    """
+    import numpy as np
+
+    cols = list(feature_cols)
+    k = len(cols) + 1
+    xs = [F.lit(1.0)] + [F.col(c).cast("double") for c in cols]
+    y = F.col(label_col).cast("double")
+    aggs = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(xs[i] * xs[j]).alias(f"a{i}{j}"))
+        aggs.append(F.sum(xs[i] * y).alias(f"b{i}"))
+    row = (
+        features.filter(y.isNotNull()).agg(*aggs).collect()[0]
+    )
+    A = [[0.0] * k for _ in range(k)]
+    b = [0.0] * k
+    for i in range(k):
+        for j in range(i, k):
+            A[i][j] = A[j][i] = float(row[f"a{i}{j}"])
+        b[i] = float(row[f"b{i}"])
+    for i in range(1, k):  # never damp the intercept
+        A[i][i] += float(l2)
+    if k == 3:
+        w = _solve3(A, b)
+    else:
+        w = np.linalg.solve(
+            np.array(A, dtype=np.float64),
+            np.array(b, dtype=np.float64),
+        ).tolist()
+    out = {"intercept": float(w[0])}
+    for c, wi in zip(cols, w[1:]):
+        out[c] = float(wi)
+    return out
+
+
+def score_linear_ltr(
+    features: DataFrame,
+    weights: dict[str, float],
+    feature_cols: list[str],
+    out_col: str = "ltr_score",
+) -> DataFrame:
+    """Adds ``out_col = w0 + Σ w_i·feature_i`` (left-to-right in
+    ``feature_cols`` order — the oracle mirrors the chain)."""
+    expr = F.lit(float(weights["intercept"]))
+    for c in feature_cols:
+        expr = expr + F.lit(float(weights[c])) * F.col(c).cast(
+            "double"
+        )
+    return features.withColumn(out_col, expr)

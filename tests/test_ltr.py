@@ -106,3 +106,58 @@ def test_no_surviving_terms_empty_schema(index):
     out = ltr_features(index, ["the and of"])
     assert out.count() == 0
     assert out.columns[:4] == ["query_id", "url", "site", "bm25"]
+
+
+# ---------------------------------------------------------------------------
+# linear LTR training / scoring
+# ---------------------------------------------------------------------------
+
+
+def test_train_linear_matches_numpy(spark):
+    import numpy as np
+
+    from search_engine_spark.plans.ltr import (
+        score_linear_ltr,
+        train_linear_ltr,
+    )
+
+    rows = [
+        (float(i % 7), float((i * 3) % 5), 2.0 + 0.5 * (i % 7)
+         - 1.25 * ((i * 3) % 5) + 0.01 * (i % 11))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "x1 double, x2 double, label double"
+    )
+    w = train_linear_ltr(df, ["x1", "x2"])
+    X = np.array([[1.0, r[0], r[1]] for r in rows])
+    y = np.array([r[2] for r in rows])
+    want, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert w["intercept"] == pytest.approx(want[0], abs=1e-9)
+    assert w["x1"] == pytest.approx(want[1], abs=1e-9)
+    assert w["x2"] == pytest.approx(want[2], abs=1e-9)
+
+    scored = score_linear_ltr(df, w, ["x1", "x2"]).collect()
+    for r in scored:
+        assert r["ltr_score"] == pytest.approx(
+            w["intercept"] + w["x1"] * r["x1"] + w["x2"] * r["x2"],
+            abs=1e-12,
+        )
+
+
+def test_train_linear_ignores_unlabeled_and_damps(spark):
+    from search_engine_spark.plans.ltr import train_linear_ltr
+
+    base = [(float(i), 2.0 * i + 1.0) for i in range(50)]
+    df = spark.createDataFrame(base, "x1 double, label double")
+    noise = spark.createDataFrame(
+        [(999.0, None)], "x1 double, label double"
+    )
+    w_clean = train_linear_ltr(df, ["x1"])           # numpy path (k=2)
+    w_noisy = train_linear_ltr(df.unionByName(noise), ["x1"])
+    assert w_noisy["x1"] == pytest.approx(w_clean["x1"], abs=1e-12)
+    assert w_clean["x1"] == pytest.approx(2.0, abs=1e-9)
+    assert w_clean["intercept"] == pytest.approx(1.0, abs=1e-7)
+    # ridge shrinks the slope toward 0
+    w_ridge = train_linear_ltr(df, ["x1"], l2=1e4)
+    assert abs(w_ridge["x1"]) < abs(w_clean["x1"])

@@ -93,6 +93,7 @@ AUDITED = [
     "related_coclick",
     "query_transitions",
     "bm25_maxscore_topk",
+    "ltr_linear_rerank",
 ]
 
 
