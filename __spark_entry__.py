@@ -62,6 +62,8 @@ PROX_TERMS = ["key", "line"]
 # query terms (rel = n_matching_terms − 1); run = docs ranked by
 # summed query-term tf.  Exercises MRR / graded nDCG / recall@k.
 EVAL_QUERIES = [(0, "dup fast"), (1, "key line"), (2, "vector column")]
+# (k1, b) grid for the bm25_tuning sweep; combo 0 = engine default
+TUNING_GRID = [(1.5, 0.75), (1.2, 0.75), (0.9, 0.4), (2.0, 0.9)]
 # percolator (reverse search) registered query set: rare + common
 # terms, an absent-term query and an all-stoplist query (both must
 # match nothing), exercising R13 rarest-membership per query
@@ -1474,6 +1476,102 @@ SELECT n.query_id,
        round(coalesce(g.n_hit, 0) / n.n_rel, 6) AS recall
 FROM nrel n JOIN ideal i USING (query_id)
 LEFT JOIN gains g USING (query_id)
+"""
+
+
+def _tune_sql(k: int = 10) -> str:
+    """DuckDB mirror of plans/tuning.tune_bm25 over EVAL_QUERIES /
+    TUNING_GRID: parameter-independent rarest-term candidates, per-
+    combo BM25 with grid k1/b columns, then rank_eval's metric
+    definitions (rounded per query, then averaged) per combo."""
+    qvals = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in EVAL_QUERIES
+        for t in sorted(set(q.split()))
+    )
+    gvals = ", ".join(
+        f"({i}, CAST({k1} AS DOUBLE), CAST({b} AS DOUBLE))"
+        for i, (k1, b) in enumerate(TUNING_GRID)
+    )
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+nn AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*) FROM lens) AS avg_len),
+qt0(query_id, term) AS (VALUES {qvals}),
+j AS (SELECT qt0.query_id, p.doc_id, p.term, p.tf
+      FROM postings p JOIN qt0 ON qt0.term = p.term),
+qrels AS (SELECT query_id, doc_id,
+                 CAST(count(DISTINCT term) - 1 AS INTEGER) AS rel
+          FROM j GROUP BY 1, 2),
+qt AS (SELECT q.query_id, q.term, ts.df,
+              ln((nn.n - ts.df + 0.5) / (ts.df + 0.5)) AS idf
+       FROM (SELECT DISTINCT query_id, term FROM qt0) q
+       JOIN tstats ts ON ts.term = q.term CROSS JOIN nn
+       WHERE q.term NOT IN (SELECT term FROM stop)
+         AND (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0),
+rarest AS (SELECT query_id, term FROM (
+    SELECT query_id, term,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY df ASC, term ASC) AS rr
+    FROM qt) WHERE rr = 1),
+cand AS (SELECT r.query_id, p.doc_id
+         FROM postings p JOIN rarest r ON r.term = p.term),
+m AS (SELECT qt.query_id, p.doc_id, p.tf, qt.idf, l.doc_len
+      FROM postings p
+      JOIN qt ON qt.term = p.term
+      JOIN lens l ON l.doc_id = p.doc_id),
+grid(combo, k1, b) AS (VALUES {gvals}),
+scored AS (
+  SELECT g.combo, g.k1, g.b, c.query_id, c.doc_id,
+         sum(m.idf * (m.tf::DOUBLE / m.doc_len) * (g.k1 + 1)
+             / ((m.tf::DOUBLE / m.doc_len)
+                + g.k1 * (1 - g.b + g.b * m.doc_len / nn.avg_len)))
+           AS s
+  FROM cand c
+  JOIN m ON m.query_id = c.query_id AND m.doc_id = c.doc_id
+  CROSS JOIN grid g CROSS JOIN nn
+  GROUP BY 1, 2, 3, 4, 5),
+run AS (SELECT combo, query_id, doc_id, rn FROM (
+    SELECT combo, query_id, doc_id,
+           row_number() OVER (PARTITION BY combo, query_id
+                              ORDER BY s DESC, doc_id ASC) AS rn
+    FROM scored) WHERE rn <= {k}),
+pos AS (SELECT * FROM qrels WHERE rel > 0),
+hits AS (SELECT r.combo, r.query_id, r.rn, p.rel
+         FROM run r JOIN pos p
+           ON p.query_id = r.query_id AND p.doc_id = r.doc_id),
+gains AS (SELECT combo, query_id,
+                 max(1.0 / rn) AS rr,
+                 sum((pow(2.0, rel) - 1) / log2(rn + 1)) AS dcg,
+                 CAST(count(*) AS DOUBLE) AS n_hit
+          FROM hits GROUP BY 1, 2),
+ideal AS (SELECT query_id,
+                 sum((pow(2.0, rel) - 1) / log2(ir + 1)) AS idcg
+          FROM (SELECT query_id, rel, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY rel DESC,
+                                                   doc_id ASC) AS ir
+                FROM pos) WHERE ir <= {k} GROUP BY 1),
+nrel AS (SELECT query_id, CAST(count(*) AS DOUBLE) AS n_rel
+         FROM pos GROUP BY 1),
+perq AS (
+  SELECT gc.combo, n.query_id,
+         round(coalesce(ga.rr, 0), 6) AS rr,
+         round(CASE WHEN i.idcg > 0
+                    THEN coalesce(ga.dcg, 0) / i.idcg
+                    ELSE 0 END, 6) AS ndcg,
+         round(coalesce(ga.n_hit, 0) / n.n_rel, 6) AS recall
+  FROM nrel n
+  JOIN ideal i USING (query_id)
+  CROSS JOIN (SELECT DISTINCT combo FROM grid) gc
+  LEFT JOIN gains ga
+    ON ga.combo = gc.combo AND ga.query_id = n.query_id)
+SELECT p.combo, g.k1, g.b,
+       round(avg(rr), 6) AS mrr,
+       round(avg(ndcg), 6) AS ndcg,
+       round(avg(recall), 6) AS recall
+FROM perq p JOIN grid g ON g.combo = p.combo
+GROUP BY 1, 2, 3
 """
 
 
@@ -3338,6 +3436,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("alpha", 6).alias("alpha"),
         )
 
+    def bm25_tuning_q(spark, sf):
+        # (k1, b) grid sweep in one job (plans/tuning.tune_bm25) over
+        # the rank_eval query set and its deterministic graded qrels
+        from search_engine_spark.plans.tuning import tune_bm25
+
+        idx = _docs_index(spark, sf)
+        qt = spark.createDataFrame(
+            [
+                (qid, t)
+                for qid, q in EVAL_QUERIES
+                for t in sorted(set(q.split()))
+            ],
+            "query_id int, term string",
+        )
+        j = idx.postings.join(F.broadcast(qt), "term")
+        qrels = j.groupBy("query_id", "doc_id").agg(
+            (F.countDistinct("term") - F.lit(1))
+            .cast("int")
+            .alias("rel")
+        )
+        res = tune_bm25(
+            idx,
+            [q for _, q in EVAL_QUERIES],
+            qrels,
+            TUNING_GRID,
+            k=10,
+            analyzer="tokens",
+        )
+        return res.select(
+            "combo", "k1", "b", "mrr", "ndcg", "recall"
+        )
+
     def ltr_linear_rerank_q(spark, sf):
         # closed-form linear LTR: train on (bm25, coverage) with a
         # deterministic synthetic relevance label, rerank the pools.
@@ -3775,6 +3905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "related_coclick": related_coclick_q,
         "query_transitions": query_transitions_q,
         "ltr_linear_rerank": ltr_linear_rerank_q,
+        "bm25_tuning": bm25_tuning_q,
         "sample_per_group": sample_per_group_q,
         "filter_urls": filter_urls_q,
         "robots_filter": robots_filter_q,
@@ -4368,6 +4499,7 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             toks_list, stopword_list
         ),
         "rank_eval": _rank_eval_sql(k=10),
+        "bm25_tuning": _tune_sql(k=10),
         "bm25_synonyms_topk": _synonyms_sql(limit=10),
         "lm_dirichlet_topk": _lm_sql(FLAGSHIP_TERMS, mu=500.0, limit=10),
         "min_span_docs": _min_span_sql(*PROX_TERMS),

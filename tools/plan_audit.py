@@ -94,6 +94,7 @@ AUDITED = [
     "query_transitions",
     "bm25_maxscore_topk",
     "ltr_linear_rerank",
+    "bm25_tuning",
 ]
 
 
