@@ -40,11 +40,12 @@ def main(argv: list[str] | None = None) -> None:
                     help='boolean mini-language: +must -not "phrase"')
     ap.add_argument(
         "--ranker", default="bm25",
-        choices=["bm25", "lm", "synonyms", "prefix"],
-        help="bm25 (default, block-max WAND) | lm (Dirichlet query "
-             "likelihood) | synonyms (group BM25, needs --synonyms) "
-             "| prefix (trailing-* units expand against the "
-             "dictionary)")
+        choices=["bm25", "maxscore", "lm", "synonyms", "prefix"],
+        help="bm25 (default, block-max WAND, rarest-term candidates)"
+             " | maxscore (union/OR candidates, MaxScore-pruned) "
+             "| lm (Dirichlet query likelihood) | synonyms (group "
+             "BM25, needs --synonyms) | prefix (trailing-* units "
+             "expand against the dictionary)")
     ap.add_argument("--mu", type=float, default=2000.0,
                     help="Dirichlet pseudo-count for --ranker lm")
     ap.add_argument(
@@ -95,7 +96,18 @@ def main(argv: list[str] | None = None) -> None:
     cidx = load_compact_index(spark, args.index)
     if args.ranker != "bm25" and args.bool_query:
         ap.error("--bool composes with the default bm25 ranker only")
-    if args.ranker == "lm":
+    if args.ranker == "maxscore":
+        from search_engine_spark.plans.maxscore import (
+            search_maxscore_compact,
+        )
+
+        result = search_maxscore_compact(
+            cidx, args.query, sites=args.site, offset=args.offset,
+            limit=args.limit,
+            analyzer=cidx_analyzer(spark, args.index),
+            prune=not args.no_prune,
+        )
+    elif args.ranker == "lm":
         from search_engine_spark.plans.lm import search_lm_compact
 
         result = search_lm_compact(
