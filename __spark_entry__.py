@@ -3624,6 +3624,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a, b = _synth_rankings(spark, sf)
         return team_draft_interleave(a, b, k=10, seed=42)
 
+    def rank_rbo_q(spark, sf):
+        # truncated rank-biased overlap between the two synthetic
+        # rankers (plans/eval.rank_compare) — the offline ranking
+        # regression diff
+        from search_engine_spark.plans.eval import rank_compare
+
+        a, b = _synth_rankings(spark, sf)
+        return rank_compare(a, b, k=10, p=0.9)
+
     def fuzzy_terms_q(spark, sf):
         # SymSpell deletion-neighborhood candidates + JVM levenshtein
         # verify == brute-force scan (the oracle) for d=1, by the
@@ -3902,6 +3911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_balanced": interleave_balanced_q,
         "interleave_outcome": interleave_outcome_q,
         "interleave_team_draft": interleave_team_draft_q,
+        "rank_rbo": rank_rbo_q,
         "related_coclick": related_coclick_q,
         "query_transitions": query_transitions_q,
         "ltr_linear_rerank": ltr_linear_rerank_q,
@@ -4213,6 +4223,61 @@ def _ltr_linear_sql() -> str:
 
 
 _LTR_LINEAR_SQL = _ltr_linear_sql()
+
+
+def _rbo_sql(k: int = 10, p: float = 0.9) -> str:
+    """DuckDB replay of plans/eval.rank_compare over the interleave
+    oracles' synthetic rankings: full-outer (query, doc) join, the
+    SAME per-doc weight table (w[m] = Σ_{d=m..k} p^(d-1)/d, python-
+    repr'd so both engines parse the identical double), one per-query
+    aggregation."""
+    from search_engine_spark.plans.eval import _rbo_weights
+
+    weights = _rbo_weights(k, p)
+    case_w = " ".join(
+        f"WHEN {m} THEN {weights[m - 1]!r}"
+        for m in range(1, k + 1)
+    )
+    return f"""
+            WITH q AS (
+              SELECT doc_id AS query_id FROM documents
+              WHERE doc_id < 10),
+            iidx AS (
+              SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS i),
+            qa AS (
+              SELECT query_id,
+                     (query_id * 31 + i * 7) % 200 AS doc_id,
+                     i + 1 AS rn
+              FROM q CROSS JOIN iidx),
+            qb AS (
+              SELECT query_id,
+                     (query_id * 31 + i * 11 + 3) % 200 AS doc_id,
+                     i + 1 AS rn
+              FROM q CROSS JOIN iidx),
+            j AS (
+              SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+                     a.rn AS ra, b.rn AS rb
+              FROM (SELECT * FROM qa WHERE rn <= {k}) a
+              FULL OUTER JOIN (SELECT * FROM qb WHERE rn <= {k}) b
+                ON a.query_id = b.query_id
+               AND a.doc_id = b.doc_id)
+            SELECT query_id,
+                   round({1.0 - p!r} * sum(
+                     CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+                          THEN CASE greatest(ra, rb) {case_w}
+                               ELSE 0.0 END
+                          ELSE 0.0 END), 6) AS rbo,
+                   round(CAST(sum(CASE WHEN ra IS NOT NULL
+                                        AND rb IS NOT NULL
+                                       THEN 1 ELSE 0 END) AS DOUBLE)
+                         / {float(k)!r}, 6) AS overlap,
+                   CAST(sum(CASE WHEN ra IS NOT NULL
+                                  AND rb IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_common,
+                   count(*) AS n_total
+            FROM j GROUP BY 1
+    """
 
 
 # shared CTE chain for the interleave oracles: the two synthetic
@@ -5381,6 +5446,7 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             FROM w
         """,
         "hits_scores": _hits_sql(3),
+        "rank_rbo": _rbo_sql(k=10, p=0.9),
         "interleave_balanced": f"""
             WITH {_INTERLEAVE_BASE}
             SELECT query_id, pos, doc_id, rank_a, rank_b

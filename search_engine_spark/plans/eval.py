@@ -118,3 +118,80 @@ def rank_eval_summary(
         F.round(F.avg("ndcg"), 6).alias("mean_ndcg"),
         F.round(F.avg("recall"), 6).alias("mean_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ranking regression diff: rank-biased overlap (RBO)
+# ---------------------------------------------------------------------------
+
+
+def _rbo_weights(k: int, p: float) -> list[float]:
+    """``w[m] = Σ_{d=m..k} p^(d-1) / d`` for m = 1..k — the truncated
+    rank-biased-overlap weight a doc earns from every depth at which
+    it is already inside BOTH prefixes."""
+    out = []
+    for m in range(1, k + 1):
+        out.append(
+            sum(p ** (d - 1) / d for d in range(m, k + 1))
+        )
+    return out
+
+
+def rank_compare(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+    p: float = 0.9,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rn",
+) -> DataFrame:
+    """``(query_id, rbo, overlap, n_common, n_total)`` per query —
+    how much two systems' top-``k`` rankings agree, without clicks
+    or judgments (the offline regression-diff complement of
+    interleaving).
+
+    ``rbo`` is truncated rank-biased overlap (Webber, Moffat &
+    Zobel 2010) with persistence ``p``: RBO@k = (1-p)·Σ_d p^(d-1)·
+    |A_d ∩ B_d|/d.  Exchanging the sums turns it into ONE join plus
+    a per-doc weight on ``m = max(rank_a, rank_b)`` (the depth where
+    the doc enters both prefixes) — no per-depth pass, no UDF:
+    RBO@k = (1-p)·Σ_docs w[m].  ``overlap`` = |A_k ∩ B_k|/k;
+    ``n_total`` counts the union.  Identical rankings give the
+    truncated-RBO maximum ((1-p)·Σ p^(d-1), < 1 by truncation —
+    compare against ``rank_compare(run, run, ...)`` for a ceiling).
+
+    Scale shape: one (query, doc) equi-join of two k-sized runs and
+    one per-query aggregation — shuffles key on query_id, k-sized
+    groups, skew-free."""
+    q = query_col
+    a = run_a.filter(F.col(rank_col) <= k).select(
+        q, id_col, F.col(rank_col).alias("__ra")
+    )
+    b = run_b.filter(F.col(rank_col) <= k).select(
+        q, id_col, F.col(rank_col).alias("__rb")
+    )
+    j = a.join(b, [q, id_col], "full_outer")
+    m = F.greatest("__ra", "__rb")  # null when either side absent
+    weights = _rbo_weights(k, p)
+    w = F.lit(0.0)
+    for depth in range(k, 0, -1):  # build CASE m WHEN ... chain
+        w = F.when(m == depth, F.lit(weights[depth - 1])).otherwise(w)
+    both = F.col("__ra").isNotNull() & F.col("__rb").isNotNull()
+    return (
+        j.groupBy(q)
+        .agg(
+            F.round(
+                F.lit(1.0 - p)
+                * F.sum(F.when(both, w).otherwise(F.lit(0.0))),
+                6,
+            ).alias("rbo"),
+            F.round(
+                F.sum(F.when(both, 1).otherwise(0))
+                / F.lit(float(k)),
+                6,
+            ).alias("overlap"),
+            F.sum(F.when(both, 1).otherwise(0)).alias("n_common"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )

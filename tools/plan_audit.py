@@ -95,6 +95,7 @@ AUDITED = [
     "bm25_maxscore_topk",
     "ltr_linear_rerank",
     "bm25_tuning",
+    "rank_rbo",
 ]
 
 
