@@ -1165,6 +1165,37 @@ def _prefix_sql(limit: int = 10, max_expansions: int = 50) -> str:
     return _group_bm25_sql(gmap, limit)
 
 
+def _wildcard_sql(limit: int = 10, max_expansions: int = 50) -> str:
+    """DuckDB mirror of plans/wildcard.search_wildcard for the
+    contract query "*u* line": the '*u*' group expands to the
+    non-stop dictionary terms matching the pattern (LIKE ≡ the
+    engine's verify regex; the k-gram probe is a pure pruning step,
+    so the oracle needn't model it), df desc / term asc, capped."""
+    gmap = f"""gmap AS (
+  SELECT '*u*' AS grp, term FROM (
+    SELECT term FROM tstats
+    WHERE term LIKE '%u%'
+      AND term NOT IN (SELECT term FROM stop)
+    ORDER BY df DESC, term ASC LIMIT {max_expansions})
+  UNION ALL
+  SELECT 'line' AS grp, 'line' AS term)"""
+    return _group_bm25_sql(gmap, limit)
+
+
+def _wildcard_terms_sql(max_expansions: int = 3) -> str:
+    """DuckDB mirror of plans/wildcard.expand_wildcard('*e*') — the
+    cap encodes the expansion's (df desc, term asc) order in the
+    returned membership."""
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_TSTATS}, {_STOP}
+SELECT term, CAST(df AS BIGINT) AS df FROM (
+  SELECT term, df FROM tstats
+  WHERE term LIKE '%e%'
+    AND term NOT IN (SELECT term FROM stop)
+  ORDER BY df DESC, term ASC LIMIT {max_expansions})
+"""
+
+
 def _near_sql(slop: int = 3, limit: int = 10) -> str:
     """DuckDB mirror of operators/phrases.near_search for the
     two-term PROX_TERMS query: candidates are docs whose min cover
@@ -1982,6 +2013,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.round("score", 6).alias("score"),
             F.col("rn").cast("int").alias("rn"),
         )
+
+    def wildcard_search_q(spark, sf):
+        """Infix/leading wildcard query '*u* line' — k-gram dictionary
+        expansion (IIR §3.2.2) + anchored-regex verify, scored as one
+        group (plans/wildcard.search_wildcard over kgram_index)."""
+        from search_engine_spark.plans.wildcard import (
+            kgram_index,
+            search_wildcard,
+        )
+
+        idx = _docs_index(spark, sf)
+        kg = kgram_index(idx.term_stats, k=3)
+        res = search_wildcard(
+            idx, "*u* line", limit=10, analyzer="tokens", kgrams=kg
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def wildcard_terms_q(spark, sf):
+        """Wildcard dictionary expansion '*e*' capped at 3 — the cap
+        makes membership encode the (df desc, term asc) expansion
+        order (plans/wildcard.expand_wildcard)."""
+        from search_engine_spark.plans.wildcard import (
+            expand_wildcard,
+            kgram_index,
+        )
+
+        idx = _docs_index(spark, sf)
+        kg = kgram_index(idx.term_stats, k=3)
+        terms = expand_wildcard(
+            idx, "*e*", max_expansions=3, kgrams=kg
+        )
+        return idx.term_stats.filter(
+            F.col("term").isin(terms)
+        ).select("term", F.col("df").cast("long").alias("df"))
 
     def collocations_q(spark, sf):
         """Top PMI collocations (operators/curation.collocations)."""
@@ -3851,6 +3919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_span_docs": min_span_docs,
         "proximity_topk": proximity_topk,
         "prefix_search": prefix_search_q,
+        "wildcard_search": wildcard_search_q,
+        "wildcard_terms": wildcard_terms_q,
         "collocations": collocations_q,
         "near_topk": near_topk,
         "next_token_suggestions": next_token_q,
@@ -4557,6 +4627,8 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
         "next_token_suggestions": _next_token_sql("key", k=10),
         "corpus_diff": _CORPUS_DIFF_SQL,
         "prefix_search": _prefix_sql(limit=10, max_expansions=50),
+        "wildcard_search": _wildcard_sql(limit=10, max_expansions=50),
+        "wildcard_terms": _wildcard_terms_sql(max_expansions=3),
         "collocations": _collocations_sql(min_count=5, limit=20),
         "bigram_logprob": _bigram_sql(alpha=0.1),
         "latest_snapshot": _LATEST_SNAPSHOT_SQL,
