@@ -1334,6 +1334,38 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
 """
 
 
+def _lm_jm_sql(terms: list[str], lam: float = 0.3,
+               limit: int = 10) -> str:
+    """DuckDB mirror of plans/lm.search_lm(smoothing="jm"):
+    Jelinek–Mercer query likelihood, rank-preserving present-term
+    decomposition Σ ln(1 + ((1−λ)/λ)·tf/(len·cf/|C|)) — no per-doc
+    constant term."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    ratio = (1.0 - lam) / lam
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+tot AS (SELECT CAST(sum(doc_len) AS DOUBLE) AS c FROM lens),
+qt AS (SELECT p.term, CAST(sum(p.tf) AS DOUBLE) AS cf
+       FROM postings p
+       WHERE p.term IN ({term_list})
+         AND p.term NOT IN (SELECT term FROM stop)
+       GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         sum(ln(1 + {ratio!r} * p.tf::DOUBLE
+                / (l.doc_len * qt.cf / tot.c))) AS score
+  FROM postings p
+  JOIN qt ON qt.term = p.term
+  JOIN lens l ON l.doc_id = p.doc_id
+  CROSS JOIN tot
+  GROUP BY 1),
+ranked AS (SELECT doc_id, round(score, 6) AS score,
+                  CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+           FROM scored)
+SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
+"""
+
+
 def _min_span_sql(t0: str, t1: str) -> str:
     """DuckDB mirror of operators/phrases.min_cover_span for two
     terms: the minimum cover span equals min |pos_a − pos_b|."""
@@ -1916,6 +1948,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         idx = _docs_index(spark, sf)
         res = search_lm(
             idx, FLAGSHIP_QUERY, mu=500.0, limit=10, analyzer="tokens"
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def lm_jm_topk(spark, sf):
+        """Jelinek–Mercer query-likelihood ranking (plans/lm.py,
+        smoothing="jm") — interpolation smoothing in the same
+        rank-preserving present-term decomposition."""
+        from search_engine_spark.plans.lm import search_lm
+
+        idx = _docs_index(spark, sf)
+        res = search_lm(
+            idx, FLAGSHIP_QUERY, smoothing="jm", lam=0.3, limit=10,
+            analyzer="tokens",
         )
         return res.select(
             "doc_id", F.round("score", 6).alias("score"),
@@ -3916,6 +3964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_search": bool_search,
         "bm25_synonyms_topk": bm25_synonyms_topk,
         "lm_dirichlet_topk": lm_dirichlet_topk,
+        "lm_jm_topk": lm_jm_topk,
         "min_span_docs": min_span_docs,
         "proximity_topk": proximity_topk,
         "prefix_search": prefix_search_q,
@@ -4639,6 +4688,7 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
         "bm25_tuning": _tune_sql(k=10),
         "bm25_synonyms_topk": _synonyms_sql(limit=10),
         "lm_dirichlet_topk": _lm_sql(FLAGSHIP_TERMS, mu=500.0, limit=10),
+        "lm_jm_topk": _lm_jm_sql(FLAGSHIP_TERMS, lam=0.3, limit=10),
         "min_span_docs": _min_span_sql(*PROX_TERMS),
         "proximity_topk": _proximity_sql(
             sorted(SYNONYM_QUERY.split()), prox_weight=1.0,

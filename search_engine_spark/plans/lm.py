@@ -69,15 +69,33 @@ def search_lm(
     lang: str = "english",
     analyzer: str = "lemma",
     use_stoplist: bool = True,
+    smoothing: str = "dirichlet",
+    lam: float = 0.1,
 ) -> DataFrame:
-    """Top-(offset+limit) Dirichlet query-likelihood results:
+    """Top-(offset+limit) query-likelihood results:
     ``(<id>, site, score, rn)``.
 
-    ``mu`` is the Dirichlet pseudo-count (typical 1000–2500; Zhai &
-    Lafferty's sweet spot).  Collection statistics (cf, |C|) are
-    GLOBAL even under a ``sites`` restriction — the same global-stats
-    convention as the BM25 path's global df / global avg_len quirk.
+    ``smoothing="dirichlet"`` (default): ``mu`` is the Dirichlet
+    pseudo-count (typical 1000–2500; Zhai & Lafferty's sweet spot).
+    ``smoothing="jm"``: Jelinek–Mercer interpolation
+    ``P(t|d) = (1−λ)·tf/len + λ·P(t|C)`` with mixing weight
+    ``lam`` (Zhai & Lafferty's λ; ~0.1 for short queries, ~0.7 for
+    long).  Its rank-preserving present-term decomposition is
+
+        score(d) = Σ_{t∈q, tf>0} log(1 + ((1−λ)/λ) · tf_td
+                                       / (len_d · P(t|C)))
+
+    — same candidate set, same single join, no per-doc constant term
+    (JM's doc-independent part is a per-term constant, droppable).
+
+    Collection statistics (cf, |C|) are GLOBAL even under a ``sites``
+    restriction — the same global-stats convention as the BM25 path's
+    global df / global avg_len quirk.
     """
+    if smoothing not in ("dirichlet", "jm"):
+        raise ValueError(f"unknown smoothing {smoothing!r}")
+    if smoothing == "jm" and not (0.0 < lam < 1.0):
+        raise ValueError("jm smoothing needs 0 < lam < 1")
     id_col = index.id_col
     terms = analyze_query(query, lang, analyzer)
     if use_stoplist:
@@ -113,7 +131,8 @@ def search_lm(
     )
 
     # per-(doc, term) present-term contribution:
-    #   log(1 + tf / (mu * cf_t / |C|))
+    #   dirichlet: log(1 + tf / (mu * cf_t / |C|))
+    #   jm:        log(1 + ((1−λ)/λ) · tf / (len_d · cf_t / |C|))
     p_col = F.create_map(
         *[
             x
@@ -121,22 +140,37 @@ def search_lm(
             for x in (F.lit(t), F.lit(cf[t] / total_tokens))
         ]
     )[F.col("term")]
-    term_part = F.log(
-        F.lit(1.0) + F.col("tf").cast("double") / (F.lit(mu) * p_col)
-    )
     n_q = len(terms)
-    scored = (
-        candidates.join(qpost, id_col, "inner")
-        .withColumn("term_part", term_part)
-        .groupBy(id_col, "site", "doc_len")
-        .agg(F.sum("term_part").alias("present_sum"))
-        .withColumn(
-            "score",
-            F.col("present_sum")
-            + F.lit(float(n_q))
-            * F.log(F.lit(mu) / (F.col("doc_len") + F.lit(mu))),
+    joined = candidates.join(qpost, id_col, "inner")
+    if smoothing == "jm":
+        ratio = (1.0 - float(lam)) / float(lam)
+        term_part = F.log(
+            F.lit(1.0)
+            + F.lit(ratio)
+            * F.col("tf").cast("double")
+            / (F.col("doc_len").cast("double") * p_col)
         )
-    )
+        scored = (
+            joined.withColumn("term_part", term_part)
+            .groupBy(id_col, "site", "doc_len")
+            .agg(F.sum("term_part").alias("score"))
+        )
+    else:
+        term_part = F.log(
+            F.lit(1.0)
+            + F.col("tf").cast("double") / (F.lit(mu) * p_col)
+        )
+        scored = (
+            joined.withColumn("term_part", term_part)
+            .groupBy(id_col, "site", "doc_len")
+            .agg(F.sum("term_part").alias("present_sum"))
+            .withColumn(
+                "score",
+                F.col("present_sum")
+                + F.lit(float(n_q))
+                * F.log(F.lit(mu) / (F.col("doc_len") + F.lit(mu))),
+            )
+        )
     top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(
         offset + limit
     )
@@ -158,6 +192,8 @@ def search_lm_compact(
     lang: str = "english",
     analyzer: str = "lemma",
     use_stoplist: bool = True,
+    smoothing: str = "dirichlet",
+    lam: float = 0.1,
 ) -> DataFrame:
     """:func:`search_lm` over the PERSISTED compact index —
     rank-identical to the logical path (pytest-pinned).  The view
@@ -174,4 +210,5 @@ def search_lm_compact(
     return search_lm(
         view, query, mu=mu, sites=sites, offset=offset, limit=limit,
         lang=lang, analyzer=analyzer, use_stoplist=use_stoplist,
+        smoothing=smoothing, lam=lam,
     )

@@ -87,6 +87,24 @@ def test_lm_compact_rank_identity(idx, cidx):
     assert a == b and len(a) > 0
 
 
+def test_lm_jm_compact_rank_identity(idx, cidx):
+    a = _rows(
+        search_lm(
+            idx, "crystal falcon", smoothing="jm", lam=0.3, limit=25,
+            analyzer="tokens",
+        ),
+        "url",
+    )
+    b = _rows(
+        search_lm_compact(
+            cidx, "crystal falcon", smoothing="jm", lam=0.3, limit=25,
+            analyzer="tokens",
+        ),
+        "nat_id",
+    )
+    assert a == b and len(a) > 0
+
+
 def test_prefix_compact_rank_identity(idx, cidx):
     a = _rows(
         search_prefix(

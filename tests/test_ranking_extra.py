@@ -208,6 +208,57 @@ def test_lm_unknown_and_empty(idx):
     assert search_lm(idx, "", analyzer="tokens").count() == 0
 
 
+def _brute_jm_scores(tok_rows, terms, lam, stop):
+    """Jelinek–Mercer present-term decomposition:
+    Σ log(1 + ((1−λ)/λ)·tf/(len·P(t|C)))."""
+    terms = sorted({t for t in terms if t not in stop})
+    total = sum(len(t) for t in tok_rows.values())
+    cf = {
+        t: sum(toks.count(t) for toks in tok_rows.values())
+        for t in terms
+    }
+    terms = [t for t in terms if cf[t] > 0]
+    if not terms:
+        return {}
+    ratio = (1 - lam) / lam
+    out = {}
+    for u, toks in tok_rows.items():
+        if not any(t in toks for t in terms):
+            continue
+        dl = len(toks)
+        s = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if tf:
+                s += math.log(1 + ratio * tf / (dl * cf[t] / total))
+        out[u] = s
+    return out
+
+
+def test_lm_jm_matches_bruteforce(idx, tok_rows):
+    lam = 0.3
+    expect = _brute_jm_scores(
+        tok_rows, ["crystal", "meadow"], lam, set(idx.stoplist)
+    )
+    top = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = search_lm(
+        idx, "crystal meadow", smoothing="jm", lam=lam, limit=15,
+        analyzer="tokens",
+    ).collect()
+    assert [r["url"] for r in got] == [u for u, _ in top]
+    for r, (_, s) in zip(got, top):
+        assert r["score"] == pytest.approx(s, rel=1e-9)
+
+
+def test_lm_jm_param_validation(idx):
+    with pytest.raises(ValueError):
+        search_lm(idx, "crystal", smoothing="nope")
+    with pytest.raises(ValueError):
+        search_lm(idx, "crystal", smoothing="jm", lam=0.0)
+    with pytest.raises(ValueError):
+        search_lm(idx, "crystal", smoothing="jm", lam=1.0)
+
+
 def test_lm_avg_len_consistent_total(idx, tok_rows):
     # |C| reconstruction used by search_lm equals the true token total
     assert idx.avg_len * idx.n_docs == pytest.approx(
