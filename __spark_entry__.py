@@ -1334,6 +1334,37 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
 """
 
 
+def _cori_sql(terms: list[str]) -> str:
+    """DuckDB mirror of plans/federate.cori_shard_scores over the
+    doc_id-parity shard split: T·I belief with |DB|=2, cw from exact
+    per-shard token totals, cf = shards containing the term."""
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS},
+sh_cw AS (SELECT doc_id % 2 AS shard,
+                 CAST(sum(doc_len) AS DOUBLE) AS cw
+          FROM lens GROUP BY 1),
+sh_df AS (SELECT doc_id % 2 AS shard, term,
+                 CAST(count(*) AS DOUBLE) AS df
+          FROM postings WHERE term IN ({term_list}) GROUP BY 1, 2),
+avgcw AS (SELECT avg(cw) AS acw FROM sh_cw),
+cf AS (SELECT term, count(*) AS cf FROM sh_df GROUP BY 1),
+grid AS (
+  SELECT s.shard, c.term, c.cf, coalesce(d.df, 0) AS df, s.cw
+  FROM sh_cw s CROSS JOIN cf c
+  LEFT JOIN sh_df d ON d.shard = s.shard AND d.term = c.term),
+belief AS (
+  SELECT shard,
+         avg(0.4 + 0.6
+             * (df / (df + 50.0 + 150.0 * cw / avgcw.acw))
+             * (ln(2.5 / cf) / ln(3.0))) AS belief
+  FROM grid CROSS JOIN avgcw GROUP BY 1)
+SELECT CAST(shard AS INTEGER) AS shard,
+       round(belief, 6) AS belief
+FROM belief
+"""
+
+
 def _lm_jm_sql(terms: list[str], lam: float = 0.3,
                limit: int = 10) -> str:
     """DuckDB mirror of plans/lm.search_lm(smoothing="jm"):
@@ -1842,6 +1873,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("nat_id").alias("doc_id"),
             F.round("score", 6).alias("score"),
             F.col("rn").cast("int").alias("rn"),
+        )
+
+    def cori_shard_scores_q(spark, sf):
+        """CORI resource ranking (plans/federate.cori_shard_scores)
+        over the two parity-split shards — per-shard belief for the
+        flagship query from shard metadata only."""
+        from search_engine_spark.plans.federate import (
+            cori_shard_scores,
+        )
+
+        shards = _docs_compact_shards(spark, sf)
+        scores = cori_shard_scores(
+            shards, FLAGSHIP_QUERY, analyzer="tokens"
+        )
+        return spark.createDataFrame(
+            [(int(i), round(float(b), 6)) for i, b in scores],
+            "shard int, belief double",
         )
 
     def bm25_collapsed_topk(spark, sf):  # host-crowding collapse
@@ -3956,6 +4004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_champion_topk": bm25_champion_topk,
         "vsm_topk": vsm_topk_q,
         "bm25_federated_topk": bm25_federated_topk,
+        "cori_shard_scores": cori_shard_scores_q,
         "bm25_not_topk": bm25_not_topk,
         "bm25_collapsed_topk": bm25_collapsed_topk,
         "bm25_priors_topk": bm25_priors_topk,
@@ -4618,6 +4667,7 @@ def oracle_sql() -> dict[str, str]:
         # federation is EXACT: merged df/n_docs/avg_len equal the
         # monolithic build's, so the oracle is the same SQL
         "bm25_federated_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
+        "cori_shard_scores": _cori_sql(FLAGSHIP_TERMS),
         "bm25_not_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10, exclude=["window"]),
         "bm25_collapsed_topk": _bm25_sql(
             FLAGSHIP_TERMS, limit=10, collapse_per_site=2

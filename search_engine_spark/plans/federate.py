@@ -37,6 +37,7 @@ federation.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -134,6 +135,93 @@ def federated_view(
     )
 
 
+CORI_B = 0.4  # Callan's default belief floor
+CORI_DF_BASE = 50.0
+CORI_CW_SCALE = 150.0
+
+
+def cori_shard_scores(
+    cidxs: list[CompactIndex],
+    query: str,
+    lang: str = "english",
+    analyzer: str = "lemma",
+) -> list[tuple[int, float]]:
+    """CORI resource ranking (Callan, Lu & Croft, SIGIR 1995 §4) —
+    score each shard's usefulness for ``query`` from per-shard
+    METADATA only (no postings touched):
+
+        T = df / (df + 50 + 150 · cw_i / avg_cw)
+        I = log((|DB| + 0.5) / cf_t) / log(|DB| + 1)
+        p(t|C_i) = b + (1 − b) · T · I          (b = 0.4)
+        belief_i = mean over query terms with cf_t > 0
+
+    where ``df`` = shard document frequency, ``cw_i`` = shard token
+    count (reconstructed exactly from avg_len·n_docs, the same
+    integer-total trick as :func:`merged_stats`), ``cf_t`` = number
+    of shards containing t, ``|DB|`` = shard count.  Terms absent
+    from every shard drop out (R1 unknown-term semantics); a query
+    with no known term scores every shard 0.0.
+
+    Selection is recall-oriented, so terms are NOT stop-filtered —
+    a term that is stop-frequent globally can still be the signal
+    that one shard specialises in it.
+
+    Scale shape: ONE union-of-term_stats job (each leg a ``term IN``
+    filtered probe of a metadata table) collects |shards| × |terms|
+    rows; the formula is driver arithmetic over that.  Returns
+    ``[(shard_index, belief)]`` in input order."""
+    _check_compatible(cidxs)
+    terms = sorted(set(analyze_query(query, lang, analyzer)))
+    if not terms:
+        return [(i, 0.0) for i in range(len(cidxs))]
+    n_db = len(cidxs)
+    cws = [float(round(c.avg_len * c.n_docs)) for c in cidxs]
+    avg_cw = sum(cws) / n_db
+    probes = [
+        c.term_stats.filter(F.col("term").isin(terms)).select(
+            F.lit(i).alias("shard"), "term", "df"
+        )
+        for i, c in enumerate(cidxs)
+    ]
+    rows = reduce(DataFrame.unionByName, probes).collect()
+    dfs: list[dict[str, int]] = [{} for _ in cidxs]
+    for r in rows:
+        dfs[r["shard"]][r["term"]] = int(r["df"])
+    cf = {t: sum(1 for d in dfs if d.get(t, 0) > 0) for t in terms}
+    known = [t for t in terms if cf[t] > 0]
+    out = []
+    for i in range(n_db):
+        if not known:
+            out.append((i, 0.0))
+            continue
+        s = 0.0
+        for t in known:
+            df = dfs[i].get(t, 0)
+            t_part = df / (
+                df + CORI_DF_BASE + CORI_CW_SCALE * cws[i] / avg_cw
+            )
+            i_part = math.log((n_db + 0.5) / cf[t]) / math.log(
+                n_db + 1.0
+            )
+            s += CORI_B + (1.0 - CORI_B) * t_part * i_part
+        out.append((i, s / len(known)))
+    return out
+
+
+def select_shards(
+    cidxs: list[CompactIndex],
+    query: str,
+    n_shards: int,
+    lang: str = "english",
+    analyzer: str = "lemma",
+) -> list[int]:
+    """Indexes of the ``n_shards`` highest-belief shards for
+    ``query`` (belief desc, shard index asc — deterministic)."""
+    scores = cori_shard_scores(cidxs, query, lang, analyzer)
+    ranked = sorted(scores, key=lambda sb: (-sb[1], sb[0]))
+    return [i for i, _ in ranked[: max(0, n_shards)]]
+
+
 def search_federated(
     cidxs: list[CompactIndex],
     query: str,
@@ -148,13 +236,26 @@ def search_federated(
     candidates: str = "rarest",
     exclude_terms: list[str] | None = None,
     check_disjoint: bool = False,
+    max_shards: int | None = None,
 ) -> DataFrame:
     """BM25 top-k over N compact indexes as one corpus — rank- and
     score-identical to a monolithic index built over the concatenated
     corpus (pytest-pinned).  Same contract as :func:`plans.search.
     search`; fuzzy correction and stop-removal run against the MERGED
     dictionary, so query rewrites match the monolithic behavior too.
+
+    ``max_shards``: standard federated resource selection — rank
+    shards with :func:`cori_shard_scores` and search only the top
+    ``max_shards`` (an approximation: docs in unselected shards
+    can't rank, and global statistics merge over the SELECTED shards
+    only — distributed IR's usual trade; ``max_shards >= len(cidxs)``
+    degrades to the exact path).
     """
+    if max_shards is not None and max_shards < len(cidxs):
+        keep = set(
+            select_shards(cidxs, query, max_shards, lang, analyzer)
+        )
+        cidxs = [c for i, c in enumerate(cidxs) if i in keep]
     terms = analyze_query(query, lang, analyzer)
     decode = set(terms)
     for t in exclude_terms or []:

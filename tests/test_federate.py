@@ -139,3 +139,107 @@ def test_config_mismatch_raises(shards):
 def test_empty_list_raises():
     with pytest.raises(ValueError):
         merged_stats([])
+
+
+# ---------------------------------------------------------------------------
+# CORI resource selection
+# ---------------------------------------------------------------------------
+
+
+def _brute_cori(shard_stats, terms):
+    """Pure-python CORI (Callan 1995): shard_stats =
+    [(df_map, cw)], returns [(i, belief)]."""
+    import math
+
+    n_db = len(shard_stats)
+    avg_cw = sum(cw for _, cw in shard_stats) / n_db
+    cf = {
+        t: sum(1 for d, _ in shard_stats if d.get(t, 0) > 0)
+        for t in terms
+    }
+    known = [t for t in sorted(set(terms)) if cf[t] > 0]
+    out = []
+    for i, (dmap, cw) in enumerate(shard_stats):
+        if not known:
+            out.append((i, 0.0))
+            continue
+        s = 0.0
+        for t in known:
+            df = dmap.get(t, 0)
+            T = df / (df + 50.0 + 150.0 * cw / avg_cw)
+            I = math.log((n_db + 0.5) / cf[t]) / math.log(n_db + 1.0)
+            s += 0.4 + 0.6 * T * I
+        out.append((i, s / len(known)))
+    return out
+
+
+def test_cori_matches_bruteforce(shards):
+    from search_engine_spark.plans.federate import cori_shard_scores
+
+    terms = Q.split()
+    stats = []
+    for c in shards:
+        dmap = {
+            r["term"]: r["df"]
+            for r in c.term_stats.filter(
+                F.col("term").isin(terms)
+            ).collect()
+        }
+        stats.append((dmap, float(round(c.avg_len * c.n_docs))))
+    want = _brute_cori(stats, terms)
+    got = cori_shard_scores(shards, Q, analyzer="tokens")
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, rel=1e-12)
+    # beliefs live in (0, 1]: b floor 0.4 only when every term known
+    assert all(0.0 < b <= 1.0 for _, b in got)
+
+
+def test_cori_unknown_query_all_zero(shards):
+    from search_engine_spark.plans.federate import cori_shard_scores
+
+    got = cori_shard_scores(shards, "zzzznope", analyzer="tokens")
+    assert got == [(0, 0.0), (1, 0.0)]
+
+
+def test_select_shards_deterministic_order(shards):
+    from search_engine_spark.plans.federate import (
+        cori_shard_scores,
+        select_shards,
+    )
+
+    scores = cori_shard_scores(shards, Q, analyzer="tokens")
+    best = max(scores, key=lambda sb: (sb[1], -sb[0]))[0]
+    assert select_shards(shards, Q, 1, analyzer="tokens") == [best]
+    assert sorted(select_shards(shards, Q, 2, analyzer="tokens")) == [
+        0,
+        1,
+    ]
+
+
+def test_max_shards_full_is_exact(mono_index, shards):
+    a = _rows(
+        search_federated(
+            shards, Q, limit=20, analyzer="tokens", max_shards=2
+        )
+    )
+    b = _rows(search(mono_index, Q, limit=20, analyzer="tokens"))
+    assert a == b and len(a) > 0
+
+
+def test_max_shards_one_searches_selected_only(shards):
+    from search_engine_spark.plans.federate import select_shards
+    from search_engine_spark.plans.search import search as plain
+
+    sel = select_shards(shards, Q, 1, analyzer="tokens")[0]
+    a = _rows(
+        search_federated(
+            shards, Q, limit=20, analyzer="tokens", max_shards=1
+        )
+    )
+    b = _rows(
+        search_federated(
+            [shards[sel]], Q, limit=20, analyzer="tokens"
+        )
+    )
+    assert a == b and len(a) > 0
