@@ -1365,6 +1365,34 @@ FROM belief
 """
 
 
+def _kneser_ney_sql(d: float = 0.75) -> str:
+    """DuckDB mirror of operators/curation.kneser_ney_logprob:
+    interpolated KN with fixed discount — max(c2−D,0)/c1 +
+    (D·N1+(w1,·)/c1)·N1+(·,w2)/N1+(·,·)."""
+    return f"""
+WITH {_TOKS_POS},
+big AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+        FROM toks_pos a
+        JOIN toks_pos b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+lft AS (SELECT w1, sum(c2) AS c1, count(*) AS n_cont
+        FROM c2 GROUP BY 1),
+rgt AS (SELECT w2, count(*) AS n_ctx FROM c2 GROUP BY 1),
+nt AS (SELECT count(*) AS n_types FROM c2),
+per AS (
+  SELECT big.doc_id,
+         -ln(greatest(c2.c2 - {d}, 0) / lft.c1
+             + ({d} * lft.n_cont / lft.c1)
+               * (rgt.n_ctx / CAST(nt.n_types AS DOUBLE))) AS nlp
+  FROM big JOIN c2 USING (w1, w2) JOIN lft USING (w1)
+  JOIN rgt USING (w2) CROSS JOIN nt)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(nlp), 6) AS nll, round(exp(avg(nlp)), 6) AS ppl
+FROM per GROUP BY 1
+"""
+
+
 def _lm_jm_sql(terms: list[str], lam: float = 0.3,
                limit: int = 10) -> str:
     """DuckDB mirror of plans/lm.search_lm(smoothing="jm"):
@@ -2166,6 +2194,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bigram_logprob(
             _docs_enriched(spark, sf), alpha=0.1
+        ).select("doc_id", "n_bigrams", "nll", "ppl")
+
+    def kneser_ney_q(spark, sf):
+        """Interpolated Kneser-Ney bigram scoring (operators/
+        curation.kneser_ney_logprob) — continuation-probability
+        smoothing, the proper successor to add-α."""
+        from search_engine_spark.operators.curation import (
+            kneser_ney_logprob,
+        )
+
+        return kneser_ney_logprob(
+            _docs_enriched(spark, sf), discount=0.75
         ).select("doc_id", "n_bigrams", "nll", "ppl")
 
     def latest_snapshot_q(spark, sf):
@@ -4024,6 +4064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "next_token_suggestions": next_token_q,
         "corpus_diff": corpus_diff_q,
         "bigram_logprob": bigram_logprob_q,
+        "kneser_ney_logprob": kneser_ney_q,
         "latest_snapshot": latest_snapshot_q,
         "site_quality_stats": site_quality_q,
         "rank_eval": rank_eval_q,
@@ -4730,6 +4771,7 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
         "wildcard_terms": _wildcard_terms_sql(max_expansions=3),
         "collocations": _collocations_sql(min_count=5, limit=20),
         "bigram_logprob": _bigram_sql(alpha=0.1),
+        "kneser_ney_logprob": _kneser_ney_sql(d=0.75),
         "latest_snapshot": _LATEST_SNAPSHOT_SQL,
         "site_quality_stats": _site_quality_sql(
             toks_list, stopword_list

@@ -153,6 +153,9 @@ def main() -> None:
         "bm25_champion_topk",
         "bm25_synonyms_topk",
         "lm_dirichlet_topk",
+        "lm_jm_topk",
+        "wildcard_search",
+        "cori_shard_scores",
         "vsm_topk",
         "proximity_topk",
         "ngram_jaccard_pairs",

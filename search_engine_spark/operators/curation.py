@@ -942,6 +942,95 @@ def bigram_logprob(
     )
 
 
+def kneser_ney_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col_name: str = "tokens",
+    discount: float = 0.75,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """``(<id>, n_bigrams, nll, ppl)`` — interpolated Kneser–Ney
+    bigram scoring under the corpus's own distribution (Kneser & Ney
+    1995; Chen & Goodman 1999's interpolated form with one fixed
+    discount ``D``):
+
+        P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+                   + (D · N₁₊(w₁,·)/c(w₁·)) · N₁₊(·,w₂)/N₁₊(·,·)
+
+    where ``c(w₁·)`` is the bigram-prefix count, ``N₁₊(w₁,·)`` the
+    distinct continuations of w₁, ``N₁₊(·,w₂)`` the distinct
+    left-contexts of w₂ (the continuation probability that makes KN
+    penalise words frequent only inside one collocation — "francisco"
+    after anything but "san"), and ``N₁₊(·,·)`` the distinct bigram
+    types.  The proper successor to :func:`bigram_logprob`'s add-α
+    smoothing for quality filtering; every scored bigram exists in
+    the corpus (the model IS the corpus), so probabilities are
+    strictly positive without a unigram floor.
+
+    Plan shape: identical to :func:`bigram_logprob` — one JVM
+    ``arrays_zip`` bigram stream, THREE map-side-combined aggregates
+    over it (bigram counts; prefix count + distinct-continuation in
+    one pass; distinct-left-context), each Zipf-skewed → AQE
+    skew-split; dictionaries broadcast below the threshold.  Docs
+    with < 2 tokens are absent.
+    """
+    toks = F.col(tokens_col_name)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    big = df.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(toks, 1, n1).alias("w1"),
+                F.slice(toks, 2, n1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select(
+        id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # prefix count + distinct continuations in one pass over c2
+    # (c2 is the bigram-TYPE table, so count(*) there = N1+(w1,·))
+    left = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"),
+        F.count(F.lit(1)).alias("n_cont"),
+    )
+    right = c2.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("n_ctx")
+    )
+    n_types = c2.count()
+
+    big_j = F.broadcast(c2) if n_types <= broadcast_threshold else c2
+    left_j = (
+        F.broadcast(left) if n_types <= broadcast_threshold else left
+    )
+    right_j = (
+        F.broadcast(right)
+        if n_types <= broadcast_threshold
+        else right
+    )
+    d = float(discount)
+    p = (
+        F.greatest(
+            F.col("c2").cast("double") - F.lit(d), F.lit(0.0)
+        )
+        / F.col("c1")
+        + (F.lit(d) * F.col("n_cont") / F.col("c1"))
+        * (F.col("n_ctx") / F.lit(float(n_types)))
+    )
+    per = (
+        big.join(big_j, ["w1", "w2"])
+        .join(left_j, "w1")
+        .join(right_j, "w2")
+        .select(id_col, (-F.log(p)).alias("nlp"))
+    )
+    return per.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("nlp"), 6).alias("nll"),
+        F.round(F.exp(F.avg("nlp")), 6).alias("ppl"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # re-crawl snapshot dedup (latest page per canonical URL)
 # ---------------------------------------------------------------------------

@@ -96,6 +96,112 @@ def test_bigram_ranks_word_salad_worse(spark):
 
 
 # ---------------------------------------------------------------------------
+# Kneser-Ney bigram LM
+# ---------------------------------------------------------------------------
+
+
+def _brute_kn(rows, d):
+    big = []
+    for _, toks in rows:
+        big += list(zip(toks, toks[1:]))
+    from collections import Counter, defaultdict
+
+    c2 = Counter(big)
+    c1 = Counter(w1 for w1, _ in big)
+    n_cont = defaultdict(set)
+    n_ctx = defaultdict(set)
+    for w1, w2 in c2:
+        n_cont[w1].add(w2)
+        n_ctx[w2].add(w1)
+    n_types = len(c2)
+    out = {}
+    for did, toks in rows:
+        bgs = list(zip(toks, toks[1:]))
+        if not bgs:
+            continue
+        nlps = []
+        for w1, w2 in bgs:
+            p = max(c2[(w1, w2)] - d, 0.0) / c1[w1] + (
+                d * len(n_cont[w1]) / c1[w1]
+            ) * (len(n_ctx[w2]) / n_types)
+            nlps.append(-math.log(p))
+        nll = sum(nlps) / len(nlps)
+        out[did] = (len(bgs), round(nll, 6), round(math.exp(nll), 6))
+    return out
+
+
+def test_kneser_ney_matches_bruteforce(spark, lm_docs):
+    from search_engine_spark.operators.curation import (
+        kneser_ney_logprob,
+    )
+
+    d = 0.75
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"], r["ppl"])
+        for r in kneser_ney_logprob(lm_docs, discount=d).collect()
+    }
+    rows = [
+        (r["doc_id"], list(r["tokens"])) for r in lm_docs.collect()
+    ]
+    expect = _brute_kn(rows, d)
+    assert set(got) == set(expect) == {1, 2, 3}
+    for did in got:
+        assert got[did][0] == expect[did][0]
+        assert got[did][1] == pytest.approx(expect[did][1], abs=2e-6)
+        assert got[did][2] == pytest.approx(expect[did][2], abs=2e-6)
+
+
+def test_kneser_ney_penalizes_collocation_only_words(spark):
+    """KN's signature: 'francisco' follows ONLY 'san', so its
+    continuation probability is tiny even though the unigram (and the
+    naive add-α backoff mass) would score it as frequent.  A doc
+    pairing a common left-context with 'francisco' must rank worse
+    under KN than one using a word with many observed left
+    contexts."""
+    from search_engine_spark.operators.curation import (
+        kneser_ney_logprob,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append((i, ["san", "francisco"]))      # 1 ctx for francisco
+        rows.append((100 + i, ["a", "city"]))
+        rows.append((200 + i, ["big", "city"]))
+        rows.append((300 + i, ["old", "city"]))     # 3+ ctxs for city
+    # probe docs: both bigrams occur exactly once (the probes
+    # themselves), same left context — only the continuation
+    # probability differs
+    rows.append((998, ["the", "francisco"]))
+    rows.append((999, ["the", "city"]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, tokens array<string>"
+    )
+    ppl = {
+        r["doc_id"]: r["ppl"]
+        for r in kneser_ney_logprob(df).collect()
+    }
+    assert ppl[998] > ppl[999]
+
+
+def test_kneser_ney_word_salad_worse(spark):
+    from search_engine_spark.operators.curation import (
+        kneser_ney_logprob,
+    )
+
+    base = ["the", "cat", "sat", "on", "the", "mat"]
+    rows = [(i, base) for i in range(10)]
+    rows.append((99, ["mat", "the", "on", "cat", "the", "sat"]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, tokens array<string>"
+    )
+    ppl = {
+        r["doc_id"]: r["ppl"]
+        for r in kneser_ney_logprob(df).collect()
+    }
+    assert ppl[99] > ppl[0]
+
+
+# ---------------------------------------------------------------------------
 # latest snapshot
 # ---------------------------------------------------------------------------
 
