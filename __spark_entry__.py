@@ -3401,6 +3401,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus = docs.filter(F.col("doc_id") % 50 != 0)
         return contaminated_ids(corpus, bench, "doc_id", "tokens", n=8)
 
+    def semantic_decontaminate_q(spark, sf):
+        """Semantic (embedding-cosine) test-set decontamination
+        (operators/dedup.semantic_contaminated_ids): corpus vectors
+        within cosine 0.4 of any benchmark vector (vec_id%10 split)."""
+        from search_engine_spark.operators.dedup import (
+            semantic_contaminated_ids,
+        )
+
+        emb = _read(spark, sf, "embeddings")
+        bench = emb.filter(F.col("vec_id") % 10 == 0)
+        corpus = emb.filter(F.col("vec_id") % 10 != 0)
+        return semantic_contaminated_ids(
+            corpus, bench, threshold=0.4, id_col="vec_id"
+        )
+
     def sample_per_group_q(spark, sf):
         from search_engine_spark.operators.curation import (
             sample_n_per_group,
@@ -4110,6 +4125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline_curated": training_pipeline_curated,
         "pii_scan": pii_scan,
         "decontaminate": decontaminate_q,
+        "semantic_decontaminate": semantic_decontaminate_q,
         "c4_span_dedup": c4_span_dups,
         "exact_substr_dedup": exact_substr_dedup_q,
         "fuzzy_terms": fuzzy_terms_q,
@@ -6045,6 +6061,16 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             corpus AS (SELECT * FROM sh WHERE doc_id % 50 <> 0)
             SELECT DISTINCT c.doc_id
             FROM corpus c JOIN bench b USING (shingle)
+        """,
+        "semantic_decontaminate": """
+            WITH e AS (SELECT vec_id,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            bench AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+            corpus AS (SELECT * FROM e WHERE vec_id % 10 <> 0)
+            SELECT DISTINCT c.vec_id
+            FROM corpus c JOIN bench b
+              ON round(list_cosine_similarity(c.v, b.v), 6) >= 0.4
         """,
         "tfidf_keywords": f"""
             WITH {_TOKS},

@@ -891,3 +891,109 @@ def decontaminate(
         df, bench_df, id_col, tokens_col_name, n, **kwargs
     )
     return df.join(bad, id_col, "left_anti")
+
+
+def semantic_contaminated_ids(
+    emb_df: DataFrame,
+    bench_emb_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    n_planes: int = 6,
+    n_tables: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """Ids of corpus docs whose embedding is cosine-≥-threshold to ANY
+    benchmark embedding — SEMANTIC test-set decontamination, the
+    paraphrase-robust companion of :func:`contaminated_ids` (exact
+    n-token shingles miss reworded benchmark items; embedding cosine
+    catches them — the screen used alongside n-gram overlap in
+    open-data releases, e.g. the phi/FineWeb-edu decontamination
+    passes).
+
+    ``method="exact"``: one broadcast join corpus × benchmark with a
+    JVM dot product per pair — benchmarks are metadata-scale (10³–10⁵
+    rows) next to the corpus, so the cross product is
+    |corpus|·|bench| WITH the small side broadcast: embarrassingly
+    parallel, no shuffle of the corpus side.  ``method="lsh"``: both
+    sides bucket by the same signed-random-projection tables first
+    (`srp_bucket_col`), so only same-bucket pairs pay the dot product
+    — the web-scale path when the benchmark union grows large; recall
+    follows the SRP table/plane trade-off (pytest-pinned on planted
+    paraphrases).
+
+    Returns distinct ``(<id>,)`` — feed to an anti-join
+    (:func:`semantic_decontaminate`).
+    """
+    from search_engine_spark.operators.similarity import (
+        _dot,
+        _hyperplanes,
+        _norm,
+        srp_bucket_col,
+    )
+
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"unknown method {method!r}")
+    corpus = emb_df.select(
+        F.col(id_col),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    bench = bench_emb_df.select(
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb"))
+        / (F.col("na") * F.col("nb")),
+        6,
+    )
+    if method == "exact":
+        pairs = corpus.join(F.broadcast(bench))
+    else:
+        dim = len(
+            emb_df.select(vec_col).first()[0]
+        )
+        legs = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, seed + 97 * t)
+            legs.append(
+                corpus.withColumn(
+                    "bucket", srp_bucket_col(F.col("va"), planes)
+                ).join(
+                    F.broadcast(
+                        bench.withColumn(
+                            "bucket",
+                            srp_bucket_col(F.col("vb"), planes),
+                        )
+                    ),
+                    "bucket",
+                )
+            )
+        from functools import reduce
+
+        pairs = reduce(DataFrame.unionByName, legs)
+    return (
+        pairs.filter(sim >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    emb_df: DataFrame,
+    bench_emb_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Corpus with semantically benchmark-contaminated documents
+    removed (anti-join against :func:`semantic_contaminated_ids`;
+    docs without an embedding row are conservatively KEPT)."""
+    bad = semantic_contaminated_ids(
+        emb_df, bench_emb_df, threshold, id_col, vec_col, **kwargs
+    )
+    return df.join(bad, id_col, "left_anti")

@@ -157,3 +157,115 @@ def test_tfidf_keywords_rank_deterministic(spark):
     )
     out = tfidf_keywords(df, k=3).orderBy("rank").collect()
     assert [r["term"] for r in out] == ["alpha", "mid", "zeta"]
+
+
+# ---------------------------------------------------------------------------
+# semantic (embedding-cosine) decontamination
+# ---------------------------------------------------------------------------
+
+
+import numpy as np
+
+from search_engine_spark.operators.dedup import (
+    semantic_contaminated_ids,
+    semantic_decontaminate,
+)
+
+
+def _unit(v):
+    v = np.asarray(v, dtype=np.float64)
+    return v / np.linalg.norm(v)
+
+
+@pytest.fixture(scope="module")
+def sem_fixture(spark):
+    rng = np.random.default_rng(5)
+    dim = 16
+    bench = rng.normal(size=(5, dim))
+    corpus = []
+    # 40 random docs (far from bench w.h.p.), 6 planted paraphrases:
+    # small perturbations of bench rows -> cosine ~0.99
+    for i in range(40):
+        corpus.append((i, rng.normal(size=dim)))
+    for j in range(6):
+        base = bench[j % 5]
+        corpus.append((100 + j, base + 0.05 * rng.normal(size=dim)))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in corpus],
+        "doc_id long, embedding array<float>",
+    )
+    bench_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(bench)],
+        "bench_id long, embedding array<float>",
+    )
+    return emb, bench_df, corpus, bench
+
+
+def _brute_contaminated(corpus, bench, thr):
+    out = set()
+    for i, v in corpus:
+        for b in bench:
+            sim = round(float(_unit(v) @ _unit(b)), 6)
+            if sim >= thr:
+                out.add(i)
+                break
+    return out
+
+
+def test_semantic_contaminated_exact_matches_bruteforce(sem_fixture):
+    emb, bench_df, corpus, bench = sem_fixture
+    thr = 0.9
+    want = _brute_contaminated(corpus, bench, thr)
+    got = {
+        r["doc_id"]
+        for r in semantic_contaminated_ids(
+            emb, bench_df, threshold=thr
+        ).collect()
+    }
+    assert got == want
+    assert {100 + j for j in range(6)} <= got  # planted all caught
+
+
+def test_semantic_lsh_subset_of_exact_and_catches_planted(sem_fixture):
+    emb, bench_df, corpus, bench = sem_fixture
+    thr = 0.9
+    exact = {
+        r["doc_id"]
+        for r in semantic_contaminated_ids(
+            emb, bench_df, threshold=thr
+        ).collect()
+    }
+    lsh = {
+        r["doc_id"]
+        for r in semantic_contaminated_ids(
+            emb, bench_df, threshold=thr, method="lsh",
+            n_planes=4, n_tables=8,
+        ).collect()
+    }
+    assert lsh <= exact
+    # planted near-identical vectors collide in >=1 of 8 tables w.h.p.
+    assert len(lsh & {100 + j for j in range(6)}) >= 5
+
+
+def test_semantic_decontaminate_keeps_unembedded_docs(
+    spark, sem_fixture
+):
+    emb, bench_df, corpus, _ = sem_fixture
+    ids = [i for i, _ in corpus] + [999]  # 999 has no embedding row
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in ids], "doc_id long, text string"
+    )
+    kept = {
+        r["doc_id"]
+        for r in semantic_decontaminate(
+            docs, emb, bench_df, threshold=0.9
+        ).collect()
+    }
+    assert 999 in kept
+    assert not (kept & {100 + j for j in range(6)})
+
+
+def test_semantic_method_validation(sem_fixture):
+    emb, bench_df, _, _ = sem_fixture
+    with pytest.raises(ValueError):
+        semantic_contaminated_ids(emb, bench_df, method="nope")
