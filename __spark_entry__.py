@@ -3943,6 +3943,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rank").cast("int").alias("rank"), "a", "b"
         )
 
+    def unigram_vocab_q(spark, sf):
+        """Distributed unigram-LM tokenizer learning (SentencePiece
+        Viterbi-EM) — no SQL oracle (iterative EM + Arrow Viterbi);
+        pinned against a pure-Python sequential reference in
+        tests/test_unigram_tok.py."""
+        from search_engine_spark.operators.unigram_tok import (
+            learn_unigram,
+            unigram_vocab_table,
+        )
+
+        docs = _docs_enriched(spark, sf).select("tokens")
+        vocab = learn_unigram(
+            docs, vocab_size=48, seed_size=200, max_piece_len=6,
+            em_rounds=1,
+        )
+        return unigram_vocab_table(spark, vocab).select(
+            "piece", F.round("logprob", 6).alias("logprob")
+        )
+
     def hll_distinct_per_lang(spark, sf):
         """Mergeable HLL distinct-doc sketches per lang — estimates
         are sketch-dependent (no SQL oracle); accuracy and merge
@@ -4195,6 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_doclen_quantiles": site_doclen_quantiles,
         "upsample_mixture": upsample_mixture_q,
         "bpe_merges": bpe_merges_q,
+        "unigram_vocab": unigram_vocab_q,
         "hll_distinct_per_lang": hll_distinct_per_lang,
     }
 

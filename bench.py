@@ -197,6 +197,9 @@ def main() -> None:
         "gopher_gate",
         "unigram_logprob",
         "bigram_logprob",
+        "kneser_ney_logprob",
+        "semantic_decontaminate",
+        "unigram_vocab",
         "prefix_search",
         "collocations",
         "near_topk",
