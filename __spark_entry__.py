@@ -1165,6 +1165,42 @@ def _prefix_sql(limit: int = 10, max_expansions: int = 50) -> str:
     return _group_bm25_sql(gmap, limit)
 
 
+def _did_you_mean_sql(
+    t1: str, t2: str, gamma: float = 5.0, alpha: float = 1.0
+) -> str:
+    """DuckDB mirror of plans/spell.suggest_query for the two-term
+    typo query: exact levenshtein≤1 candidate sets (SymSpell's
+    neighborhood is exact — pytest-pinned), add-α bigram noisy
+    channel, argmax (score desc, suggestion asc)."""
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_TSTATS}, {_TOKS_POS},
+big AS (SELECT a.term AS w1, b.term AS w2, count(*) AS c2
+        FROM toks_pos a
+        JOIN toks_pos b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 2),
+pref AS (SELECT w1, sum(c2) AS c FROM big GROUP BY 1),
+v AS (SELECT count(*) AS v FROM tstats),
+nn AS (SELECT count(*) AS n FROM documents),
+c1 AS (SELECT term, df, levenshtein(term, '{t1}') AS d FROM tstats
+       WHERE levenshtein(term, '{t1}') <= 1),
+c2c AS (SELECT term, levenshtein(term, '{t2}') AS d FROM tstats
+        WHERE levenshtein(term, '{t2}') <= 1),
+scored AS (
+  SELECT c1.term || ' ' || c2c.term AS suggestion,
+         ln((c1.df + {alpha}) / (nn.n + {alpha} * v.v))
+         + ln((coalesce(b.c2, 0) + {alpha})
+              / (coalesce(p.c, 0) + {alpha} * v.v))
+         - {gamma} * (c1.d + c2c.d) AS score
+  FROM c1 CROSS JOIN c2c
+  LEFT JOIN big b ON b.w1 = c1.term AND b.w2 = c2c.term
+  LEFT JOIN pref p ON p.w1 = c1.term
+  CROSS JOIN v CROSS JOIN nn)
+SELECT suggestion, round(score, 6) AS score
+FROM scored ORDER BY score DESC, suggestion ASC LIMIT 1
+"""
+
+
 def _wildcard_sql(limit: int = 10, max_expansions: int = 50) -> str:
     """DuckDB mirror of plans/wildcard.search_wildcard for the
     contract query "*u* line": the '*u*' group expands to the
@@ -2136,6 +2172,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select(
             "doc_id", F.round("score", 6).alias("score"),
             F.col("rn").cast("int").alias("rn"),
+        )
+
+    def did_you_mean_q(spark, sf):
+        """Context-sensitive noisy-channel query suggestion
+        (plans/spell.suggest_query): bigram-LM Viterbi over exact
+        SymSpell candidate sets for the typo query 'valu kay'."""
+        from search_engine_spark.plans.spell import (
+            bigram_count_table,
+            suggest_query,
+        )
+
+        idx = _docs_index(spark, sf)
+        big = bigram_count_table(_docs_enriched(spark, sf))
+        got = suggest_query(idx, big, "valu kay")
+        return spark.createDataFrame(
+            [(got.query, round(got.score, 6))],
+            "suggestion string, score double",
         )
 
     def wildcard_search_q(spark, sf):
@@ -4091,6 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_span_docs": min_span_docs,
         "proximity_topk": proximity_topk,
         "prefix_search": prefix_search_q,
+        "did_you_mean": did_you_mean_q,
         "wildcard_search": wildcard_search_q,
         "wildcard_terms": wildcard_terms_q,
         "collocations": collocations_q,
@@ -4804,6 +4858,7 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
         "corpus_diff": _CORPUS_DIFF_SQL,
         "prefix_search": _prefix_sql(limit=10, max_expansions=50),
         "wildcard_search": _wildcard_sql(limit=10, max_expansions=50),
+        "did_you_mean": _did_you_mean_sql("valu", "kay"),
         "wildcard_terms": _wildcard_terms_sql(max_expansions=3),
         "collocations": _collocations_sql(min_count=5, limit=20),
         "bigram_logprob": _bigram_sql(alpha=0.1),

@@ -185,6 +185,7 @@ def main() -> None:
         "dsir_resample",
         "hll_distinct_per_lang",
         "fuzzy_terms",
+        "did_you_mean",
         "pagerank",
         "hits_scores",
         "click_coec",
