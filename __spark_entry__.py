@@ -1165,6 +1165,57 @@ def _prefix_sql(limit: int = 10, max_expansions: int = 50) -> str:
     return _group_bm25_sql(gmap, limit)
 
 
+def _explain_sql(terms: list[str]) -> str:
+    """DuckDB mirror of plans/explain.explain_score over the rank-1
+    doc of the rarest-candidate BM25 ranking (the bm25_topk plan,
+    LIMIT 1) — per-term tf/doc_len/df/idf/tf_norm/term_score."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+nn AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*) FROM lens) AS avg_len),
+qt AS (
+  SELECT ts.term, ts.df,
+         ln((nn.n - ts.df + 0.5) / (ts.df + 0.5)) AS idf
+  FROM tstats ts CROSS JOIN nn
+  WHERE ts.term IN ({term_list})
+    AND ts.term NOT IN (SELECT term FROM stop)
+    AND (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0),
+rarest AS (SELECT term FROM qt ORDER BY df ASC, term ASC LIMIT 1),
+cand AS (SELECT DISTINCT p.doc_id FROM postings p
+         JOIN rarest r ON p.term = r.term),
+scored AS (
+  SELECT c.doc_id,
+         sum(qt.idf * (p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+             / ((p.tf::DOUBLE / l.doc_len)
+                + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len))) AS score
+  FROM cand c
+  JOIN postings p ON p.doc_id = c.doc_id
+  JOIN qt ON qt.term = p.term
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nn
+  GROUP BY 1),
+top1 AS (SELECT doc_id FROM scored
+         ORDER BY score DESC, doc_id ASC LIMIT 1)
+SELECT p.term,
+       CAST(p.tf AS BIGINT) AS tf,
+       CAST(l.doc_len AS BIGINT) AS doc_len,
+       CAST(qt.df AS BIGINT) AS df,
+       round(qt.idf, 6) AS idf,
+       round(p.tf::DOUBLE / l.doc_len, 6) AS tf_norm,
+       round(qt.idf * (p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+             / ((p.tf::DOUBLE / l.doc_len)
+                + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len)),
+             6) AS term_score
+FROM top1 t
+JOIN postings p ON p.doc_id = t.doc_id AND p.term IN
+     (SELECT term FROM qt)
+JOIN qt ON qt.term = p.term
+JOIN lens l ON l.doc_id = t.doc_id
+CROSS JOIN nn
+"""
+
+
 def _did_you_mean_sql(
     t1: str, t2: str, gamma: float = 5.0, alpha: float = 1.0
 ) -> str:
@@ -2172,6 +2223,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select(
             "doc_id", F.round("score", 6).alias("score"),
             F.col("rn").cast("int").alias("rn"),
+        )
+
+    def explain_score_q(spark, sf):
+        """Lucene/ES-_explain parity (plans/explain.explain_score):
+        per-term BM25 breakdown of the flagship query's rank-1 doc;
+        components sum to the production score (pytest-pinned)."""
+        from search_engine_spark.plans.explain import explain_score
+        from search_engine_spark.plans.search import search
+
+        idx = _docs_index(spark, sf)
+        top1 = search(
+            idx, FLAGSHIP_QUERY, limit=1, analyzer="tokens"
+        ).collect()[0]["doc_id"]
+        parts = explain_score(
+            idx, FLAGSHIP_QUERY, top1, analyzer="tokens"
+        )
+        return parts.select(
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_len").cast("long").alias("doc_len"),
+            F.col("df").cast("long").alias("df"),
+            F.round("idf", 6).alias("idf"),
+            F.round("tf_norm", 6).alias("tf_norm"),
+            F.round("term_score", 6).alias("term_score"),
         )
 
     def did_you_mean_q(spark, sf):
@@ -4144,6 +4219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_span_docs": min_span_docs,
         "proximity_topk": proximity_topk,
         "prefix_search": prefix_search_q,
+        "explain_score": explain_score_q,
         "did_you_mean": did_you_mean_q,
         "wildcard_search": wildcard_search_q,
         "wildcard_terms": wildcard_terms_q,
@@ -4859,6 +4935,7 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
         "prefix_search": _prefix_sql(limit=10, max_expansions=50),
         "wildcard_search": _wildcard_sql(limit=10, max_expansions=50),
         "did_you_mean": _did_you_mean_sql("valu", "kay"),
+        "explain_score": _explain_sql(FLAGSHIP_TERMS),
         "wildcard_terms": _wildcard_terms_sql(max_expansions=3),
         "collocations": _collocations_sql(min_count=5, limit=20),
         "bigram_logprob": _bigram_sql(alpha=0.1),
