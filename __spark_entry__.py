@@ -2225,6 +2225,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rn").cast("int").alias("rn"),
         )
 
+    def bm25_search_after_q(spark, sf):
+        """Cursor pagination (plans/search.search_after — ES
+        search_after parity): page 2 of the flagship ranking via the
+        (score, id) strict-successor filter; must equal the offset
+        slice (the oracle ranks once and renumbers rows 6..10)."""
+        from search_engine_spark.plans.search import (
+            search,
+            search_after,
+        )
+
+        idx = _docs_index(spark, sf)
+        page1 = search(
+            idx, FLAGSHIP_QUERY, limit=5, analyzer="tokens"
+        ).collect()
+        after = (page1[-1]["score"], page1[-1]["doc_id"])
+        res = search_after(
+            idx, FLAGSHIP_QUERY, after=after, limit=5,
+            analyzer="tokens",
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
     def explain_score_q(spark, sf):
         """Lucene/ES-_explain parity (plans/explain.explain_score):
         per-term BM25 breakdown of the flagship query's rank-1 doc;
@@ -4220,6 +4244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity_topk": proximity_topk,
         "prefix_search": prefix_search_q,
         "explain_score": explain_score_q,
+        "bm25_search_after": bm25_search_after_q,
         "did_you_mean": did_you_mean_q,
         "wildcard_search": wildcard_search_q,
         "wildcard_terms": wildcard_terms_q,
@@ -4936,6 +4961,11 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
         "wildcard_search": _wildcard_sql(limit=10, max_expansions=50),
         "did_you_mean": _did_you_mean_sql("valu", "kay"),
         "explain_score": _explain_sql(FLAGSHIP_TERMS),
+        "bm25_search_after": (
+            "SELECT doc_id, score, CAST(rn - 5 AS INTEGER) AS rn "
+            "FROM (" + _bm25_sql(FLAGSHIP_TERMS, offset=5, limit=5)
+            + ") page2"
+        ),
         "wildcard_terms": _wildcard_terms_sql(max_expansions=3),
         "collocations": _collocations_sql(min_count=5, limit=20),
         "bigram_logprob": _bigram_sql(alpha=0.1),

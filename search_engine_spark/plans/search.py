@@ -158,6 +158,54 @@ def search(
     return _paginate(scored, index.id_col, offset, limit)
 
 
+def search_after(
+    index: InvertedIndex,
+    query: str,
+    after: tuple[float, str] | None = None,
+    limit: int = 20,
+    sites: list[str] | None = None,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+    fuzzy: bool = False,
+    fuzzy_max_dist: int = 1,
+    candidates: str = "rarest",
+    exclude_terms: list[str] | None = None,
+) -> DataFrame:
+    """Cursor pagination (Elasticsearch ``search_after`` semantics):
+    the next ``limit`` results strictly after the ``(score, id)``
+    cursor — pass the LAST row of the previous page.
+
+    Deep ``offset`` pagination is the corpus-scale antipattern: page
+    N costs a top-(offset+limit) that grows with N.  The cursor
+    filter ``(score < s) OR (score = s AND id > last)`` — the
+    strict-successor test in the (score desc, id asc) total order —
+    is applied BEFORE the top-k, so every page is the same
+    top-``limit`` TakeOrderedAndProject over a shrinking pool.
+    Within one index build scores are deterministic, so walking pages
+    by cursor yields exactly the offset slices (pytest-pinned).
+
+    ``rn`` restarts at 1 per page (a cursor page has no global rank —
+    same as ES).  ``after=None`` is page one."""
+    scored, empty = _scored_pool(
+        index, query, sites, lang, analyzer, use_stoplist,
+        fuzzy, fuzzy_max_dist, candidates, exclude_terms,
+    )
+    if scored is None:
+        return empty
+    id_col = index.id_col
+    if after is not None:
+        s, last_id = after
+        scored = scored.filter(
+            (F.col("score") < F.lit(s))
+            | (
+                (F.col("score") == F.lit(s))
+                & (F.col(id_col) > F.lit(last_id))
+            )
+        )
+    return _paginate(scored, id_col, 0, limit)
+
+
 def _paginate(
     scored: DataFrame, id_col: str, offset: int, limit: int
 ) -> DataFrame:

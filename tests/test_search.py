@@ -347,3 +347,56 @@ def test_priors_missing_docs_get_default(spark, spark_index):
     plain_scores = {r.url: r.score for r in pool}
     for r in others:
         assert r.score < plain_scores[r.url]
+
+
+# ---------------------------------------------------------------------------
+# search_after cursor pagination
+# ---------------------------------------------------------------------------
+
+
+def test_search_after_walks_offset_slices(spark_index):
+    from search_engine_spark.plans.search import search, search_after
+
+    q = "crystal meadow falcon"
+    full = search(
+        spark_index, q, limit=30, candidates="union"
+    ).collect()
+    assert len(full) >= 12
+    pages = []
+    after = None
+    for _ in range(3):
+        page = search_after(
+            spark_index, q, after=after, limit=4,
+            candidates="union",
+        ).collect()
+        assert [r["rn"] for r in page] == [1, 2, 3, 4]
+        pages.extend(page)
+        after = (page[-1]["score"], page[-1]["url"])
+    want = [(r["url"], round(r["score"], 9)) for r in full[:12]]
+    got = [(r["url"], round(r["score"], 9)) for r in pages]
+    assert got == want
+
+
+def test_search_after_none_is_page_one(spark_index):
+    from search_engine_spark.plans.search import search, search_after
+
+    q = "crystal meadow"
+    a = [
+        (r["url"], round(r["score"], 9))
+        for r in search_after(spark_index, q, limit=10).collect()
+    ]
+    b = [
+        (r["url"], round(r["score"], 9))
+        for r in search(spark_index, q, limit=10).collect()
+    ]
+    assert a == b and len(a) > 0
+
+
+def test_search_after_past_end_empty(spark_index):
+    from search_engine_spark.plans.search import search_after
+
+    # a cursor below every score -> empty page
+    page = search_after(
+        spark_index, "crystal", after=(-1e18, ""), limit=5
+    ).collect()
+    assert page == []
