@@ -3357,6 +3357,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             k1=K1, b=B, limit=10,
         )
 
+    def dismax_topk_q(spark, sf):
+        """Disjunction-max best-fields ranking (plans/search.
+        dismax_topk — ES multi_match best_fields parity): per-field
+        BM25 with each field's own stats, combined max +
+        tie_breaker·rest."""
+        from search_engine_spark.functions.textproc import tokens_col
+        from search_engine_spark.plans.search import dismax_topk
+
+        docs = _read(spark, sf, "documents").select(
+            "doc_id", "text", "lang",
+            F.substring("text", 1, 50).alias("title"),
+        )
+        enriched = docs.select(
+            "doc_id",
+            tokens_col(F.col("text"), F.col("lang")).alias("tokens"),
+            tokens_col(F.col("title"), F.col("lang")).alias(
+                "title_tokens"
+            ),
+        )
+        return dismax_topk(
+            enriched, FLAGSHIP_TERMS, tie_breaker=0.3,
+            k1=K1, b=B, limit=10,
+        )
+
     def topk_per_site(spark, sf):  # grouped top-k via window
         from pyspark.sql import Window
 
@@ -4352,6 +4376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_postings": anchor_postings_q,
         "bm25f_anchor_topk": bm25f_anchor_topk,
         "bm25f_topk": bm25f_topk_q,
+        "dismax_topk": dismax_topk_q,
         "bm25_batch": bm25_batch,
         "ltr_features": ltr_features_q,
         "bm25_batch_compact": bm25_batch_compact,
@@ -6529,6 +6554,75 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
               FROM qtf q JOIN dfq d USING (term)
               JOIN wl w USING (doc_id) CROSS JOIN nn)
             GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC LIMIT 10
+        """,
+        "dismax_topk": f"""
+            WITH base AS (
+              SELECT doc_id, text, substr(text, 1, 50) AS title
+              FROM documents),
+            lists AS (
+              SELECT doc_id, {toks_list} AS bt,
+                     {toks_list.replace("lower(text)",
+                                        "lower(title)")} AS tt
+              FROM base),
+            qlist(term) AS (VALUES {", ".join(
+                f"('{t}')" for t in FLAGSHIP_TERMS)}),
+            body AS (
+              SELECT doc_id, unnest(bt) AS term, len(bt) AS L
+              FROM lists WHERE len(bt) > 0),
+            title_s AS (
+              SELECT doc_id, unnest(tt) AS term, len(tt) AS L
+              FROM lists WHERE len(tt) > 0),
+            bstat AS (SELECT count(DISTINCT doc_id) AS n,
+                             avg(L) AS avg FROM (
+                        SELECT doc_id, any_value(L) AS L FROM body
+                        GROUP BY 1)),
+            tstat AS (SELECT count(DISTINCT doc_id) AS n,
+                             avg(L) AS avg FROM (
+                        SELECT doc_id, any_value(L) AS L
+                        FROM title_s GROUP BY 1)),
+            btf AS (SELECT doc_id, term, count(*) AS tf,
+                           any_value(L) AS L
+                    FROM body WHERE term IN (SELECT term FROM qlist)
+                    GROUP BY 1, 2),
+            ttf AS (SELECT doc_id, term, count(*) AS tf,
+                           any_value(L) AS L
+                    FROM title_s
+                    WHERE term IN (SELECT term FROM qlist)
+                    GROUP BY 1, 2),
+            bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY 1),
+            tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY 1),
+            bscore AS (
+              SELECT f.doc_id, sum(
+                ln((s.n - d.df + 0.5) / (d.df + 0.5))
+                * (f.tf::DOUBLE / f.L) * ({K1} + 1)
+                / (f.tf::DOUBLE / f.L
+                   + {K1} * (1 - {B} + {B} * f.L / s.avg))) AS sc
+              FROM btf f JOIN bdf d USING (term) CROSS JOIN bstat s
+              GROUP BY 1),
+            tscore AS (
+              SELECT f.doc_id, sum(
+                ln((s.n - d.df + 0.5) / (d.df + 0.5))
+                * (f.tf::DOUBLE / f.L) * ({K1} + 1)
+                / (f.tf::DOUBLE / f.L
+                   + {K1} * (1 - {B} + {B} * f.L / s.avg))) AS sc
+              FROM ttf f JOIN tdf d USING (term) CROSS JOIN tstat s
+              GROUP BY 1),
+            merged AS (
+              SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+                     b.sc AS bs, t.sc AS ts
+              FROM bscore b FULL OUTER JOIN tscore t
+                ON b.doc_id = t.doc_id),
+            final AS (
+              SELECT doc_id,
+                     greatest(coalesce(bs, -1e300),
+                              coalesce(ts, -1e300))
+                     + 0.3 * (coalesce(bs, 0) + coalesce(ts, 0)
+                              - greatest(coalesce(bs, -1e300),
+                                         coalesce(ts, -1e300)))
+                       AS score
+              FROM merged)
+            SELECT doc_id, round(score, 6) AS score FROM final
             ORDER BY score DESC, doc_id ASC LIMIT 10
         """,
         "topk_per_site": """

@@ -575,6 +575,122 @@ def bm25f_topk(
     )
 
 
+def dismax_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    field_cols: tuple[str, ...] = ("tokens", "title_tokens"),
+    tie_breaker: float = 0.3,
+    k1: float = 1.5,
+    b: float = 0.75,
+    limit: int = 10,
+) -> DataFrame:
+    """Disjunction-max multi-field top-k — Elasticsearch
+    ``multi_match type=best_fields`` / Lucene ``DisjunctionMaxQuery``
+    semantics, the per-field companion of :func:`bm25f_topk` (which
+    merges fields BEFORE saturation; dis_max scores each field
+    independently and combines AFTER):
+
+        score(d) = max_f score_f(d)
+                   + tie_breaker · Σ_{other f} score_f(d)
+
+    Each field scores with its OWN statistics (per-field df, per-field
+    avg length over docs where the field is non-empty — a doc missing
+    a field simply has no posting there), using the engine's
+    tf-normalized BM25 variant with Robertson IDF (negatives kept,
+    matching bm25f_topk).  ``tie_breaker=0`` is pure best-field;
+    ``1.0`` degrades to a per-field score sum.
+
+    Plan shape: per field one explode + two map-side-combined
+    aggregations (the same shapes as bm25f), then one full-outer join
+    of the per-field per-doc score frames (each already ≤ candidate
+    size) and a TakeOrderedAndProject.  No UDFs.
+    Returns ``(<id>, score)``, ties id asc."""
+    import math
+    from functools import reduce as _reduce
+
+    spark = df.sparkSession
+    terms = sorted(set(query_terms))
+    if not terms or not field_cols:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+
+    per_field = []
+    for i, fc in enumerate(field_cols):
+        lens = df.select(
+            F.col(id_col), F.size(F.col(fc)).cast("double").alias("len")
+        ).filter(F.col("len") > 0)
+        sc = lens.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("len").alias("avg")
+        ).collect()[0]
+        n_f, avg_f = int(sc["n"]), float(sc["avg"] or 0.0)
+        if n_f == 0:
+            continue
+        tf = (
+            df.select(
+                F.col(id_col), F.explode(F.col(fc)).alias("term")
+            )
+            .filter(F.col("term").isin(terms))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        dfreq = {
+            r["term"]: r["df"]
+            for r in tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        }
+        idf = {
+            t: math.log((n_f - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            for t in terms
+            if t in dfreq
+        }
+        if not idf:
+            continue
+        idf_col = F.create_map(
+            *[
+                x
+                for t in sorted(idf)
+                for x in (F.lit(t), F.lit(idf[t]))
+            ]
+        )[F.col("term")]
+        tfn = F.col("tf").cast("double") / F.col("len")
+        denom = tfn + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("len") / F.lit(avg_f)
+        )
+        col_name = f"s{i}"
+        per_field.append(
+            tf.join(lens, id_col)
+            .withColumn(
+                "contrib", idf_col * tfn * F.lit(k1 + 1.0) / denom
+            )
+            .groupBy(id_col)
+            .agg(F.sum("contrib").alias(col_name))
+        )
+    if not per_field:
+        return spark.createDataFrame([], f"{id_col} long, score double")
+
+    joined = _reduce(
+        lambda a, b_: a.join(b_, id_col, "full_outer"), per_field
+    )
+    score_cols = [c for c in joined.columns if c != id_col]
+    mx = (
+        F.greatest(*[F.col(c) for c in score_cols])
+        if len(score_cols) > 1
+        else F.col(score_cols[0])
+    )
+    total = _reduce(
+        lambda a, b_: a + b_,
+        [F.coalesce(F.col(c), F.lit(0.0)) for c in score_cols],
+    )
+    score = mx + F.lit(float(tie_breaker)) * (total - mx)
+    return (
+        joined.withColumn("score", F.round(score, 6))
+        .select(id_col, "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(limit)
+    )
+
+
 def search_many(
     index: InvertedIndex,
     queries: list[str],

@@ -346,3 +346,117 @@ def test_proximity_rerank_boosts_co_occurrence(idx, docs, tok_rows):
     scores = [(-r["score"], r["url"]) for r in got]
     assert scores == sorted(scores)
     assert [r["rn"] for r in got] == list(range(1, len(got) + 1))
+
+
+# ---------------------------------------------------------------------------
+# dis_max multi-field
+# ---------------------------------------------------------------------------
+
+
+def _brute_dismax(rows, terms, tie, k1=1.5, b=0.75):
+    """rows: [(id, body_tokens, title_tokens)]"""
+    fields = [1, 2]
+    per_field = {}
+    for fi in fields:
+        docs = [(r[0], r[fi]) for r in rows if len(r[fi]) > 0]
+        n = len(docs)
+        if n == 0:
+            continue
+        avg = sum(len(t) for _, t in docs) / n
+        dfreq = {
+            t: sum(1 for _, toks in docs if t in toks) for t in terms
+        }
+        scores = {}
+        for did, toks in docs:
+            s = 0.0
+            L = len(toks)
+            for t in terms:
+                tf = toks.count(t)
+                if tf == 0 or dfreq[t] == 0:
+                    continue
+                idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+                tfn = tf / L
+                s += idf * tfn * (k1 + 1) / (
+                    tfn + k1 * (1 - b + b * L / avg)
+                )
+            if s != 0.0 or any(t in toks for t in terms):
+                scores[did] = s
+        per_field[fi] = scores
+    out = {}
+    ids = set()
+    for sc in per_field.values():
+        ids |= set(sc)
+    for did in ids:
+        vals = [
+            per_field[fi][did]
+            for fi in per_field
+            if did in per_field[fi]
+        ]
+        mx = max(vals)
+        out[did] = mx + tie * (sum(vals) - mx)
+    return out
+
+
+DISMAX_ROWS = [
+    (1, ["crystal", "falcon", "sky"], ["crystal", "news"]),
+    (2, ["meadow", "grass", "crystal", "crystal"], []),
+    (3, ["stone", "river"], ["crystal", "falcon"]),
+    (4, ["sky", "cloud"], ["weather", "report"]),
+    (5, ["falcon"], ["falcon"]),
+]
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.3, 1.0])
+def test_dismax_matches_bruteforce(spark, tie):
+    from search_engine_spark.plans.search import dismax_topk
+
+    df = spark.createDataFrame(
+        DISMAX_ROWS,
+        "doc_id long, tokens array<string>, "
+        "title_tokens array<string>",
+    )
+    terms = ["crystal", "falcon"]
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dismax_topk(
+            df, terms, tie_breaker=tie, limit=10
+        ).collect()
+    }
+    want = {
+        k: round(v, 6)
+        for k, v in _brute_dismax(DISMAX_ROWS, terms, tie).items()
+    }
+    # docs that match in SOME field appear; doc 4 never does
+    assert 4 not in got
+    assert set(got) == {k for k, v in want.items()}
+    for did in got:
+        assert got[did] == pytest.approx(want[did], abs=2e-6)
+
+
+def test_dismax_title_only_doc_ranks(spark):
+    from search_engine_spark.plans.search import dismax_topk
+
+    df = spark.createDataFrame(
+        DISMAX_ROWS,
+        "doc_id long, tokens array<string>, "
+        "title_tokens array<string>",
+    )
+    got = [
+        r["doc_id"]
+        for r in dismax_topk(
+            df, ["crystal"], tie_breaker=0.0, limit=10
+        ).collect()
+    ]
+    assert 3 in got  # crystal only in its title
+
+
+def test_dismax_empty_inputs(spark):
+    from search_engine_spark.plans.search import dismax_topk
+
+    df = spark.createDataFrame(
+        DISMAX_ROWS,
+        "doc_id long, tokens array<string>, "
+        "title_tokens array<string>",
+    )
+    assert dismax_topk(df, [], limit=5).count() == 0
+    assert dismax_topk(df, ["zzznope"], limit=5).count() == 0
