@@ -5,7 +5,8 @@
         [--index /data/other_index ...]  # federated, exact global stats \
         [--site host1 --site host2] [--offset 0] [--limit 20] \
         [--no-prune]  # disable block-max WAND, exact reference path \
-        [--ranker bm25|lm|synonyms|prefix] [--mu 2000] \
+        [--ranker bm25|lm|synonyms|prefix|wildcard|maxscore] \
+        [--mu 2000] \
         [--synonyms '{"fast": ["quick"]}'] [--max-expansions 50]
 
 Prints one JSON line per result row: {url, site, score, rn} — the
@@ -40,7 +41,10 @@ def main(argv: list[str] | None = None) -> None:
                     help='boolean mini-language: +must -not "phrase"')
     ap.add_argument(
         "--ranker", default="bm25",
-        choices=["bm25", "maxscore", "lm", "synonyms", "prefix"],
+        choices=[
+            "bm25", "maxscore", "lm", "synonyms", "prefix",
+            "wildcard",
+        ],
         help="bm25 (default, block-max WAND, rarest-term candidates)"
              " | maxscore (union/OR candidates, MaxScore-pruned) "
              "| lm (Dirichlet query likelihood) | synonyms (group "
@@ -132,6 +136,17 @@ def main(argv: list[str] | None = None) -> None:
         )
 
         result = search_prefix_compact(
+            cidx, args.query, sites=args.site, offset=args.offset,
+            limit=args.limit,
+            analyzer=cidx_analyzer(spark, args.index),
+            max_expansions=args.max_expansions,
+        )
+    elif args.ranker == "wildcard":
+        from search_engine_spark.plans.wildcard import (
+            search_wildcard_compact,
+        )
+
+        result = search_wildcard_compact(
             cidx, args.query, sites=args.site, offset=args.offset,
             limit=args.limit,
             analyzer=cidx_analyzer(spark, args.index),

@@ -96,6 +96,15 @@ AUDITED = [
     "ltr_linear_rerank",
     "bm25_tuning",
     "rank_rbo",
+    "wildcard_search",
+    "lm_jm_topk",
+    "cori_shard_scores",
+    "kneser_ney_logprob",
+    "semantic_decontaminate",
+    "did_you_mean",
+    "explain_score",
+    "bm25_search_after",
+    "dismax_topk",
 ]
 
 
