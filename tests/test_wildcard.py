@@ -65,8 +65,8 @@ def test_kgram_index_contents(spark):
         (r["gram"], r["term"]) for r in kgram_index(ts, k=3).collect()
     }
     assert ("$re", "red") in rows and ("ed$", "red") in rows
-    assert ("red", "retired") in rows  # ...re[d] — wait: r-e-t-i-r-e-d
     # grams of $retired$: $re ret eti tir ire red ed$
+    assert ("red", "retired") in rows
     assert ("ire", "retired") in rows
     # every gram is length 3
     assert all(len(g) == 3 for g, _ in rows)
@@ -209,3 +209,53 @@ def test_compact_parity(spark, idx, tmp_path_factory):
         ).collect()
     ]
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# property: the k-gram filter never drops a true match
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_seg = st.text(alphabet="abcde", min_size=0, max_size=5)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    segs=st.lists(_seg, min_size=2, max_size=4),
+    fills=st.lists(
+        st.text(alphabet="abcde", min_size=0, max_size=4),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_kgram_filter_no_false_negatives(segs, fills):
+    """Any term matching the pattern contains every pattern k-gram —
+    so AND-intersection over the k-gram index can never drop a true
+    match (the verify step only removes FALSE positives)."""
+    import re as _re
+
+    pattern = "*".join(segs)
+    if pattern.replace("*", "") == "":
+        return  # rejected by _check_pattern
+    # build a term that matches by construction: fill the stars
+    stars = pattern.count("*")
+    fill = (fills * stars)[:stars] if stars else []
+    term = ""
+    fi = 0
+    for ch in pattern:
+        if ch == "*":
+            term += fill[fi]
+            fi += 1
+        else:
+            term += ch
+    assert _re.fullmatch(
+        pattern.replace("*", ".*"), term
+    )
+    grams = wildcard_grams(pattern, k=3)
+    padded = "$" + term + "$"
+    term_grams = {
+        padded[i : i + 3] for i in range(len(padded) - 2)
+    }
+    assert set(grams) <= term_grams
