@@ -559,6 +559,102 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
 """
 
 
+def _qt_cte(terms: list[str]) -> str:
+    """Surviving-query-term CTE (stop-filtered, positive-idf) shared
+    by the impact/pruned oracle SQL — mirrors _bm25_sql's qt."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+qt AS (
+  SELECT ts.term, ts.df,
+         ln((nn.n - ts.df + 0.5) / (ts.df + 0.5)) AS idf
+  FROM tstats ts CROSS JOIN nn
+  WHERE ts.term IN ({term_list})
+    AND ts.term NOT IN (SELECT term FROM stop)
+    AND (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0
+)"""
+
+
+# per-posting u (plans/impact.impact_u_col): the idf-free BM25 factor,
+# arithmetic written in EXACTLY the Spark expression's operation order
+_PU = f"""
+pu AS (
+  SELECT p.term, p.doc_id, p.tf, l.doc_len,
+         (p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+           / ((p.tf::DOUBLE / l.doc_len)
+              + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len)) AS u
+  FROM postings p
+  JOIN lens l ON l.doc_id = p.doc_id
+  CROSS JOIN nn
+)"""
+
+_NN = """
+nn AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*) FROM lens) AS avg_len)
+"""
+
+
+def _impact_topk_sql(terms: list[str], bits: int, limit: int) -> str:
+    """DuckDB mirror of plans/impact.impact_topk: global-u_max 2^bits
+    quantization, score = sum(idf * q) over union candidates."""
+    levels = 1 << bits
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP}, {_NN},
+{_qt_cte(terms)}, {_PU},
+umax AS (SELECT max(u) AS u_max FROM pu),
+quant AS (
+  SELECT pu.term, pu.doc_id,
+         least(CAST(floor(pu.u / umax.u_max * {float(levels)}) AS INTEGER) + 1,
+               {levels}) AS q
+  FROM pu CROSS JOIN umax),
+scored AS (
+  SELECT qn.doc_id, sum(qt.idf * qn.q) AS score
+  FROM quant qn JOIN qt ON qt.term = qn.term
+  GROUP BY qn.doc_id),
+ranked AS (
+  SELECT doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+  FROM scored)
+SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
+"""
+
+
+def _bm25_pruned_sql(terms: list[str], keep: int, limit: int) -> str:
+    """DuckDB mirror of search() over plans/impact.prune_postings:
+    per-term top-``keep`` postings by (u desc, doc_id asc); stats
+    (df / N / avg_len / stoplist) stay full-corpus, so surviving
+    postings score exactly as in bm25_topk."""
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP}, {_NN},
+{_qt_cte(terms)}, {_PU},
+pruned AS (
+  SELECT term, doc_id, tf FROM (
+    SELECT term, doc_id, tf,
+           row_number() OVER (PARTITION BY term
+                              ORDER BY u DESC, doc_id ASC) AS rnk
+    FROM pu)
+  WHERE rnk <= {keep}),
+rarest AS (SELECT term FROM qt ORDER BY df ASC, term ASC LIMIT 1),
+cand AS (
+  SELECT p.doc_id FROM pruned p JOIN rarest r ON p.term = r.term),
+scored AS (
+  SELECT c.doc_id,
+         sum(qt.idf * (p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+             / ((p.tf::DOUBLE / l.doc_len)
+                + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len))) AS score
+  FROM cand c
+  JOIN pruned p ON p.doc_id = c.doc_id
+  JOIN qt ON qt.term = p.term
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nn
+  GROUP BY c.doc_id),
+ranked AS (
+  SELECT doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+  FROM scored)
+SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
+"""
+
+
 def _ltr_sql(terms: list[str], limit: int) -> str:
     """DuckDB mirror of plans/ltr.ltr_features for ONE query —
     rarest-term candidates, per-doc BM25 + match statistics."""
@@ -1963,6 +2059,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_topk(spark, sf):
         return _search_docs(spark, sf, FLAGSHIP_QUERY, limit=10)
+
+    def impact_topk_q(spark, sf):
+        """Anytime ranking by 8-bit quantized impacts
+        (plans/impact.py, Anh–Moffat): score = Σ idf·q over union
+        candidates — no doc-length join at query time; the length
+        normalization was baked into q at build time."""
+        from search_engine_spark.plans.impact import impact_topk
+
+        idx = _docs_index(spark, sf)
+        res = impact_topk(
+            idx, FLAGSHIP_QUERY, bits=8, limit=10, analyzer="tokens"
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def bm25_topk_pruned_q(spark, sf):
+        """Exact BM25 over a statically-pruned index (plans/impact.
+        prune_postings, Carmel et al.): each term keeps only its 20
+        highest-impact postings; full-corpus stats are preserved so
+        surviving postings score identically to the full index."""
+        from search_engine_spark.plans.impact import prune_postings
+        from search_engine_spark.plans.search import search
+
+        idx = _docs_index(spark, sf)
+        pruned = prune_postings(idx, keep_per_term=20)
+        res = search(
+            pruned, FLAGSHIP_QUERY, limit=10, analyzer="tokens"
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
 
     def vsm_topk_q(spark, sf):
         """SMART lnc.ltc TF-IDF cosine top-10 (plans/vsm.py) — the
@@ -4250,6 +4380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stoplist": stoplist_q,
         "query_idf": idf_q,
         "bm25_topk": bm25_topk,
+        "impact_topk": impact_topk_q,
+        "bm25_topk_pruned": bm25_topk_pruned_q,
         "bm25_prf_topk": bm25_prf_topk,
         "bm25_champion_topk": bm25_champion_topk,
         "vsm_topk": vsm_topk_q,
@@ -4877,6 +5009,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE term IN ({", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)})
         """,
         "bm25_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
+        "impact_topk": _impact_topk_sql(FLAGSHIP_TERMS, bits=8,
+                                        limit=10),
+        "bm25_topk_pruned": _bm25_pruned_sql(FLAGSHIP_TERMS, keep=20,
+                                             limit=10),
         "bm25_prf_topk": _prf_sql(
             FLAGSHIP_TERMS, fb_docs=10, fb_terms=3, beta=0.4,
             limit=10,

@@ -1,0 +1,192 @@
+"""Impact-quantized scoring and static index pruning.
+
+Two classic index-time speed/space tradeoffs the reference's exact
+BM25 path (plans/search.py, reference
+services/impl/SearchServiceImpl.java:269-279) has no counterpart for
+— both are *physical* variants of R12/R13 that trade bounded score
+error for a smaller or earlier-terminating query:
+
+- **Impact quantization** (Anh & Moffat 2005, "Simplified similarity
+  scoring using term ranks"; Lucene 8 impact blocks): the
+  length-normalized per-posting BM25 contribution ``u(tf, len)`` is
+  quantized to an integer impact in ``1..2^bits`` at BUILD time, so
+  query scoring is ``sum(idf_t * q_t)`` — no doc-length join, integer
+  accumulation, and posting payloads shrink to ``bits`` per entry.
+- **Static index pruning** (Carmel et al. 2001, "Static index pruning
+  for information retrieval systems"): keep only each term's top-K
+  postings by impact at build time.  Scores of surviving postings are
+  UNCHANGED (df / N / avg_len are preserved from the full corpus), so
+  any result whose postings all survive ranks identically.
+
+Scale shape: quantization is one postings×doc_lens join + a global
+max aggregate (a scalar); pruning is one per-term window — both are
+single-shuffle build-time passes, and the window partitions by term
+(the same key the compaction shuffle already salts, so at 100 TB the
+pruning pass rides the salted layout: rank within (term, salt) over
+locally-sorted impacts, then a tiny per-term merge of keep-K
+boundaries — here expressed as the plain window, which Catalyst runs
+as one hash shuffle + per-partition sort).
+
+All arithmetic is plain double-precision column expressions evaluated
+in the same order as the DuckDB oracle SQL (contract entries
+``impact_topk`` / ``bm25_topk_pruned``), so results hash-match
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from search_engine_spark.operators.postings import InvertedIndex
+from search_engine_spark.plans.search import analyze_query, query_term_idf
+
+
+def impact_u_col(k1: float, b: float, avg_len: float) -> F.Column:
+    """Per-posting length-normalized BM25 contribution ``u`` over
+    ``(tf, doc_len)`` — :func:`bm25_term_score_col` without the idf
+    factor (the part that is a pure function of the posting, hence
+    quantizable at build time).  tf is PRE-normalized by doc length
+    (the reference's R12 variant, SearchServiceImpl.java:274-279)."""
+    tfn = F.col("tf").cast("double") / F.col("doc_len")
+    return (
+        tfn
+        * F.lit(k1 + 1.0)
+        / (
+            tfn
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(avg_len))
+        )
+    )
+
+
+def _postings_with_u(index: InvertedIndex) -> DataFrame:
+    """postings ⋈ doc_lens with the ``u`` column attached.  The
+    doc_lens side is small relative to postings (one row per doc) and
+    already partitioned by the id key from the build — Catalyst
+    broadcast-joins it under the threshold, else shuffles on the id."""
+    k1, b = index.config.bm25.k1, index.config.bm25.b
+    id_col = index.id_col
+    return (
+        index.postings.join(
+            index.doc_lens.select(id_col, "doc_len"), id_col
+        ).withColumn("u", impact_u_col(k1, b, index.avg_len))
+    )
+
+
+def quantize_postings(
+    index: InvertedIndex, bits: int = 8
+) -> tuple[DataFrame, float]:
+    """``(quantized, u_max)`` — postings with an integer impact
+    ``q ∈ 1..2^bits``: ``q = min(floor(u / u_max * levels) + 1,
+    levels)`` (Anh–Moffat positive integer impacts; the ``u_max``
+    posting itself maps to ``levels``).
+
+    ``u_max`` is a global scalar (one max aggregate) — at corpus
+    scale it is a metadata value computed once per build and stored
+    with the index stats, exactly like ``avg_len``."""
+    levels = 1 << bits
+    pu = _postings_with_u(index)
+    u_max = float(pu.agg(F.max("u")).collect()[0][0])
+    q = F.least(
+        (F.floor(F.col("u") / F.lit(u_max) * F.lit(float(levels))) + 1)
+        .cast("int"),
+        F.lit(levels),
+    )
+    return pu.withColumn("q", q).drop("u", "doc_len"), u_max
+
+
+def impact_topk(
+    index: InvertedIndex,
+    query: str,
+    bits: int = 8,
+    limit: int = 10,
+    offset: int = 0,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+    min_impact: int | None = None,
+    quantized: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k by summed quantized impacts:
+    ``score = Σ_t idf_t · q_t`` over union candidates (any doc
+    containing a surviving query term), tie-break (score desc, id
+    asc).  No doc-length join at query time — the length
+    normalization was baked into ``q`` at build time.
+
+    ``min_impact`` optionally skips postings with ``q`` below it —
+    score-at-a-time early termination: each skipped posting would
+    have contributed < ``idf_t · min_impact``, so the induced score
+    error per doc is bounded by ``Σ_t idf_t · (min_impact − 1)``.
+
+    ``quantized`` lets callers reuse one build-time
+    :func:`quantize_postings` result across queries (the normal
+    deployment shape) instead of re-quantizing per query."""
+    id_col = index.id_col
+    terms = analyze_query(query, lang, analyzer)
+    if use_stoplist:
+        stop = set(index.stoplist)
+        terms = [t for t in terms if t not in stop]  # R14/R19
+    idf = query_term_idf(index, terms)
+    terms = sorted(t for t in terms if t in idf)
+
+    empty = (
+        index.doc_lens.select(id_col)
+        .limit(0)
+        .withColumn("score", F.lit(0.0))
+        .withColumn("rn", F.lit(0))
+    )
+    if not terms:
+        return empty
+
+    if quantized is None:
+        quantized, _ = quantize_postings(index, bits)
+    qpost = quantized.filter(F.col("term").isin(terms))
+    if min_impact is not None:
+        qpost = qpost.filter(F.col("q") >= min_impact)
+
+    idf_col = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(idf[t]))]
+    )[F.col("term")]
+    scored = (
+        qpost.withColumn("term_score", idf_col * F.col("q"))
+        .groupBy(id_col)
+        .agg(F.sum("term_score").alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(offset + limit)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") > offset)
+        .select(id_col, "score", "rn")
+    )
+
+
+def prune_postings(
+    index: InvertedIndex, keep_per_term: int
+) -> InvertedIndex:
+    """Uniform top-K static pruning (Carmel et al. 2001): keep each
+    term's ``keep_per_term`` highest-impact postings (tie-break id
+    asc), DROP the rest from the posting lists — but preserve the
+    full-corpus term_stats / n_docs / avg_len, so every surviving
+    posting scores exactly as in the full index (score-preserving
+    pruning; what changes is recall, not scores).
+
+    Returned index is a drop-in for :func:`plans.search.search` —
+    candidate generation and scoring simply see shorter lists.  The
+    pruned frame is what you'd feed ``compact_postings`` to build the
+    small serving index while the full index stays on cold storage."""
+    id_col = index.id_col
+    pu = _postings_with_u(index)
+    w = Window.partitionBy("term").orderBy(
+        F.desc("u"), F.asc(id_col)
+    )
+    pruned = (
+        pu.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= keep_per_term)
+        .select(*index.postings.columns)
+    )
+    return replace(index, postings=pruned, cached=())
