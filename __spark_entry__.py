@@ -655,6 +655,50 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
 """
 
 
+def _rescore_sql(
+    terms: list[str], bits: int, first_k: int, limit: int
+) -> str:
+    """DuckDB mirror of plans/impact.rescore_topk: quantized-impact
+    first pass selects top-``first_k`` candidates, exact BM25 (same
+    operation order as _bm25_sql's scorer) re-ranks them."""
+    levels = 1 << bits
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP}, {_NN},
+{_qt_cte(terms)}, {_PU},
+umax AS (SELECT max(u) AS u_max FROM pu),
+quant AS (
+  SELECT pu.term, pu.doc_id,
+         least(CAST(floor(pu.u / umax.u_max * {float(levels)}) AS INTEGER) + 1,
+               {levels}) AS q
+  FROM pu CROSS JOIN umax),
+fscored AS (
+  SELECT qn.doc_id, sum(qt.idf * qn.q) AS fscore
+  FROM quant qn JOIN qt ON qt.term = qn.term
+  GROUP BY qn.doc_id),
+franked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY fscore DESC, doc_id ASC) AS frn
+  FROM fscored),
+cand AS (SELECT doc_id FROM franked WHERE frn <= {first_k}),
+scored AS (
+  SELECT c.doc_id,
+         sum(qt.idf * (p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+             / ((p.tf::DOUBLE / l.doc_len)
+                + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len))) AS score
+  FROM cand c
+  JOIN postings p ON p.doc_id = c.doc_id
+  JOIN qt ON qt.term = p.term
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nn
+  GROUP BY c.doc_id),
+ranked AS (
+  SELECT doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+  FROM scored)
+SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
+"""
+
+
 def _ltr_sql(terms: list[str], limit: int) -> str:
     """DuckDB mirror of plans/ltr.ltr_features for ONE query —
     rarest-term candidates, per-doc BM25 + match statistics."""
@@ -2088,6 +2132,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pruned = prune_postings(idx, keep_per_term=20)
         res = search(
             pruned, FLAGSHIP_QUERY, limit=10, analyzer="tokens"
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def bm25_rescore_topk_q(spark, sf):
+        """Two-stage retrieve-then-rescore (plans/impact.rescore_topk,
+        Lucene QueryRescorer semantics): 8-bit quantized-impact first
+        pass picks 25 candidates, exact BM25 re-ranks them."""
+        from search_engine_spark.plans.impact import rescore_topk
+
+        idx = _docs_index(spark, sf)
+        res = rescore_topk(
+            idx, FLAGSHIP_QUERY, first_k=25, limit=10, bits=8,
+            analyzer="tokens",
         )
         return res.select(
             "doc_id", F.round("score", 6).alias("score"),
@@ -4382,6 +4442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": bm25_topk,
         "impact_topk": impact_topk_q,
         "bm25_topk_pruned": bm25_topk_pruned_q,
+        "bm25_rescore_topk": bm25_rescore_topk_q,
         "bm25_prf_topk": bm25_prf_topk,
         "bm25_champion_topk": bm25_champion_topk,
         "vsm_topk": vsm_topk_q,
@@ -5013,6 +5074,8 @@ def oracle_sql() -> dict[str, str]:
                                         limit=10),
         "bm25_topk_pruned": _bm25_pruned_sql(FLAGSHIP_TERMS, keep=20,
                                              limit=10),
+        "bm25_rescore_topk": _rescore_sql(FLAGSHIP_TERMS, bits=8,
+                                          first_k=25, limit=10),
         "bm25_prf_topk": _prf_sql(
             FLAGSHIP_TERMS, fb_docs=10, fb_terms=3, beta=0.4,
             limit=10,

@@ -142,6 +142,8 @@ def main() -> None:
         "weighted_sample",
         "bm25_pagination",
         "bm25_wand_topk",
+        "impact_topk",
+        "bm25_topk_pruned",
         "bm25_batch",
         "bm25_batch_compact",
         "percolate_rarest",

@@ -41,7 +41,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from search_engine_spark.operators.postings import InvertedIndex
-from search_engine_spark.plans.search import analyze_query, query_term_idf
+from search_engine_spark.plans.search import (
+    analyze_query,
+    bm25_term_score_col,
+    query_term_idf,
+)
 
 
 def impact_u_col(k1: float, b: float, avg_len: float) -> F.Column:
@@ -152,6 +156,87 @@ def impact_topk(
     )[F.col("term")]
     scored = (
         qpost.withColumn("term_score", idf_col * F.col("q"))
+        .groupBy(id_col)
+        .agg(F.sum("term_score").alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(offset + limit)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") > offset)
+        .select(id_col, "score", "rn")
+    )
+
+
+def rescore_topk(
+    index: InvertedIndex,
+    query: str,
+    first_k: int = 100,
+    limit: int = 10,
+    offset: int = 0,
+    bits: int = 8,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+    min_impact: int | None = None,
+    quantized: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage retrieve-then-rescore (Lucene ``QueryRescorer`` / ES
+    ``rescore`` window semantics): a CHEAP first pass — quantized
+    impacts, no doc-length join, optional ``min_impact`` skipping —
+    selects the top-``first_k`` candidates; an EXACT second pass
+    recomputes full BM25 (same arithmetic as :func:`plans.search.
+    search`, reference R12 tf=rank/len variant) over only those
+    ``first_k`` docs and re-ranks.
+
+    Exactness contract: any doc whose true rank ≤ ``limit`` AND whose
+    impact rank ≤ ``first_k`` is returned with its EXACT BM25 score —
+    the quantization error bounds how far a true top-``limit`` doc can
+    sink in the first pass, so ``first_k`` ≫ ``limit`` makes misses
+    vanishingly rare (the standard rescore-window tradeoff).
+
+    Plan shape at scale: the first pass reads only the ``bits``-wide
+    impact postings (union candidates, one map-side-combined sum, one
+    TakeOrderedAndProject); the second pass joins the tiny (≤
+    ``first_k`` rows, BROADCAST) candidate set back to the query
+    terms' postings + doc_lens — O(query-term postings) probe, never
+    a corpus scan, and the expensive exact arithmetic runs on
+    ``first_k`` docs instead of every candidate."""
+    id_col = index.id_col
+    first = impact_topk(
+        index, query, bits=bits, limit=first_k, offset=0, lang=lang,
+        analyzer=analyzer, use_stoplist=use_stoplist,
+        min_impact=min_impact, quantized=quantized,
+    )
+    cand = first.select(id_col)
+
+    terms = analyze_query(query, lang, analyzer)
+    if use_stoplist:
+        stop = set(index.stoplist)
+        terms = [t for t in terms if t not in stop]
+    idf = query_term_idf(index, terms)
+    terms = sorted(t for t in terms if t in idf)
+
+    empty = (
+        index.doc_lens.select(id_col)
+        .limit(0)
+        .withColumn("score", F.lit(0.0))
+        .withColumn("rn", F.lit(0))
+    )
+    if not terms:
+        return empty
+
+    k1, b = index.config.bm25.k1, index.config.bm25.b
+    qpost = index.postings.filter(F.col("term").isin(terms))
+    scored = (
+        F.broadcast(cand)
+        .join(qpost, id_col)
+        .join(index.doc_lens.select(id_col, "doc_len"), id_col)
+        .withColumn(
+            "term_score",
+            bm25_term_score_col(idf, k1, b, index.avg_len),
+        )
         .groupBy(id_col)
         .agg(F.sum("term_score").alias("score"))
     )

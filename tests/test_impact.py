@@ -14,6 +14,7 @@ from search_engine_spark.plans.impact import (
     impact_topk,
     prune_postings,
     quantize_postings,
+    rescore_topk,
 )
 from search_engine_spark.plans.search import search
 
@@ -167,6 +168,65 @@ def test_prune_is_score_preserving(idx):
         # posting), never change a surviving posting's contribution;
         # docs keeping all their query postings score identically
         assert r.score <= full[r.doc_id] + 1e-9
+
+
+def test_rescore_full_window_matches_exact(idx):
+    """first_k ≥ corpus ⇒ the rescore pass sees every union candidate
+    and the result is exactly the union-semantics BM25 ranking —
+    identical docs, ranks AND scores."""
+    exact = search(
+        idx, "apple query", analyzer="tokens", limit=10,
+        candidates="union", use_stoplist=False,
+    ).collect()
+    got = rescore_topk(
+        idx, "apple query", first_k=len(DOCS), limit=10, bits=8,
+        analyzer="tokens", use_stoplist=False,
+    ).collect()
+    assert exact and [
+        (r.doc_id, r.score, r.rn) for r in got
+    ] == [(r.doc_id, r.score, r.rn) for r in exact]
+
+
+def test_rescore_window_scores_are_exact(idx):
+    """With a tight window, returned docs are a subset of the impact
+    first pass, but every returned score is the EXACT BM25 value (no
+    quantization error survives the second pass)."""
+    exact = {
+        r.doc_id: r.score
+        for r in search(
+            idx, "apple query", analyzer="tokens", limit=10,
+            candidates="union", use_stoplist=False,
+        ).collect()
+    }
+    first = {
+        r.doc_id
+        for r in impact_topk(
+            idx, "apple query", bits=8, analyzer="tokens", limit=3,
+            use_stoplist=False,
+        ).collect()
+    }
+    got = rescore_topk(
+        idx, "apple query", first_k=3, limit=10, bits=8,
+        analyzer="tokens", use_stoplist=False,
+    ).collect()
+    assert got and {r.doc_id for r in got} == first
+    for r in got:
+        assert r.score == pytest.approx(exact[r.doc_id], abs=1e-12)
+    # second pass re-ranks by exact score desc, id asc
+    assert [r.doc_id for r in got] == [
+        d for d, _ in sorted(
+            ((r.doc_id, r.score) for r in got),
+            key=lambda x: (-x[1], x[0]),
+        )
+    ]
+
+
+def test_rescore_empty_query_returns_typed_empty(idx):
+    out = rescore_topk(idx, "zzznope", analyzer="tokens")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "score", "rn",
+    ]
 
 
 def test_prune_keeps_highest_impact_postings(idx):
