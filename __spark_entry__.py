@@ -699,6 +699,47 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
 """
 
 
+def _pl2_sql(terms: list[str], c: float, limit: int) -> str:
+    """DuckDB mirror of plans/dfr.search_pl2: PL2
+    divergence-from-randomness (Poisson, Laplace, normalization 2),
+    union candidates, log2 expressed as ln·(1/ln 2) with the SAME
+    python double literal as the Spark side."""
+    import math as _math
+
+    inv = repr(1.0 / _math.log(2.0))
+    twopi = repr(2.0 * _math.pi)
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP}, {_NN},
+qt AS (SELECT p.term, CAST(sum(p.tf) AS DOUBLE) AS cf
+       FROM postings p
+       WHERE p.term IN ({term_list})
+         AND p.term NOT IN (SELECT term FROM stop)
+       GROUP BY 1),
+pt AS (
+  SELECT p.doc_id, p.term,
+         p.tf::DOUBLE * (ln(1 + {c} * nn.avg_len / l.doc_len) * {inv})
+           AS tfn
+  FROM postings p
+  JOIN lens l ON l.doc_id = p.doc_id
+  CROSS JOIN nn
+  WHERE p.term IN (SELECT term FROM qt)),
+scored AS (
+  SELECT pt.doc_id,
+         sum((pt.tfn * ln(pt.tfn / (qt.cf / nn.n)) * {inv}
+              + ((qt.cf / nn.n) - pt.tfn) * {inv}
+              + 0.5 * ln({twopi} * pt.tfn) * {inv})
+             / (pt.tfn + 1.0)) AS score
+  FROM pt JOIN qt ON qt.term = pt.term CROSS JOIN nn
+  GROUP BY 1),
+ranked AS (
+  SELECT doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+  FROM scored)
+SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
+"""
+
+
 def _ltr_sql(terms: list[str], limit: int) -> str:
     """DuckDB mirror of plans/ltr.ltr_features for ONE query —
     rarest-term candidates, per-doc BM25 + match statistics."""
@@ -2287,6 +2328,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = search_synonyms(
             idx, SYNONYM_QUERY, synonyms=SYNONYM_MAP, limit=10,
             analyzer="tokens",
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def pl2_topk(spark, sf):
+        """PL2 divergence-from-randomness ranking (plans/dfr.py,
+        Amati & van Rijsbergen 2002) — the third ranking family next
+        to BM25 and query-likelihood LM."""
+        from search_engine_spark.plans.dfr import search_pl2
+
+        idx = _docs_index(spark, sf)
+        res = search_pl2(
+            idx, FLAGSHIP_QUERY, c=1.0, limit=10, analyzer="tokens"
         )
         return res.select(
             "doc_id", F.round("score", 6).alias("score"),
@@ -4455,6 +4511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": bm25_and_topk,
         "bool_search": bool_search,
         "bm25_synonyms_topk": bm25_synonyms_topk,
+        "pl2_topk": pl2_topk,
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "lm_jm_topk": lm_jm_topk,
         "min_span_docs": min_span_docs,
@@ -5201,6 +5258,7 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
         "rank_eval": _rank_eval_sql(k=10),
         "bm25_tuning": _tune_sql(k=10),
         "bm25_synonyms_topk": _synonyms_sql(limit=10),
+        "pl2_topk": _pl2_sql(FLAGSHIP_TERMS, c=1.0, limit=10),
         "lm_dirichlet_topk": _lm_sql(FLAGSHIP_TERMS, mu=500.0, limit=10),
         "lm_jm_topk": _lm_jm_sql(FLAGSHIP_TERMS, lam=0.3, limit=10),
         "min_span_docs": _min_span_sql(*PROX_TERMS),

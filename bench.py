@@ -156,6 +156,7 @@ def main() -> None:
         "bm25_synonyms_topk",
         "lm_dirichlet_topk",
         "lm_jm_topk",
+        "pl2_topk",
         "wildcard_search",
         "cori_shard_scores",
         "vsm_topk",
