@@ -740,6 +740,98 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
 """
 
 
+def _sdm_sql(
+    toks: list[str],
+    mu: float = 2500.0,
+    lambdas: tuple[float, float, float] = (0.85, 0.10, 0.05),
+    window: int = 8,
+    limit: int = 10,
+) -> str:
+    """DuckDB mirror of plans/sdm.search_sdm: Dirichlet-smoothed
+    unigram + ordered-adjacent + unordered-window features over the
+    query token sequence, union candidates, pair-count semantics."""
+    from search_engine_spark.plans.sdm import query_bigrams
+
+    lt, lo, lu = lambdas
+    terms = sorted(set(toks))
+    bigrams = query_bigrams(toks)
+    term_list = ", ".join(f"'{t}'" for t in terms)
+
+    pair_ctes, pair_joins, pair_exprs = [], [], []
+    for i, (a, b) in enumerate(bigrams):
+        pair_ctes.append(f"""
+po{i} AS (
+  SELECT a.doc_id, count(*) AS n
+  FROM toks_pos a JOIN toks_pos b
+    ON b.doc_id = a.doc_id AND a.term = '{a}' AND b.term = '{b}'
+   AND b.pos = a.pos + 1
+  GROUP BY 1),
+pu{i} AS (
+  SELECT a.doc_id, count(*) AS n
+  FROM toks_pos a JOIN toks_pos b
+    ON b.doc_id = a.doc_id AND a.term = '{a}' AND b.term = '{b}'
+   AND abs(b.pos - a.pos) <= {window - 1} AND b.pos <> a.pos
+  GROUP BY 1),
+pocf{i} AS (SELECT coalesce(sum(n), 0) AS cf FROM po{i}),
+pucf{i} AS (SELECT coalesce(sum(n), 0) AS cf FROM pu{i})""")
+        pair_joins.append(
+            f"LEFT JOIN po{i} ON po{i}.doc_id = c.doc_id\n"
+            f"  LEFT JOIN pu{i} ON pu{i}.doc_id = c.doc_id\n"
+            f"  CROSS JOIN pocf{i} CROSS JOIN pucf{i}"
+        )
+        pair_exprs.append(
+            f"+ CASE WHEN pocf{i}.cf > 0 THEN {lo} * ln("
+            f"(coalesce(po{i}.n, 0) + {mu} * (pocf{i}.cf / tot.c))"
+            f" / (l.doc_len + {mu})) ELSE 0 END\n"
+            f"         + CASE WHEN pucf{i}.cf > 0 THEN {lu} * ln("
+            f"(coalesce(pu{i}.n, 0) + {mu} * (pucf{i}.cf / tot.c))"
+            f" / (l.doc_len + {mu})) ELSE 0 END"
+        )
+
+    term_joins, term_logs = [], []
+    for i, t in enumerate(terms):
+        term_joins.append(
+            f"LEFT JOIN (SELECT doc_id, tf FROM utf WHERE term = '{t}')"
+            f" t{i} ON t{i}.doc_id = c.doc_id\n"
+            f"  CROSS JOIN (SELECT CAST(cf AS DOUBLE) AS cf FROM ucf"
+            f" WHERE term = '{t}') cf{i}"
+        )
+        term_logs.append(
+            f"ln((coalesce(t{i}.tf, 0) + {mu} * (cf{i}.cf / tot.c))"
+            f" / (l.doc_len + {mu}))"
+        )
+
+    return f"""
+WITH {_TOKS_POS},
+plens AS (
+  SELECT d.doc_id, coalesce(t.c, 0) AS doc_len
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks_pos GROUP BY 1) t
+  USING (doc_id)),
+tot AS (SELECT CAST(sum(doc_len) AS DOUBLE) AS c FROM plens),
+utf AS (SELECT doc_id, term, count(*) AS tf FROM toks_pos
+        WHERE term IN ({term_list}) GROUP BY 1, 2),
+ucf AS (SELECT term, sum(tf) AS cf FROM utf GROUP BY 1),
+{",".join(pair_ctes)},
+cand AS (SELECT DISTINCT doc_id FROM utf),
+scored AS (
+  SELECT c.doc_id,
+         {lt} * ({" + ".join(term_logs)})
+         {" ".join(pair_exprs)}
+         AS score
+  FROM cand c
+  JOIN plens l ON l.doc_id = c.doc_id
+  CROSS JOIN tot
+  {" ".join(term_joins)}
+  {" ".join(pair_joins)}),
+ranked AS (
+  SELECT doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+  FROM scored)
+SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
+"""
+
+
 def _ltr_sql(terms: list[str], limit: int) -> str:
     """DuckDB mirror of plans/ltr.ltr_features for ONE query —
     rarest-term candidates, per-doc BM25 + match statistics."""
@@ -2328,6 +2420,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = search_synonyms(
             idx, SYNONYM_QUERY, synonyms=SYNONYM_MAP, limit=10,
             analyzer="tokens",
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def sdm_topk(spark, sf):
+        """Sequential Dependence Model (plans/sdm.py, Metzler & Croft
+        2005): Dirichlet unigram + ordered-adjacent + unordered-window
+        proximity features over the query token sequence."""
+        from search_engine_spark.plans.sdm import search_sdm
+
+        res = search_sdm(
+            _docs_enriched(spark, sf), FLAGSHIP_QUERY,
+            id_col="doc_id", limit=10,
         )
         return res.select(
             "doc_id", F.round("score", 6).alias("score"),
@@ -4512,6 +4619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bool_search": bool_search,
         "bm25_synonyms_topk": bm25_synonyms_topk,
         "pl2_topk": pl2_topk,
+        "sdm_topk": sdm_topk,
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "lm_jm_topk": lm_jm_topk,
         "min_span_docs": min_span_docs,
@@ -5259,6 +5367,7 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
         "bm25_tuning": _tune_sql(k=10),
         "bm25_synonyms_topk": _synonyms_sql(limit=10),
         "pl2_topk": _pl2_sql(FLAGSHIP_TERMS, c=1.0, limit=10),
+        "sdm_topk": _sdm_sql(FLAGSHIP_TERMS, limit=10),
         "lm_dirichlet_topk": _lm_sql(FLAGSHIP_TERMS, mu=500.0, limit=10),
         "lm_jm_topk": _lm_jm_sql(FLAGSHIP_TERMS, lam=0.3, limit=10),
         "min_span_docs": _min_span_sql(*PROX_TERMS),

@@ -157,6 +157,7 @@ def main() -> None:
         "lm_dirichlet_topk",
         "lm_jm_topk",
         "pl2_topk",
+        "sdm_topk",
         "wildcard_search",
         "cori_shard_scores",
         "vsm_topk",
