@@ -185,41 +185,35 @@ def search_sdm(
     cand = utf.select(id_col).distinct().join(lens, id_col)
 
     # λ_T Σ_t ln((tf + μ·cf/|C|) / (len + μ)) — terms with tf 0 still
-    # contribute the smoothed mass, so build the sum as |q| explicit
-    # per-term expressions over a LEFT-joined tf column per term (the
-    # pivot is tiny: |q| columns)
-    feats = cand
+    # contribute the smoothed mass.  The per-term / per-pair counts
+    # pivot into ONE wide frame each (|q| resp. 2·|pairs| columns, one
+    # shuffle apiece) instead of a join per term — the feature
+    # assembly is then two candidate-sized left joins total.
+    utf_piv = utf.groupBy(id_col).pivot("term", terms).agg(
+        F.first("tf")
+    )
+    feats = cand.join(utf_piv, id_col, "left")
     term_exprs = []
-    for i, t in enumerate(terms):
-        col = f"_tf{i}"
-        feats = feats.join(
-            utf.filter(F.col("term") == t).select(
-                id_col, F.col("tf").alias(col)
-            ),
-            id_col,
-            "left",
-        )
+    for t in terms:
         smooth = F.lit(mu) * F.lit(ucf[t] / c_tokens)
         term_exprs.append(
             F.log(
-                (F.coalesce(F.col(col), F.lit(0)).cast("double") + smooth)
+                (
+                    F.coalesce(F.col(f"`{t}`"), F.lit(0)).cast("double")
+                    + smooth
+                )
                 / (F.col("doc_len") + F.lit(mu))
             )
         )
     score = F.lit(lt) * reduce(lambda a, b: a + b, term_exprs)
 
     if bigrams:
+        pc_piv = pc.groupBy(id_col).pivot(
+            "pair_id", list(range(len(bigrams)))
+        ).agg(F.first("tf_o").alias("o"), F.first("tf_u").alias("u"))
+        feats = feats.join(pc_piv, id_col, "left")
         for i in range(len(bigrams)):
-            oc, wc = f"_o{i}", f"_w{i}"
-            feats = feats.join(
-                pc.filter(F.col("pair_id") == i).select(
-                    id_col,
-                    F.col("tf_o").alias(oc),
-                    F.col("tf_u").alias(wc),
-                ),
-                id_col,
-                "left",
-            )
+            oc, wc = f"`{i}_o`", f"`{i}_u`"
             if ocf.get(i, 0) > 0:
                 smooth_o = F.lit(mu) * F.lit(ocf[i] / c_tokens)
                 score = score + F.lit(lo) * F.log(

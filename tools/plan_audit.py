@@ -105,6 +105,11 @@ AUDITED = [
     "explain_score",
     "bm25_search_after",
     "dismax_topk",
+    "impact_topk",
+    "bm25_topk_pruned",
+    "bm25_rescore_topk",
+    "pl2_topk",
+    "sdm_topk",
 ]
 
 
