@@ -832,6 +832,48 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
 """
 
 
+def _passage_sql(terms: list[str], window: int, limit: int) -> str:
+    """DuckDB mirror of plans/passage.passage_topk: max-passage BM25
+    over disjoint ``window``-token spans; passage lengths from
+    doc_len arithmetic, document-level Robertson IDF."""
+    return f"""
+WITH {_TOKS}, {_TOKS_POS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+{_NN}, {_qt_cte(terms)},
+wtf AS (
+  SELECT doc_id, CAST(floor(pos / {window}) AS INTEGER) AS w,
+         term, count(*) AS tf
+  FROM toks_pos
+  WHERE term IN (SELECT term FROM qt)
+  GROUP BY 1, 2, 3),
+wtf2 AS (
+  SELECT wtf.doc_id, wtf.w, wtf.term, wtf.tf,
+         CASE WHEN (wtf.w + 1) * {window} <= l.doc_len
+              THEN CAST({window} AS DOUBLE)
+              ELSE CAST(l.doc_len - wtf.w * {window} AS DOUBLE)
+         END AS plen
+  FROM wtf JOIN lens l ON l.doc_id = wtf.doc_id),
+ps AS (
+  SELECT t.doc_id, t.w,
+         sum(qt.idf * (t.tf::DOUBLE / t.plen) * ({K1} + 1)
+             / ((t.tf::DOUBLE / t.plen)
+                + {K1} * (1 - {B} + {B} * t.plen / {window}))) AS pscore
+  FROM wtf2 t JOIN qt ON qt.term = t.term
+  GROUP BY 1, 2),
+best AS (
+  SELECT doc_id, w AS passage, pscore AS score FROM (
+    SELECT doc_id, w, pscore,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY pscore DESC, w ASC) AS r
+    FROM ps)
+  WHERE r = 1),
+ranked AS (
+  SELECT doc_id, passage, round(score, 6) AS score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+  FROM best)
+SELECT doc_id, passage, score, rn FROM ranked WHERE rn <= {limit}
+"""
+
+
 def _ltr_sql(terms: list[str], limit: int) -> str:
     """DuckDB mirror of plans/ltr.ltr_features for ONE query —
     rarest-term candidates, per-doc BM25 + match statistics."""
@@ -1753,6 +1795,43 @@ FROM per GROUP BY 1
 """
 
 
+def _ppl_buckets_sql(d: float = 0.75) -> str:
+    """DuckDB mirror of operators/curation.perplexity_buckets: the
+    KN per-doc perplexity (same CTEs as _kneser_ney_sql) cut into
+    CCNet head/middle/tail by per-language ntile over
+    (ppl asc, doc_id asc)."""
+    return f"""
+WITH {_TOKS_POS},
+big AS (SELECT a.doc_id, a.term AS w1, b.term AS w2
+        FROM toks_pos a
+        JOIN toks_pos b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+lft AS (SELECT w1, sum(c2) AS c1, count(*) AS n_cont
+        FROM c2 GROUP BY 1),
+rgt AS (SELECT w2, count(*) AS n_ctx FROM c2 GROUP BY 1),
+nt AS (SELECT count(*) AS n_types FROM c2),
+per AS (
+  SELECT big.doc_id,
+         -ln(greatest(c2.c2 - {d}, 0) / lft.c1
+             + ({d} * lft.n_cont / lft.c1)
+               * (rgt.n_ctx / CAST(nt.n_types AS DOUBLE))) AS nlp
+  FROM big JOIN c2 USING (w1, w2) JOIN lft USING (w1)
+  JOIN rgt USING (w2) CROSS JOIN nt),
+kn AS (SELECT doc_id, round(exp(avg(nlp)), 6) AS ppl
+       FROM per GROUP BY 1),
+lab AS (SELECT dd.doc_id, dd.lang, kn.ppl,
+               ntile(3) OVER (PARTITION BY dd.lang
+                              ORDER BY kn.ppl ASC, dd.doc_id ASC)
+                 AS ntl
+        FROM documents dd JOIN kn ON kn.doc_id = dd.doc_id)
+SELECT doc_id, lang, ppl,
+       CASE ntl WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+FROM lab
+"""
+
+
 def _lm_jm_sql(terms: list[str], lam: float = 0.3,
                limit: int = 10) -> str:
     """DuckDB mirror of plans/lm.search_lm(smoothing="jm"):
@@ -2441,6 +2520,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("rn").cast("int").alias("rn"),
         )
 
+    def bm25_passage_topk(spark, sf):
+        """Max-passage BM25 (plans/passage.py, Callan 1994 / Liu &
+        Croft 2002): rank docs by their best disjoint 50-token
+        passage; document-level IDF, passage-level normalization."""
+        from search_engine_spark.plans.passage import passage_topk
+
+        idx = _docs_index(spark, sf)
+        res = passage_topk(
+            idx, _docs_enriched(spark, sf), FLAGSHIP_QUERY,
+            window=50, limit=10, analyzer="tokens",
+        )
+        return res.select(
+            "doc_id", F.col("passage").cast("int").alias("passage"),
+            F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
     def pl2_topk(spark, sf):
         """PL2 divergence-from-randomness ranking (plans/dfr.py,
         Amati & van Rijsbergen 2002) — the third ranking family next
@@ -2712,6 +2808,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kneser_ney_logprob(
             _docs_enriched(spark, sf), discount=0.75
         ).select("doc_id", "n_bigrams", "nll", "ppl")
+
+    def ppl_buckets_q(spark, sf):
+        """CCNet head/middle/tail perplexity split (operators/
+        curation.perplexity_buckets, Wenzek et al. 2020) — per-lang
+        ntile over the KN bigram perplexity."""
+        from search_engine_spark.operators.curation import (
+            perplexity_buckets,
+        )
+
+        return perplexity_buckets(
+            _docs_enriched(spark, sf), id_col="doc_id"
+        ).select("doc_id", "lang", "ppl", "bucket")
 
     def latest_snapshot_q(spark, sf):
         """Re-crawl dedup: synthetic decorated URL variants per
@@ -4620,6 +4728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonyms_topk": bm25_synonyms_topk,
         "pl2_topk": pl2_topk,
         "sdm_topk": sdm_topk,
+        "bm25_passage_topk": bm25_passage_topk,
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "lm_jm_topk": lm_jm_topk,
         "min_span_docs": min_span_docs,
@@ -4636,6 +4745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": corpus_diff_q,
         "bigram_logprob": bigram_logprob_q,
         "kneser_ney_logprob": kneser_ney_q,
+        "ppl_buckets": ppl_buckets_q,
         "latest_snapshot": latest_snapshot_q,
         "site_quality_stats": site_quality_q,
         "rank_eval": rank_eval_q,
@@ -5359,6 +5469,7 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
         "collocations": _collocations_sql(min_count=5, limit=20),
         "bigram_logprob": _bigram_sql(alpha=0.1),
         "kneser_ney_logprob": _kneser_ney_sql(d=0.75),
+        "ppl_buckets": _ppl_buckets_sql(d=0.75),
         "latest_snapshot": _LATEST_SNAPSHOT_SQL,
         "site_quality_stats": _site_quality_sql(
             toks_list, stopword_list
@@ -5368,6 +5479,8 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
         "bm25_synonyms_topk": _synonyms_sql(limit=10),
         "pl2_topk": _pl2_sql(FLAGSHIP_TERMS, c=1.0, limit=10),
         "sdm_topk": _sdm_sql(FLAGSHIP_TERMS, limit=10),
+        "bm25_passage_topk": _passage_sql(FLAGSHIP_TERMS, window=50,
+                                          limit=10),
         "lm_dirichlet_topk": _lm_sql(FLAGSHIP_TERMS, mu=500.0, limit=10),
         "lm_jm_topk": _lm_jm_sql(FLAGSHIP_TERMS, lam=0.3, limit=10),
         "min_span_docs": _min_span_sql(*PROX_TERMS),

@@ -158,6 +158,7 @@ def main() -> None:
         "lm_jm_topk",
         "pl2_topk",
         "sdm_topk",
+        "bm25_passage_topk",
         "wildcard_search",
         "cori_shard_scores",
         "vsm_topk",
@@ -203,6 +204,7 @@ def main() -> None:
         "unigram_logprob",
         "bigram_logprob",
         "kneser_ney_logprob",
+        "ppl_buckets",
         "semantic_decontaminate",
         "unigram_vocab",
         "prefix_search",

@@ -1452,3 +1452,119 @@ def remove_boilerplate_lines(
     return df.join(rebuilt, id_col, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(""))
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    tokens_col_name: str = "tokens",
+    n_buckets: int = 3,
+    discount: float = 0.75,
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """``(<id>, lang, ppl, bucket)`` — CCNet's quality split (Wenzek
+    et al., LREC 2020): rank every document by LM perplexity WITHIN
+    its language and cut the ranking into ``n_buckets`` equal-depth
+    buckets — lowest perplexity (cleanest text) first.  With the
+    default 3 buckets the labels are CCNet's ``head``/``middle``/
+    ``tail``; other counts label ``b1..bn``.
+
+    The LM is the corpus's own interpolated Kneser–Ney bigram model
+    (:func:`kneser_ney_logprob`; pass ``scores`` to reuse a
+    precomputed ``(id, ppl)`` frame, e.g. from a held-out reference
+    corpus as CCNet does with Wikipedia).  Docs with < 2 tokens have
+    no bigram perplexity and are absent, like the scorer itself.
+
+    Determinism: ntile over (ppl asc, id asc) — ppl is the scorer's
+    6-decimal-rounded value, ties broken by id, so the split is
+    reproducible and mirrored exactly by the SQL oracle.
+
+    Scale shape: ONE window = one hash shuffle on ``lang`` + per-lang
+    sort.  Languages are few but skewed (English ≫ rest), so at
+    100 TB prefer :func:`perplexity_buckets_approx` — same labels to
+    within the sketch error, no per-language global sort.
+    """
+    sc = (
+        scores
+        if scores is not None
+        else kneser_ney_logprob(df, id_col, tokens_col_name, discount)
+    )
+    joined = df.select(id_col, lang_col).join(
+        sc.select(id_col, "ppl"), id_col
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.asc("ppl"), F.asc(id_col)
+    )
+    nt = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        bucket = (
+            F.when(F.col("_nt") == 1, F.lit("head"))
+            .when(F.col("_nt") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        bucket = F.concat(F.lit("b"), F.col("_nt").cast("string"))
+    return (
+        joined.withColumn("_nt", nt)
+        .withColumn("bucket", bucket)
+        .select(id_col, lang_col, "ppl", "bucket")
+    )
+
+
+def perplexity_buckets_approx(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    tokens_col_name: str = "tokens",
+    n_buckets: int = 3,
+    discount: float = 0.75,
+    accuracy: int = 10000,
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """The 100 TB shape of :func:`perplexity_buckets`: per-language
+    cut points from ONE ``percentile_approx`` aggregation (Greenwald–
+    Khanna sketch, map-side combined — no per-language sort), then a
+    stateless broadcast-join + comparison labels every doc.  Labels
+    match the exact ntile split up to sketch error at the bucket
+    boundaries (CCNet itself thresholds on precomputed cutoffs, so
+    boundary tolerance is the published semantics).  ``accuracy`` is
+    Spark's sketch knob (error ≤ 1/accuracy)."""
+    sc = (
+        scores
+        if scores is not None
+        else kneser_ney_logprob(df, id_col, tokens_col_name, discount)
+    )
+    joined = df.select(id_col, lang_col).join(
+        sc.select(id_col, "ppl"), id_col
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = joined.groupBy(lang_col).agg(
+        F.percentile_approx("ppl", qs, accuracy).alias("_cuts")
+    )
+    labelled = joined.join(F.broadcast(cuts), lang_col)
+    # bucket = 1 + number of cut points strictly below ppl
+    nt = F.lit(1) + F.aggregate(
+        "_cuts",
+        F.lit(0),
+        lambda acc, c: acc
+        + F.when(F.col("ppl") > c, F.lit(1)).otherwise(F.lit(0)),
+    )
+    if n_buckets == 3:
+        bucket = (
+            F.when(F.col("_nt") == 1, F.lit("head"))
+            .when(F.col("_nt") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+    else:
+        bucket = F.concat(F.lit("b"), F.col("_nt").cast("string"))
+    return (
+        labelled.withColumn("_nt", nt)
+        .withColumn("bucket", bucket)
+        .select(id_col, lang_col, "ppl", "bucket")
+    )
