@@ -832,6 +832,55 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
 """
 
 
+def _bm25var_sql(
+    terms: list[str], variant: str, delta: float, limit: int
+) -> str:
+    """DuckDB mirror of plans/bm25var.search_bm25_variant (BM25+ /
+    BM25L, rarest-term candidates) — same CTEs as _bm25_sql, variant
+    scoring expression in the Spark operation order."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    tfn = "(p.tf::DOUBLE / l.doc_len)"
+    norm = f"(1 - {B} + {B} * l.doc_len / nn.avg_len)"
+    if variant == "plus":
+        expr = (
+            f"qt.idf * ({tfn} * ({K1} + 1)"
+            f" / ({tfn} + {K1} * {norm}) + {delta})"
+        )
+    else:
+        cp = f"({tfn} / {norm})"
+        expr = (
+            f"qt.idf * ({K1} + 1) * ({cp} + {delta})"
+            f" / ({K1} + {cp} + {delta})"
+        )
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP}, {_NN},
+qt AS (
+  SELECT ts.term, ts.df,
+         ln((nn.n - ts.df + 0.5) / (ts.df + 0.5)) AS idf
+  FROM tstats ts CROSS JOIN nn
+  WHERE ts.term IN ({term_list})
+    AND ts.term NOT IN (SELECT term FROM stop)
+    AND (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0
+),
+rarest AS (SELECT term FROM qt ORDER BY df ASC, term ASC LIMIT 1),
+cand AS (
+  SELECT p.doc_id FROM postings p JOIN rarest r ON p.term = r.term),
+scored AS (
+  SELECT c.doc_id, sum({expr}) AS score
+  FROM cand c
+  JOIN postings p ON p.doc_id = c.doc_id
+  JOIN qt ON qt.term = p.term
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nn
+  GROUP BY c.doc_id),
+ranked AS (
+  SELECT doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rn
+  FROM scored)
+SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
+"""
+
+
 def _passage_sql(terms: list[str], window: int, limit: int) -> str:
     """DuckDB mirror of plans/passage.passage_topk: max-passage BM25
     over disjoint ``window``-token spans; passage lengths from
@@ -2514,6 +2563,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         res = search_sdm(
             _docs_enriched(spark, sf), FLAGSHIP_QUERY,
             id_col="doc_id", limit=10,
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def bm25plus_topk(spark, sf):
+        """BM25+ (plans/bm25var.py, Lv & Zhai 2011): flat idf·δ
+        lower bound on present terms fixes long-doc over-penalty."""
+        from search_engine_spark.plans.bm25var import (
+            search_bm25_variant,
+        )
+
+        idx = _docs_index(spark, sf)
+        res = search_bm25_variant(
+            idx, FLAGSHIP_QUERY, variant="plus", limit=10,
+            analyzer="tokens",
+        )
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+
+    def bm25l_topk(spark, sf):
+        """BM25L (plans/bm25var.py): δ-shifted normalized tf before
+        saturation — the other Lv & Zhai lower-bound fix."""
+        from search_engine_spark.plans.bm25var import (
+            search_bm25_variant,
+        )
+
+        idx = _docs_index(spark, sf)
+        res = search_bm25_variant(
+            idx, FLAGSHIP_QUERY, variant="l", limit=10,
+            analyzer="tokens",
         )
         return res.select(
             "doc_id", F.round("score", 6).alias("score"),
@@ -4729,6 +4812,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl2_topk": pl2_topk,
         "sdm_topk": sdm_topk,
         "bm25_passage_topk": bm25_passage_topk,
+        "bm25plus_topk": bm25plus_topk,
+        "bm25l_topk": bm25l_topk,
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "lm_jm_topk": lm_jm_topk,
         "min_span_docs": min_span_docs,
@@ -5481,6 +5566,10 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
         "sdm_topk": _sdm_sql(FLAGSHIP_TERMS, limit=10),
         "bm25_passage_topk": _passage_sql(FLAGSHIP_TERMS, window=50,
                                           limit=10),
+        "bm25plus_topk": _bm25var_sql(FLAGSHIP_TERMS, "plus", 1.0,
+                                      limit=10),
+        "bm25l_topk": _bm25var_sql(FLAGSHIP_TERMS, "l", 0.5,
+                                   limit=10),
         "lm_dirichlet_topk": _lm_sql(FLAGSHIP_TERMS, mu=500.0, limit=10),
         "lm_jm_topk": _lm_jm_sql(FLAGSHIP_TERMS, lam=0.3, limit=10),
         "min_span_docs": _min_span_sql(*PROX_TERMS),

@@ -159,6 +159,8 @@ def main() -> None:
         "pl2_topk",
         "sdm_topk",
         "bm25_passage_topk",
+        "bm25plus_topk",
+        "bm25l_topk",
         "wildcard_search",
         "cori_shard_scores",
         "vsm_topk",
