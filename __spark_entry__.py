@@ -2458,6 +2458,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "shard int, belief double",
         )
 
+    def taily_shard_scores_q(spark, sf):
+        """Taily resource selection (plans/federate.taily_shard_scores,
+        Aly et al. 2013) over the two parity-split shards — Gamma
+        moment-matched estimate of each shard's top-n_c contribution.
+        Rows-only: the incomplete-gamma broker math has no SQL
+        counterpart; pytest pins it against closed forms."""
+        from search_engine_spark.operators.postings import build_index
+        from search_engine_spark.plans.federate import (
+            taily_shard_scores,
+            taily_term_stats,
+        )
+
+        docs = _docs_enriched(spark, sf)
+        stats = []
+        for i in range(2):
+            idx = build_index(
+                docs.filter(F.col("doc_id") % 2 == i),
+                id_col="doc_id", analyzer="tokens",
+            )
+            stats.append((taily_term_stats(idx), idx.n_docs))
+        scores = taily_shard_scores(
+            stats, FLAGSHIP_QUERY, n_c=50, analyzer="tokens"
+        )
+        return spark.createDataFrame(
+            [(int(i), round(float(s), 6)) for i, s in scores],
+            "shard int, est_docs double",
+        )
+
     def bm25_collapsed_topk(spark, sf):  # host-crowding collapse
         from search_engine_spark.plans.search import search_collapsed
 
@@ -4802,6 +4830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vsm_topk": vsm_topk_q,
         "bm25_federated_topk": bm25_federated_topk,
         "cori_shard_scores": cori_shard_scores_q,
+        "taily_shard_scores": taily_shard_scores_q,
         "bm25_not_topk": bm25_not_topk,
         "bm25_collapsed_topk": bm25_collapsed_topk,
         "bm25_priors_topk": bm25_priors_topk,

@@ -297,3 +297,233 @@ def search_federated(
         candidates=candidates,
         exclude_terms=exclude_terms,
     )
+
+
+# ---------------------------------------------------------------------------
+# Taily shard selection (Aly, Hiemstra & Demeester, SIGIR 2013)
+# ---------------------------------------------------------------------------
+#
+# CORI ranks shards by a belief heuristic over df alone; Taily instead
+# MODELS each shard's score distribution: per (shard, term) it stores
+# the document frequency and the first two moments of the per-document
+# term score, fits a Gamma to the query's (independence-summed) score
+# distribution per shard, and estimates HOW MANY documents in that
+# shard would make the global top-n_c — shards expected to contribute
+# < v docs are skipped.  The stats are metadata-scale (one row per
+# (shard, term)), built in ONE pass over each shard's postings at
+# build/maintenance time; query-time work is driver arithmetic over
+# |shards| × |query terms| collected rows, exactly like CORI.
+
+
+def _gammp(k: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(k, x) — series expansion
+    for x < k+1, continued fraction (Lentz) otherwise (the standard
+    Numerical-Recipes-style split, implemented from the published
+    formulas)."""
+    if x <= 0.0:
+        return 0.0
+    if k <= 0.0:
+        return 1.0
+    lg = math.lgamma(k)
+    if x < k + 1.0:
+        ap, total, term = k, 1.0 / k, 1.0 / k
+        for _ in range(500):
+            ap += 1.0
+            term *= x / ap
+            total += term
+            if abs(term) < abs(total) * 1e-15:
+                break
+        return total * math.exp(-x + k * math.log(x) - lg)
+    # continued fraction for Q(k, x), then P = 1 - Q
+    tiny = 1e-300
+    b = x + 1.0 - k
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - k)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    q = math.exp(-x + k * math.log(x) - lg) * h
+    return 1.0 - q
+
+
+def _gamma_sf(k: float, theta: float, s: float) -> float:
+    """P(X > s) for X ~ Gamma(shape k, scale theta)."""
+    if s <= 0.0:
+        return 1.0
+    return 1.0 - _gammp(k, s / theta)
+
+
+def _gamma_isf(k: float, theta: float, p: float) -> float:
+    """Score s with survival probability p — bisection on the
+    monotone survival function (driver-side, ~50 iterations)."""
+    if p >= 1.0:
+        return 0.0
+    if p <= 0.0:
+        return float("inf")
+    lo, hi = 0.0, max(k * theta, theta) or 1.0
+    while _gamma_sf(k, theta, hi) > p:
+        hi *= 2.0
+        if hi > 1e12:
+            break
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if _gamma_sf(k, theta, mid) > p:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo <= 1e-12 * max(1.0, hi):
+            break
+    return 0.5 * (lo + hi)
+
+
+def taily_term_stats(index: InvertedIndex) -> DataFrame:
+    """``(term, n, s1, s2)`` — per-term document frequency and the
+    first two moments (Σs, Σs²) of the per-document term score
+
+        s(t, d) = idf_t · bm25(tf, doc_len)
+
+    under the SHARD'S OWN statistics (plans/search.py R11/R12
+    expressions).  ONE postings ⋈ doc_lens pass + one
+    map-side-combined aggregation; the result is metadata-scale (one
+    row per term) and is what a shard publishes to the Taily broker
+    at build/maintenance time."""
+    id_col = index.id_col
+    k1, b = index.config.bm25.k1, index.config.bm25.b
+    n = float(index.n_docs)
+    idf_expr = F.log(
+        (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    scored = index.postings.join(
+        index.doc_lens.select(id_col, "doc_len"), id_col
+    ).join(F.broadcast(index.term_stats.select("term", "df")), "term")
+    tfn = F.col("tf").cast("double") / F.col("doc_len")
+    u = (
+        tfn
+        * F.lit(k1 + 1.0)
+        / (
+            tfn
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("doc_len") / F.lit(index.avg_len)
+            )
+        )
+    )
+    scored = scored.withColumn("_s", idf_expr * u)
+    return scored.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_s").alias("s1"),
+        F.sum(F.col("_s") * F.col("_s")).alias("s2"),
+    )
+
+
+def taily_shard_scores(
+    stats: list[tuple[DataFrame, int]],
+    query: str,
+    n_c: int = 100,
+    lang: str = "english",
+    analyzer: str = "lemma",
+) -> list[tuple[int, float]]:
+    """Taily resource ranking: ``[(shard_index, est_docs)]`` — the
+    estimated number of shard-i documents that would rank in the
+    global top-``n_c``, in input order.
+
+    ``stats`` is ``[(taily_term_stats frame, n_docs)]`` per shard.
+    Per shard the query score is modelled Gamma via moment matching
+    over the conjunctive (all-terms) doc set:
+
+        f_i   = n_i^(1−|Q|) · Π_t n_{t,i}      (co-occurrence indep.)
+        E_i   = Σ_t s1/n,   Var_i = Σ_t (s2/n − (s1/n)²)
+        k_i   = E_i²/Var_i,  θ_i = Var_i/E_i
+
+    the global cutoff s_c solves Σ_i f_i·SF_i(s_c) = n_c on the
+    moment-merged all-shards Gamma, and est_i = f_i·SF_i(s_c).
+    Query-time cost: one ``term IN`` metadata probe per shard +
+    driver arithmetic (the published broker design)."""
+    terms = sorted(set(analyze_query(query, lang, analyzer)))
+    n_shards = len(stats)
+    if not terms or not n_shards:
+        return [(i, 0.0) for i in range(n_shards)]
+
+    probes = [
+        sdf.filter(F.col("term").isin(terms)).select(
+            F.lit(i).alias("shard"), "term", "n", "s1", "s2"
+        )
+        for i, (sdf, _) in enumerate(stats)
+    ]
+    rows = reduce(DataFrame.unionByName, probes).collect()
+    per: list[dict[str, tuple[int, float, float]]] = [
+        {} for _ in range(n_shards)
+    ]
+    for r in rows:
+        per[r["shard"]][r["term"]] = (
+            int(r["n"]), float(r["s1"]), float(r["s2"]),
+        )
+
+    fits = []  # (f_i, E_i, Var_i) or None
+    for i, (_, n_docs) in enumerate(stats):
+        if any(t not in per[i] or per[i][t][0] == 0 for t in terms):
+            fits.append(None)
+            continue
+        f_i = float(n_docs) ** (1 - len(terms))
+        e = v = 0.0
+        for t in terms:
+            n_t, s1, s2 = per[i][t]
+            f_i *= n_t
+            m1 = s1 / n_t
+            e += m1
+            v += max(s2 / n_t - m1 * m1, 0.0)
+        fits.append((f_i, e, v))
+
+    live = [f for f in fits if f and f[0] > 0 and f[1] > 0]
+    if not live:
+        return [(i, 0.0) for i in range(n_shards)]
+    f_all = sum(f for f, _, _ in live)
+    e_all = sum(f * e for f, e, _ in live) / f_all
+    m2_all = sum(f * (v + e * e) for f, e, v in live) / f_all
+    var_all = max(m2_all - e_all * e_all, 1e-12)
+    k_all = e_all * e_all / var_all
+    th_all = var_all / e_all
+
+    if n_c >= f_all:
+        s_c = 0.0
+    else:
+        s_c = _gamma_isf(k_all, th_all, n_c / f_all)
+
+    out = []
+    for i, fit in enumerate(fits):
+        if fit is None or fit[0] <= 0 or fit[1] <= 0:
+            out.append((i, 0.0))
+            continue
+        f_i, e, v = fit
+        v = max(v, 1e-12)
+        k_i, th_i = e * e / v, v / e
+        out.append((i, f_i * _gamma_sf(k_i, th_i, s_c)))
+    return out
+
+
+def select_shards_taily(
+    stats: list[tuple[DataFrame, int]],
+    query: str,
+    n_c: int = 100,
+    v: float = 1.0,
+    lang: str = "english",
+    analyzer: str = "lemma",
+) -> list[int]:
+    """Shards whose estimated top-``n_c`` contribution is ≥ ``v``
+    docs (est desc, shard index asc) — Taily's cutoff rule."""
+    scores = taily_shard_scores(stats, query, n_c, lang, analyzer)
+    keep = [(i, s) for i, s in scores if s >= v]
+    return [i for i, _ in sorted(keep, key=lambda t: (-t[1], t[0]))]
