@@ -832,6 +832,73 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= {limit}
 """
 
 
+def _qpp_pre_sql(terms: list[str]) -> str:
+    """DuckDB mirror of plans/qpp.preretrieval_predictors for the
+    flagship query: IDF moments, simplified clarity (SCS), avg SCQ."""
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP}, {_NN},
+{_qt_cte(terms)},
+qcf AS (SELECT p.term, CAST(sum(p.tf) AS DOUBLE) AS cf
+        FROM postings p
+        WHERE p.term IN (SELECT term FROM qt) GROUP BY 1),
+tot AS (SELECT CAST(sum(doc_len) AS DOUBLE) AS c FROM lens),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM qt)
+SELECT CAST(m.m AS INTEGER) AS n_terms,
+       round(sum(qt.idf) / m.m, 6) AS avg_idf,
+       round(max(qt.idf), 6) AS max_idf,
+       round(sum((1.0 / m.m)
+                 * log2((1.0 / m.m) / (qcf.cf / tot.c))), 6) AS scs,
+       round(sum((1 + ln(qcf.cf)) * qt.idf) / m.m, 6) AS avg_scq
+FROM qt JOIN qcf ON qcf.term = qt.term CROSS JOIN tot CROSS JOIN m
+GROUP BY m.m
+"""
+
+
+def _clarity_sql(terms: list[str], k: int) -> str:
+    """DuckDB mirror of plans/qpp.clarity_score: KL divergence of the
+    BM25 top-``k`` relevance model from the collection model."""
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP}, {_NN},
+{_qt_cte(terms)},
+rarest AS (SELECT term FROM qt ORDER BY df ASC, term ASC LIMIT 1),
+cand AS (
+  SELECT p.doc_id FROM postings p JOIN rarest r ON p.term = r.term),
+scored AS (
+  SELECT c.doc_id,
+         sum(qt.idf * (p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+             / ((p.tf::DOUBLE / l.doc_len)
+                + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len))) AS score
+  FROM cand c
+  JOIN postings p ON p.doc_id = c.doc_id
+  JOIN qt ON qt.term = p.term
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nn
+  GROUP BY c.doc_id),
+top AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored)
+  WHERE rn <= {k}),
+ntop AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM top),
+prel AS (
+  SELECT p.term,
+         sum((p.tf::DOUBLE / l.doc_len) / ntop.c) AS pr
+  FROM postings p
+  JOIN top USING (doc_id)
+  JOIN lens l ON l.doc_id = p.doc_id
+  CROSS JOIN ntop
+  GROUP BY 1),
+cfs AS (SELECT term, CAST(sum(tf) AS DOUBLE) AS cf
+        FROM postings
+        WHERE term IN (SELECT term FROM prel) GROUP BY 1),
+tot AS (SELECT CAST(sum(doc_len) AS DOUBLE) AS c FROM lens)
+SELECT round(sum(prel.pr * log2(prel.pr / (cfs.cf / tot.c))), 6)
+         AS clarity
+FROM prel JOIN cfs USING (term) CROSS JOIN tot
+"""
+
+
 def _bm25var_sql(
     terms: list[str], variant: str, delta: float, limit: int
 ) -> str:
@@ -2595,6 +2662,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select(
             "doc_id", F.round("score", 6).alias("score"),
             F.col("rn").cast("int").alias("rn"),
+        )
+
+    def qpp_predictors_q(spark, sf):
+        """Pre-retrieval query performance predictors (plans/qpp.py
+        — He & Ounis 2004 / Zhao et al. 2008): IDF moments, SCS,
+        avg SCQ for the flagship query, one stats probe."""
+        from search_engine_spark.plans.qpp import (
+            preretrieval_predictors,
+        )
+
+        idx = _docs_index(spark, sf)
+        p = preretrieval_predictors(
+            idx, FLAGSHIP_QUERY, analyzer="tokens"
+        )
+        return spark.createDataFrame(
+            [(
+                int(p["n_terms"]), round(p["avg_idf"], 6),
+                round(p["max_idf"], 6), round(p["scs"], 6),
+                round(p["avg_scq"], 6),
+            )],
+            "n_terms int, avg_idf double, max_idf double,"
+            " scs double, avg_scq double",
+        )
+
+    def query_clarity_q(spark, sf):
+        """Post-retrieval clarity score (plans/qpp.clarity_score,
+        Cronen-Townsend et al. 2002): KL of the BM25 top-10 relevance
+        model from the collection model."""
+        from search_engine_spark.plans.qpp import clarity_score
+
+        idx = _docs_index(spark, sf)
+        c = clarity_score(
+            idx, FLAGSHIP_QUERY, k=10, analyzer="tokens"
+        )
+        return spark.createDataFrame(
+            [(round(float(c), 6),)], "clarity double"
         )
 
     def bm25plus_topk(spark, sf):
@@ -4843,6 +4946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_passage_topk": bm25_passage_topk,
         "bm25plus_topk": bm25plus_topk,
         "bm25l_topk": bm25l_topk,
+        "qpp_predictors": qpp_predictors_q,
+        "query_clarity": query_clarity_q,
         "lm_dirichlet_topk": lm_dirichlet_topk,
         "lm_jm_topk": lm_jm_topk,
         "min_span_docs": min_span_docs,
@@ -5599,6 +5704,8 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
                                       limit=10),
         "bm25l_topk": _bm25var_sql(FLAGSHIP_TERMS, "l", 0.5,
                                    limit=10),
+        "qpp_predictors": _qpp_pre_sql(FLAGSHIP_TERMS),
+        "query_clarity": _clarity_sql(FLAGSHIP_TERMS, k=10),
         "lm_dirichlet_topk": _lm_sql(FLAGSHIP_TERMS, mu=500.0, limit=10),
         "lm_jm_topk": _lm_jm_sql(FLAGSHIP_TERMS, lam=0.3, limit=10),
         "min_span_docs": _min_span_sql(*PROX_TERMS),

@@ -207,6 +207,7 @@ def main() -> None:
         "bigram_logprob",
         "kneser_ney_logprob",
         "ppl_buckets",
+        "query_clarity",
         "semantic_decontaminate",
         "unigram_vocab",
         "prefix_search",
