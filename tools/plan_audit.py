@@ -110,6 +110,12 @@ AUDITED = [
     "bm25_rescore_topk",
     "pl2_topk",
     "sdm_topk",
+    "bm25_passage_topk",
+    "bm25plus_topk",
+    "bm25l_topk",
+    "ppl_buckets",
+    "query_clarity",
+    "taily_shard_scores",
 ]
 
 
