@@ -5,8 +5,8 @@
         [--index /data/other_index ...]  # federated, exact global stats \
         [--site host1 --site host2] [--offset 0] [--limit 20] \
         [--no-prune]  # disable block-max WAND, exact reference path \
-        [--ranker bm25|lm|synonyms|prefix|wildcard|maxscore] \
-        [--mu 2000] \
+        [--ranker bm25|lm|pl2|synonyms|prefix|wildcard|maxscore] \
+        [--mu 2000] [--c 1.0] \
         [--synonyms '{"fast": ["quick"]}'] [--max-expansions 50]
 
 Prints one JSON line per result row: {url, site, score, rn} — the
@@ -42,14 +42,18 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument(
         "--ranker", default="bm25",
         choices=[
-            "bm25", "maxscore", "lm", "synonyms", "prefix",
+            "bm25", "maxscore", "lm", "pl2", "synonyms", "prefix",
             "wildcard",
         ],
         help="bm25 (default, block-max WAND, rarest-term candidates)"
              " | maxscore (union/OR candidates, MaxScore-pruned) "
-             "| lm (Dirichlet query likelihood) | synonyms (group "
+             "| lm (Dirichlet query likelihood) | pl2 (DFR "
+             "divergence-from-randomness, --c) | synonyms (group "
              "BM25, needs --synonyms) | prefix (trailing-* units "
              "expand against the dictionary)")
+    ap.add_argument("--c", type=float, default=1.0,
+                    help="length-normalization strength for "
+                         "--ranker pl2")
     ap.add_argument("--mu", type=float, default=2000.0,
                     help="Dirichlet pseudo-count for --ranker lm")
     ap.add_argument(
@@ -116,6 +120,14 @@ def main(argv: list[str] | None = None) -> None:
 
         result = search_lm_compact(
             cidx, args.query, mu=args.mu, sites=args.site,
+            offset=args.offset, limit=args.limit,
+            analyzer=cidx_analyzer(spark, args.index),
+        )
+    elif args.ranker == "pl2":
+        from search_engine_spark.plans.dfr import search_pl2_compact
+
+        result = search_pl2_compact(
+            cidx, args.query, c=args.c, sites=args.site,
             offset=args.offset, limit=args.limit,
             analyzer=cidx_analyzer(spark, args.index),
         )
