@@ -49,6 +49,15 @@ def main(argv: list[str] | None = None) -> None:
              "persisted phrase/NEAR queries run without the pages "
              "corpus; append_pages/reindex_pages co-maintain it "
              "(stale rows drop at the liveness join)")
+    ap.add_argument(
+        "--impacts", action="store_true",
+        help="also write the quantized-impact artifact "
+             "(<output>/impacts, Anh–Moffat integer impacts derived "
+             "from the compacted segments) so impact-ordered / "
+             "rescore first passes run without the tf index or a "
+             "doc-length join")
+    ap.add_argument("--impact-bits", type=int, default=8,
+                    help="impact quantization width (q in 1..2^bits)")
     ap.add_argument("--use-html", action="store_true",
                     help="re-extract text from the html column (T1 UDF)")
     ap.add_argument("--synthetic-pages", type=int, default=0)
@@ -159,6 +168,14 @@ def main(argv: list[str] | None = None) -> None:
             args.output.rstrip("/") + "/positions",
             n_buckets=args.buckets,
             id_col="doc_id",
+        )
+    if args.impacts:
+        from search_engine_spark.plans.build import load_compact_index
+        from search_engine_spark.plans.impact import write_impacts
+
+        cidx = load_compact_index(spark, args.output)
+        summary["impacts"] = write_impacts(
+            cidx, args.output.rstrip("/"), bits=args.impact_bits
         )
     print(json.dumps(summary))
     spark.stop()

@@ -35,17 +35,23 @@ bit-for-bit.
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import replace
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from search_engine_spark import fsutil
 from search_engine_spark.operators.postings import InvertedIndex
 from search_engine_spark.plans.search import (
     analyze_query,
     bm25_term_score_col,
     query_term_idf,
 )
+
+IMPACTS_DIR = "impacts"
+IMPACTS_META = "impacts.json"
 
 
 def impact_u_col(k1: float, b: float, avg_len: float) -> F.Column:
@@ -239,6 +245,170 @@ def rescore_topk(
         )
         .groupBy(id_col)
         .agg(F.sum("term_score").alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(offset + limit)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") > offset)
+        .select(id_col, "score", "rn")
+    )
+
+
+def write_impacts(cidx, out_dir: str, bits: int = 8) -> dict:
+    """Persist quantized impacts as an index artifact — the at-rest
+    shape of Anh–Moffat impact ordering (Lucene 8 stores the same
+    thing per posting block as ``Impacts``):
+
+        <out_dir>/impacts/bucket=B/*.parquet   (term, doc_id, q)
+        <out_dir>/impacts.json                 bits, u_max, n_buckets, …
+
+    so :func:`impact_topk_persisted` / :func:`rescore_topk` first
+    passes run WITHOUT the tf index or a doc-length join — the scan
+    reads ``bits``-wide integers from exactly the query terms' bucket
+    partitions.
+
+    Built FROM the persisted compact index (``cidx`` =
+    :class:`operators.compact.CompactIndex`), not the corpus: one
+    decode pass over the compressed segments.  ``u_max`` (the global
+    quantization scale) comes from the block-max metadata when it is
+    still valid — ``max(max_u)`` over segment rows, a metadata-only
+    aggregate with no block decode, sound because the stored
+    ``max_u`` is the exact same double-precision ``u`` formula
+    (functions/codec.py) — and falls back to an aggregate over the
+    decoded postings after appends drift ``blocks_avg_len``.
+
+    Scale shape: decode is Arrow-batched ``mapInPandas`` over
+    segment rows (already salted/sharded by the build, so no skew),
+    the quantize is a column expression, and the write re-uses the
+    index's own term-bucket partitioning — a query term touches one
+    bucket directory here too."""
+    from search_engine_spark.operators.compact import (
+        bucket_col,
+        decode_segments,
+    )
+
+    spark = cidx.segments.sparkSession
+    k1, b = cidx.config.bm25.k1, cidx.config.bm25.b
+    n_buckets = cidx.n_buckets or cidx.config.index_buckets
+    levels = 1 << bits
+
+    pu = decode_segments(cidx.segments).withColumn(
+        "u", impact_u_col(k1, b, cidx.avg_len)
+    )
+    metadata_valid = (
+        cidx.blocks_avg_len is None
+        or cidx.blocks_avg_len == cidx.avg_len
+    )
+    if metadata_valid:
+        u_max = float(
+            cidx.segments.agg(F.max("max_u")).collect()[0][0]
+        )
+    else:
+        u_max = float(pu.agg(F.max("u")).collect()[0][0])
+
+    q = F.least(
+        (F.floor(F.col("u") / F.lit(u_max) * F.lit(float(levels))) + 1)
+        .cast("int"),
+        F.lit(levels),
+    )
+    out = (
+        pu.select("term", "doc_id", q.alias("q"))
+        .withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+    )
+    (
+        out.repartition(F.col("bucket"))
+        .sortWithinPartitions("bucket", "term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, IMPACTS_DIR))
+    )
+    meta = {
+        "bits": bits,
+        "u_max": u_max,
+        "n_buckets": n_buckets,
+        "k1": k1,
+        "b": b,
+        "avg_len": cidx.avg_len,
+        "id_col": cidx.id_col,
+    }
+    fsutil.write_text(
+        os.path.join(out_dir, IMPACTS_META), json.dumps(meta), spark
+    )
+    return meta
+
+
+def load_impacts(
+    spark: SparkSession, out_dir: str
+) -> tuple[DataFrame, dict]:
+    """``(impacts, meta)`` for a directory written by
+    :func:`write_impacts`."""
+    meta = json.loads(
+        fsutil.read_text(os.path.join(out_dir, IMPACTS_META), spark)
+    )
+    return (
+        spark.read.parquet(os.path.join(out_dir, IMPACTS_DIR)),
+        meta,
+    )
+
+
+def impact_topk_persisted(
+    cidx,
+    out_dir: str,
+    query: str,
+    limit: int = 10,
+    offset: int = 0,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+    min_impact: int | None = None,
+) -> DataFrame:
+    """:func:`impact_topk` over the PERSISTED impacts artifact —
+    rank- and score-identical to the logical path (pytest-pinned).
+
+    Plan shape: bucket partition-pruned scan of (term, doc_id, q) for
+    the query terms only → map-side-combined integer sum per doc_id →
+    doc_map join on the aggregated (small) frame for the public-id
+    tie-break → TakeOrderedAndProject.  No posting decode, no
+    doc-length join, no corpus scan."""
+    from search_engine_spark.operators.compact import bucket_of
+
+    spark = cidx.segments.sparkSession
+    impacts, meta = load_impacts(spark, out_dir)
+    id_col = cidx.id_col
+
+    terms = analyze_query(query, lang, analyzer)
+    if use_stoplist:
+        stop = set(cidx.stoplist)
+        terms = [t for t in terms if t not in stop]
+    idf = query_term_idf(cidx, terms)
+    terms = sorted(t for t in terms if t in idf)
+
+    empty = (
+        cidx.doc_map.select(id_col)
+        .limit(0)
+        .withColumn("score", F.lit(0.0))
+        .withColumn("rn", F.lit(0))
+    )
+    if not terms:
+        return empty
+
+    buckets = sorted({bucket_of(t, meta["n_buckets"]) for t in terms})
+    qpost = impacts.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+    if min_impact is not None:
+        qpost = qpost.filter(F.col("q") >= min_impact)
+
+    idf_col = F.create_map(
+        *[x for t in terms for x in (F.lit(t), F.lit(idf[t]))]
+    )[F.col("term")]
+    scored = (
+        qpost.withColumn("term_score", idf_col * F.col("q"))
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+        .join(cidx.doc_map.select("doc_id", id_col), "doc_id")
     )
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return (
