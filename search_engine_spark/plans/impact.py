@@ -420,6 +420,74 @@ def impact_topk_persisted(
     )
 
 
+def rescore_topk_persisted(
+    cidx,
+    out_dir: str,
+    query: str,
+    first_k: int = 100,
+    limit: int = 10,
+    offset: int = 0,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+    min_impact: int | None = None,
+) -> DataFrame:
+    """:func:`rescore_topk` entirely from the persisted index: the
+    cheap first pass reads the impacts artifact
+    (:func:`impact_topk_persisted` — partition-pruned int scan, no
+    decode), the exact second pass decodes ONLY the query terms'
+    segments (``plans.wand.logical_view``) and recomputes full BM25
+    over the broadcast ``first_k`` candidates.  Neither pass touches
+    the corpus or the full tf index."""
+    from search_engine_spark.plans.wand import logical_view
+
+    id_col = cidx.id_col
+    first = impact_topk_persisted(
+        cidx, out_dir, query, limit=first_k, offset=0, lang=lang,
+        analyzer=analyzer, use_stoplist=use_stoplist,
+        min_impact=min_impact,
+    )
+    cand = first.select(id_col)
+
+    terms = analyze_query(query, lang, analyzer)
+    if use_stoplist:
+        stop = set(cidx.stoplist)
+        terms = [t for t in terms if t not in stop]
+    idf = query_term_idf(cidx, terms)
+    terms = sorted(t for t in terms if t in idf)
+
+    empty = (
+        cidx.doc_map.select(id_col)
+        .limit(0)
+        .withColumn("score", F.lit(0.0))
+        .withColumn("rn", F.lit(0))
+    )
+    if not terms:
+        return empty
+
+    view = logical_view(cidx, terms)
+    k1, b = cidx.config.bm25.k1, cidx.config.bm25.b
+    scored = (
+        F.broadcast(cand)
+        .join(view.postings.filter(F.col("term").isin(terms)), id_col)
+        .join(view.doc_lens.select(id_col, "doc_len"), id_col)
+        .withColumn(
+            "term_score",
+            bm25_term_score_col(idf, k1, b, cidx.avg_len),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("term_score").alias("score"))
+    )
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.orderBy(F.desc("score"), F.asc(id_col))
+        .limit(offset + limit)
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") > offset)
+        .select(id_col, "score", "rn")
+    )
+
+
 def prune_postings(
     index: InvertedIndex, keep_per_term: int
 ) -> InvertedIndex:

@@ -16,6 +16,8 @@ from search_engine_spark.plans.impact import (
     impact_topk_persisted,
     load_impacts,
     quantize_postings,
+    rescore_topk,
+    rescore_topk_persisted,
     write_impacts,
 )
 
@@ -117,6 +119,44 @@ def test_persisted_min_impact_parity(env):
     assert [(r["url"], r["rn"]) for r in got] == [
         (r["url"], r["rn"]) for r in want
     ]
+
+
+def test_persisted_rescore_matches_logical(env):
+    index, cidx, out, _ = env
+    got = rescore_topk_persisted(
+        cidx, out, "apple pie", first_k=8, limit=5,
+        analyzer="tokens", use_stoplist=False,
+    ).collect()
+    want = rescore_topk(
+        index, "apple pie", first_k=8, limit=5, bits=BITS,
+        analyzer="tokens", use_stoplist=False,
+    ).collect()
+    assert got  # parity must not be vacuous
+    assert [(r["url"], r["rn"]) for r in got] == [
+        (r["url"], r["rn"]) for r in want
+    ]
+    for g, w in zip(got, want):
+        assert g["score"] == pytest.approx(w["score"], rel=1e-12)
+
+
+def test_persisted_rescore_scores_are_exact(env):
+    """Second-pass scores must equal the exact BM25 search()."""
+    from search_engine_spark.plans.search import search
+
+    index, cidx, out, _ = env
+    got = rescore_topk_persisted(
+        cidx, out, "apple pie", first_k=8, limit=5,
+        analyzer="tokens", use_stoplist=False,
+    ).collect()
+    exact = {
+        r["url"]: r["score"]
+        for r in search(
+            index, "apple pie", limit=8, analyzer="tokens",
+            use_stoplist=False, candidates="union",
+        ).collect()
+    }
+    for r in got:
+        assert r["score"] == pytest.approx(exact[r["url"]], rel=1e-12)
 
 
 def test_pagination_offset(env):
