@@ -331,6 +331,7 @@ def write_impacts(cidx, out_dir: str, bits: int = 8) -> dict:
         "k1": k1,
         "b": b,
         "avg_len": cidx.avg_len,
+        "n_docs": cidx.n_docs,
         "id_col": cidx.id_col,
     }
     fsutil.write_text(
@@ -377,6 +378,19 @@ def impact_topk_persisted(
     spark = cidx.segments.sparkSession
     impacts, meta = load_impacts(spark, out_dir)
     id_col = cidx.id_col
+
+    # staleness guard: q was quantized against the artifact's corpus
+    # stats — after appends/vacuum change avg_len or the doc count,
+    # persisted impacts silently mis-rank, so refuse instead
+    if meta["avg_len"] != cidx.avg_len or (
+        "n_docs" in meta and meta["n_docs"] != cidx.n_docs
+    ):
+        raise ValueError(
+            "stale impacts artifact: written for avg_len="
+            f"{meta['avg_len']}/n_docs={meta.get('n_docs')} but the "
+            f"index now has avg_len={cidx.avg_len}/n_docs="
+            f"{cidx.n_docs} — rerun write_impacts after maintenance"
+        )
 
     terms = analyze_query(query, lang, analyzer)
     if use_stoplist:

@@ -159,6 +159,20 @@ def test_persisted_rescore_scores_are_exact(env):
         assert r["score"] == pytest.approx(exact[r["url"]], rel=1e-12)
 
 
+def test_stale_artifact_refused(env):
+    """An index whose stats drifted since write_impacts must refuse
+    to use the artifact instead of silently mis-ranking."""
+    from dataclasses import replace
+
+    _, cidx, out, _ = env
+    drifted = replace(cidx, avg_len=cidx.avg_len + 1.0)
+    with pytest.raises(ValueError, match="stale impacts artifact"):
+        impact_topk_persisted(
+            drifted, out, "apple", analyzer="tokens",
+            use_stoplist=False,
+        )
+
+
 def test_pagination_offset(env):
     _, cidx, out, _ = env
     full = impact_topk_persisted(
