@@ -64,6 +64,13 @@ PROX_TERMS = ["key", "line"]
 EVAL_QUERIES = [(0, "dup fast"), (1, "key line"), (2, "vector column")]
 # (k1, b) grid for the bm25_tuning sweep; combo 0 = engine default
 TUNING_GRID = [(1.5, 0.75), (1.2, 0.75), (0.9, 0.4), (2.0, 0.9)]
+# Taily-Erlang contract: "dup" fits Erlang shape k=1 on one parity
+# shard and k=3 on the other (non-trivial factorial sum); the
+# two-term query exercises the co-occurrence product f=n^(1-|Q|)·Πn_t.
+# s_c sits mid-tail for both shards (survival mass strictly in (0,1)).
+TAILY_QUERY = "dup"
+TAILY_MULTI_QUERY = "dup fast"
+TAILY_SC = 0.15
 # percolator (reverse search) registered query set: rare + common
 # terms, an absent-term query and an all-stoplist query (both must
 # match nothing), exercising R13 rarest-membership per query
@@ -1883,6 +1890,76 @@ FROM belief
 """
 
 
+def _taily_erlang_sql(terms: list[str], s_c: float) -> str:
+    """DuckDB mirror of plans/federate.taily_shard_scores_erlang over
+    the doc_id-parity shard split: per-shard BM25 score moments
+    (n, Σs, Σs²) per query term under SHARD-LOCAL statistics, the
+    co-occurrence estimate f = n_docs^(1−|Q|)·Πn_t, the moment-matched
+    Gamma fit with integer (Erlang) shape k = floor(E²/V + 0.5)
+    clamped to [1,100] and mean-preserving θ = E/k, and the survival
+    mass at cutoff s_c as the finite sum e^{-x}·Σ_{j<k} x^j/j!."""
+    ts = sorted(set(terms))
+    term_list = ", ".join(f"'{t}'" for t in ts)
+    nq = len(ts)
+    return f"""
+WITH {_TOKS}, {_LENS},
+sh_postings AS (
+  SELECT doc_id % 2 AS shard, term, doc_id, count(*) AS tf
+  FROM toks WHERE term IN ({term_list}) GROUP BY 1, 2, 3),
+sh_stat AS (
+  SELECT doc_id % 2 AS shard, count(*) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avg_len
+  FROM lens GROUP BY 1),
+sh_df AS (
+  SELECT shard, term, count(*) AS df
+  FROM sh_postings GROUP BY 1, 2),
+scored AS (
+  SELECT p.shard, p.term,
+         ln((ss.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * ((p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+              / ((p.tf::DOUBLE / l.doc_len)
+                 + {K1} * (1 - {B} + {B} * l.doc_len / ss.avg_len)))
+           AS s
+  FROM sh_postings p
+  JOIN sh_df d ON d.shard = p.shard AND d.term = p.term
+  JOIN lens l ON l.doc_id = p.doc_id
+  JOIN sh_stat ss ON ss.shard = p.shard),
+tmom AS (
+  SELECT shard, term, count(*) AS n,
+         sum(s) AS s1, sum(s * s) AS s2
+  FROM scored GROUP BY 1, 2),
+fit AS (
+  SELECT t.shard,
+         count(*) AS n_terms,
+         exp(sum(ln(CAST(t.n AS DOUBLE))))
+           * pow(CAST(max(ss.n_docs) AS DOUBLE), 1 - {nq}) AS f,
+         sum(t.s1 / t.n) AS e,
+         greatest(sum(greatest(
+           t.s2 / t.n - (t.s1 / t.n) * (t.s1 / t.n), 0.0)),
+           1e-12) AS v
+  FROM tmom t JOIN sh_stat ss USING (shard)
+  GROUP BY t.shard),
+erlang AS (
+  SELECT shard, n_terms, f, e,
+         CAST(least(greatest(floor(e * e / v + 0.5), 1), 100)
+              AS INTEGER) AS k
+  FROM fit),
+est AS (
+  SELECT shard,
+         CASE WHEN e <= 0 OR f <= 0 THEN 0.0 ELSE
+           f * exp(-({s_c!r} / (e / k)))
+             * list_sum(list_transform(range(k),
+                 j -> pow({s_c!r} / (e / k), j)
+                      / CAST(factorial(CAST(j AS INTEGER)) AS DOUBLE)))
+         END AS est_docs
+  FROM erlang WHERE n_terms = {nq}),
+shards AS (SELECT DISTINCT doc_id % 2 AS shard FROM documents)
+SELECT CAST(s.shard AS INTEGER) AS shard,
+       round(coalesce(e.est_docs, 0.0), 6) AS est_docs
+FROM shards s LEFT JOIN est e USING (shard)
+"""
+
+
 def _kneser_ney_sql(d: float = 0.75) -> str:
     """DuckDB mirror of operators/curation.kneser_ney_logprob:
     interpolated KN with fixed discount — max(c2−D,0)/c1 +
@@ -2525,28 +2602,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "shard int, belief double",
         )
 
+    def _taily_parity_stats(spark, sf):
+        """Per-parity-shard Taily broker stats, cached per (spark,
+        sf) — shared by the full-Gamma and Erlang contract entries."""
+        from search_engine_spark.operators.postings import build_index
+        from search_engine_spark.plans.federate import taily_term_stats
+
+        key = (id(spark), sf, "taily_stats")
+        if key not in _FED_CACHE:
+            docs = _docs_enriched(spark, sf)
+            stats = []
+            for i in range(2):
+                idx = build_index(
+                    docs.filter(F.col("doc_id") % 2 == i),
+                    id_col="doc_id", analyzer="tokens",
+                )
+                stats.append((taily_term_stats(idx).cache(), idx.n_docs))
+            _FED_CACHE[key] = stats
+        return _FED_CACHE[key]
+
     def taily_shard_scores_q(spark, sf):
         """Taily resource selection (plans/federate.taily_shard_scores,
         Aly et al. 2013) over the two parity-split shards — Gamma
         moment-matched estimate of each shard's top-n_c contribution.
-        Rows-only: the incomplete-gamma broker math has no SQL
-        counterpart; pytest pins it against closed forms."""
-        from search_engine_spark.operators.postings import build_index
-        from search_engine_spark.plans.federate import (
-            taily_shard_scores,
-            taily_term_stats,
-        )
+        Rows-only: the fractional-shape incomplete gamma has no SQL
+        counterpart; the Erlang twin below is the hash-checked form
+        and pytest pins the continued fraction against closed forms."""
+        from search_engine_spark.plans.federate import taily_shard_scores
 
-        docs = _docs_enriched(spark, sf)
-        stats = []
-        for i in range(2):
-            idx = build_index(
-                docs.filter(F.col("doc_id") % 2 == i),
-                id_col="doc_id", analyzer="tokens",
-            )
-            stats.append((taily_term_stats(idx), idx.n_docs))
+        stats = _taily_parity_stats(spark, sf)
         scores = taily_shard_scores(
             stats, FLAGSHIP_QUERY, n_c=50, analyzer="tokens"
+        )
+        return spark.createDataFrame(
+            [(int(i), round(float(s), 6)) for i, s in scores],
+            "shard int, est_docs double",
+        )
+
+    def taily_shard_scores_erlang_q(spark, sf):
+        """Integer-shape (Erlang) Taily variant (plans/federate.
+        taily_shard_scores_erlang) — DuckDB-checked end-to-end: the
+        oracle recomputes the per-shard score moments, the Gamma fit
+        with k = floor(E²/V + 0.5) and the finite Erlang survival sum
+        from the raw documents table.  Query "dup" fits k=1 on one
+        shard and k=3 on the other."""
+        from search_engine_spark.plans.federate import (
+            taily_shard_scores_erlang,
+        )
+
+        stats = _taily_parity_stats(spark, sf)
+        scores = taily_shard_scores_erlang(
+            stats, TAILY_QUERY, TAILY_SC, analyzer="tokens"
+        )
+        return spark.createDataFrame(
+            [(int(i), round(float(s), 6)) for i, s in scores],
+            "shard int, est_docs double",
+        )
+
+    def taily_erlang_multiterm_q(spark, sf):
+        """Two-term Erlang-Taily — exercises the co-occurrence
+        estimate f = n_docs^(1−|Q|)·Π n_t and the summed per-term
+        moments against the same DuckDB oracle family."""
+        from search_engine_spark.plans.federate import (
+            taily_shard_scores_erlang,
+        )
+
+        stats = _taily_parity_stats(spark, sf)
+        scores = taily_shard_scores_erlang(
+            stats, TAILY_MULTI_QUERY, TAILY_SC, analyzer="tokens"
         )
         return spark.createDataFrame(
             [(int(i), round(float(s), 6)) for i, s in scores],
@@ -4934,6 +5057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_federated_topk": bm25_federated_topk,
         "cori_shard_scores": cori_shard_scores_q,
         "taily_shard_scores": taily_shard_scores_q,
+        "taily_shard_scores_erlang": taily_shard_scores_erlang_q,
+        "taily_erlang_multiterm": taily_erlang_multiterm_q,
         "bm25_not_topk": bm25_not_topk,
         "bm25_collapsed_topk": bm25_collapsed_topk,
         "bm25_priors_topk": bm25_priors_topk,
@@ -5618,6 +5743,12 @@ def oracle_sql() -> dict[str, str]:
         # monolithic build's, so the oracle is the same SQL
         "bm25_federated_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
         "cori_shard_scores": _cori_sql(FLAGSHIP_TERMS),
+        "taily_shard_scores_erlang": _taily_erlang_sql(
+            TAILY_QUERY.split(), TAILY_SC
+        ),
+        "taily_erlang_multiterm": _taily_erlang_sql(
+            TAILY_MULTI_QUERY.split(), TAILY_SC
+        ),
         "bm25_not_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10, exclude=["window"]),
         "bm25_collapsed_topk": _bm25_sql(
             FLAGSHIP_TERMS, limit=10, collapse_per_site=2

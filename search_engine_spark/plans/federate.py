@@ -514,6 +514,82 @@ def taily_shard_scores(
     return out
 
 
+def taily_shard_scores_erlang(
+    stats: list[tuple[DataFrame, int]],
+    query: str,
+    s_c: float,
+    lang: str = "english",
+    analyzer: str = "lemma",
+) -> list[tuple[int, float]]:
+    """Integer-shape (Erlang) Taily variant — the SQL-checkable form
+    of :func:`taily_shard_scores`.
+
+    Same per-shard moment fit (f_i, E_i, V_i) as the full broker, but
+    the Gamma shape is clamped to a positive integer
+    ``k = floor(E²/V + 0.5)`` in [1, 100] with a mean-preserving scale
+    ``θ = E/k``, and the global cutoff ``s_c`` is an INPUT instead of
+    the bisection solution.  With integer k the survival function has
+    the closed Erlang form
+
+        SF(s) = e^{-x} · Σ_{j=0}^{k-1} x^j / j!,   x = s/θ
+
+    — a finite sum DuckDB computes exactly, so this variant carries
+    the contract's hash-checked oracle (``taily_shard_scores_erlang``
+    in ``__spark_entry__.py``), pinning the whole broker pipeline
+    (term-stat moments → co-occurrence estimate → Gamma fit →
+    survival mass) end-to-end; only the fractional-shape continued
+    fraction and the cutoff bisection of the full variant stay
+    pytest-pinned (tests/test_taily.py closed-form checks).
+    Reference: Aly, Hiemstra, Demeester, "Taily: shard selection
+    using the tail of score distributions", SIGIR 2013.
+    """
+    terms = sorted(set(analyze_query(query, lang, analyzer)))
+    n_shards = len(stats)
+    if not terms or not n_shards:
+        return [(i, 0.0) for i in range(n_shards)]
+
+    probes = [
+        sdf.filter(F.col("term").isin(terms)).select(
+            F.lit(i).alias("shard"), "term", "n", "s1", "s2"
+        )
+        for i, (sdf, _) in enumerate(stats)
+    ]
+    rows = reduce(DataFrame.unionByName, probes).collect()
+    per: list[dict[str, tuple[int, float, float]]] = [
+        {} for _ in range(n_shards)
+    ]
+    for r in rows:
+        per[r["shard"]][r["term"]] = (
+            int(r["n"]), float(r["s1"]), float(r["s2"]),
+        )
+
+    out = []
+    for i, (_, n_docs) in enumerate(stats):
+        if any(t not in per[i] or per[i][t][0] == 0 for t in terms):
+            out.append((i, 0.0))
+            continue
+        f_i = float(n_docs) ** (1 - len(terms))
+        e = v = 0.0
+        for t in terms:
+            n_t, s1, s2 = per[i][t]
+            f_i *= n_t
+            m1 = s1 / n_t
+            e += m1
+            v += max(s2 / n_t - m1 * m1, 0.0)
+        if f_i <= 0 or e <= 0:
+            out.append((i, 0.0))
+            continue
+        v = max(v, 1e-12)
+        k = int(min(max(math.floor(e * e / v + 0.5), 1), 100))
+        theta = e / k
+        x = s_c / theta
+        sf = math.exp(-x) * sum(
+            x**j / math.factorial(j) for j in range(k)
+        )
+        out.append((i, f_i * sf))
+    return out
+
+
 def select_shards_taily(
     stats: list[tuple[DataFrame, int]],
     query: str,

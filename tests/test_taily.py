@@ -16,6 +16,7 @@ from search_engine_spark.plans.federate import (
     _gammp,
     select_shards_taily,
     taily_shard_scores,
+    taily_shard_scores_erlang,
     taily_term_stats,
 )
 
@@ -152,6 +153,47 @@ def test_taily_ranks_dense_shard_first(shard_stats):
     assert est[0] > est[1] > 0.0    # dense beats scattered
     # estimates are DOC COUNTS: bounded by the conjunctive estimate
     assert est[0] <= len(SHARDS[0]) + 1e-9
+
+
+def test_erlang_variant_is_integer_shape_gamma(shard_stats):
+    """The Erlang contract variant must equal f·SF_Γ(s_c) evaluated
+    at the clamped integer shape with mean-preserving scale — i.e.
+    the full machinery restricted to integer k (whose survival the
+    continued-fraction _gammp also computes)."""
+    s_c = 0.2
+    got = dict(taily_shard_scores_erlang(
+        shard_stats, "apple pie", s_c, analyzer="tokens"
+    ))
+    # recompute the fit brute-force from the published broker stats
+    for i, docs in enumerate(SHARDS):
+        fits = []
+        nd = len(docs)
+        ok = True
+        f = float(nd) ** (1 - 2)
+        e = v = 0.0
+        for t in ("apple", "pie"):
+            n, s1, s2 = _ref_stats(docs, t)
+            if n == 0:
+                ok = False
+                break
+            f *= n
+            m1 = s1 / n
+            e += m1
+            v += max(s2 / n - m1 * m1, 0.0)
+        if not ok or e <= 0:
+            assert got[i] == 0.0
+            continue
+        v = max(v, 1e-12)
+        k = int(min(max(math.floor(e * e / v + 0.5), 1), 100))
+        expect = f * _gamma_sf(float(k), e / k, s_c)
+        assert got[i] == pytest.approx(expect, rel=1e-9)
+
+
+def test_erlang_variant_missing_term_scores_zero(shard_stats):
+    got = dict(taily_shard_scores_erlang(
+        shard_stats, "apple locomotive", 0.2, analyzer="tokens"
+    ))
+    assert got[0] == 0.0 and got[1] == 0.0  # no shard has both
 
 
 def test_taily_selection_cutoff(shard_stats):
