@@ -232,6 +232,116 @@ def _docs_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return documents_as_pages(spark, sf_dir)
 
 
+# words appended to a reindexed page's text (R25 upsert fixture);
+# lowercase letters only so both tokenizers see exactly 3 new tokens
+REINDEX_MARKER = " reindexed marker reindexed"
+_INCR_CACHE: dict = {}
+
+
+def _incremental_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Run the FULL incremental-maintenance lifecycle once per
+    (spark, sf_dir) and return its index directory.
+
+    base build (doc_id%10<8) → append (%10==8) → append (%10==9)
+    → tombstone (%9==0 of base; R23/R24) → reindex-upsert (%9==4 of
+    base with text+REINDEX_MARKER; R25) → merge_delta_epochs (three
+    LSM delta epochs → one; N3) → [checkpoint: decoded live postings]
+    → vacuum (tombstones physically dropped; N3/S8) → [checkpoints:
+    decoded final postings + maintained term_stats].
+
+    Checkpoint frames are MATERIALIZED to parquet inside the index
+    dir before the next mutation step — Spark plans are lazy and the
+    maintenance ops rewrite the very files a decoded-postings plan
+    would read.  The DuckDB oracles recompute each checkpoint from
+    the logical final corpus (all documents, minus tombstoned, with
+    reindexed text swapped in), so the engine's most state-heavy path
+    — df merge on append, decode-based df decrement on tombstone,
+    delta-epoch consolidation, vacuum rebuild — is hash-checked
+    end-to-end.  Reference semantics: IndexRepository.java:23-36,
+    LemmaServiceImpl.java:103-115, RecursiveWebParser.java:94-117."""
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    if key in _INCR_CACHE:
+        return _INCR_CACHE[key]
+
+    from search_engine_spark.config import BM25Config, EngineConfig
+    from search_engine_spark.operators.compact import decode_segments
+    from search_engine_spark.plans.build import (
+        build_and_write,
+        read_segments,
+    )
+    from search_engine_spark.plans.incremental import (
+        append_pages,
+        merge_delta_epochs,
+        read_tombstones,
+        reindex_pages,
+        tombstone_urls,
+        vacuum,
+    )
+
+    out = tempfile.mkdtemp(prefix="incr_contract_")
+    pages = _docs_enriched(spark, sf_dir).select(
+        "doc_id", "url", "text", "lang"
+    )
+    base = pages.filter(F.col("doc_id") % 10 < 8)
+    config = EngineConfig(bm25=BM25Config(k1=K1, b=B), index_buckets=8)
+    build_and_write(
+        spark, base.drop("doc_id"), out,
+        analyzer="tokens", config=config, n_segments=8,
+    )
+    for parity in (8, 9):
+        append_pages(
+            spark, out,
+            pages.filter(F.col("doc_id") % 10 == parity).drop("doc_id"),
+        )
+    dead_urls = [
+        r["url"]
+        for r in base.filter(F.col("doc_id") % 9 == 0)
+        .select("url").collect()
+    ]
+    tombstone_urls(spark, out, dead_urls)
+    modified = base.filter(F.col("doc_id") % 9 == 4).withColumn(
+        "text", F.concat(F.col("text"), F.lit(REINDEX_MARKER))
+    )
+    reindex_pages(spark, out, modified.drop("doc_id"))
+    merged = merge_delta_epochs(spark, out)
+    assert merged["merged_epochs"] >= 2, merged
+
+    nat = F.regexp_extract(F.col("url"), r"([0-9]+)$", 1).cast("long")
+
+    def _nat_postings(segs, tomb=None):
+        # tombstones anti-join on the DENSE id (a reindexed url's old
+        # and new versions share the natural id — only the old dense
+        # id is dead), exactly as the query path applies them
+        posts = decode_segments(segs)
+        if tomb is not None:
+            posts = posts.join(
+                F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+            )
+        docs_map = spark.read.parquet(os.path.join(out, "docs"))
+        return posts.join(docs_map.select("doc_id", "url"), "doc_id").select(
+            nat.alias("doc_id"), "term",
+            F.col("tf").cast("long").alias("tf"),
+        )
+
+    # checkpoint 1: live postings after LSM consolidation
+    _nat_postings(
+        read_segments(spark, out), read_tombstones(spark, out)
+    ).write.mode("overwrite").parquet(
+        os.path.join(out, "check_postings_merged")
+    )
+
+    vacuum(spark, out)
+    # checkpoint 2: postings after the physical rewrite
+    _nat_postings(read_segments(spark, out)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "check_postings_final"))
+
+    _INCR_CACHE[key] = out
+    return out
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -1890,6 +2000,42 @@ FROM belief
 """
 
 
+# logical final corpus of the incremental-maintenance lifecycle
+# (_incremental_dir): every document, minus tombstoned base docs
+# (%10<8 ∧ %9==0), with reindexed base docs (%10<8 ∧ %9==4) carrying
+# the appended marker text
+_INCR_DOCS = f"""
+incr_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 8 AND doc_id % 9 = 4
+              THEN text || '{REINDEX_MARKER}'
+              ELSE text END AS text
+  FROM documents
+  WHERE NOT (doc_id % 10 < 8 AND doc_id % 9 = 0))
+"""
+_INCR_TOKS = r"""
+itoks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(
+             trim(regexp_replace(lower(text), '[^a-z\s]', ' ', 'g')),
+             '\s+'),
+           t -> t <> '')) AS term
+  FROM incr_docs
+)
+"""
+_INCR_POSTINGS_SQL = f"""
+WITH {_INCR_DOCS}, {_INCR_TOKS}
+SELECT doc_id, term, count(*) AS tf FROM itoks GROUP BY 1, 2
+"""
+_INCR_TSTATS_SQL = f"""
+WITH {_INCR_DOCS}, {_INCR_TOKS},
+ipostings AS (
+  SELECT term, doc_id FROM itoks GROUP BY 1, 2)
+SELECT term, count(*) AS df FROM ipostings GROUP BY 1
+"""
+
+
 def _taily_erlang_sql(terms: list[str], s_c: float) -> str:
     """DuckDB mirror of plans/federate.taily_shard_scores_erlang over
     the doc_id-parity shard split: per-shard BM25 score moments
@@ -2657,6 +2803,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(
             [(int(i), round(float(s), 6)) for i, s in scores],
             "shard int, est_docs double",
+        )
+
+    def incremental_postings_q(spark, sf):
+        """Live postings after build→append×2→tombstone→reindex→
+        merge_delta_epochs (R10/R23–R25 + N3), tombstones applied the
+        query-path way; the oracle recomputes postings from the
+        logical final corpus (see :func:`_incremental_dir`)."""
+        out = _incremental_dir(spark, sf)
+        return spark.read.parquet(
+            os.path.join(out, "check_postings_merged")
+        )
+
+    def incremental_vacuum_postings_q(spark, sf):
+        """Postings decoded from the physically vacuumed index (S8 +
+        N3 full rewrite) — must equal the pre-vacuum live view and
+        the same recomputed oracle."""
+        out = _incremental_dir(spark, sf)
+        return spark.read.parquet(
+            os.path.join(out, "check_postings_final")
+        )
+
+    def incremental_term_stats_q(spark, sf):
+        """The MAINTAINED df table after the full lifecycle — merged
+        by addition on append (R10), decremented via decoded dead-doc
+        term lists on tombstone (R24), recomputed by vacuum — vs the
+        oracle's from-scratch recount."""
+        out = _incremental_dir(spark, sf)
+        return spark.read.parquet(os.path.join(out, "term_stats")).select(
+            "term", F.col("df").cast("long").alias("df")
         )
 
     def taily_erlang_multiterm_q(spark, sf):
@@ -5059,6 +5234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taily_shard_scores": taily_shard_scores_q,
         "taily_shard_scores_erlang": taily_shard_scores_erlang_q,
         "taily_erlang_multiterm": taily_erlang_multiterm_q,
+        "incremental_postings": incremental_postings_q,
+        "incremental_vacuum_postings": incremental_vacuum_postings_q,
+        "incremental_term_stats": incremental_term_stats_q,
         "bm25_not_topk": bm25_not_topk,
         "bm25_collapsed_topk": bm25_collapsed_topk,
         "bm25_priors_topk": bm25_priors_topk,
@@ -5749,6 +5927,9 @@ def oracle_sql() -> dict[str, str]:
         "taily_erlang_multiterm": _taily_erlang_sql(
             TAILY_MULTI_QUERY.split(), TAILY_SC
         ),
+        "incremental_postings": _INCR_POSTINGS_SQL,
+        "incremental_vacuum_postings": _INCR_POSTINGS_SQL,
+        "incremental_term_stats": _INCR_TSTATS_SQL,
         "bm25_not_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10, exclude=["window"]),
         "bm25_collapsed_topk": _bm25_sql(
             FLAGSHIP_TERMS, limit=10, collapse_per_site=2
