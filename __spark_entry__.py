@@ -2000,6 +2000,200 @@ FROM belief
 """
 
 
+# deterministic re-punctuation of the (punctuation-free) synthetic
+# corpus so T8 split / T12 ordering / T11 300-char assembly see real
+# multi-sentence inputs: fixed-width slices joined by terminators.
+# 3×120-char sentences (121 chars after strip → the T10 crop path);
+# 5×112-char sentences (≤120 → no crop, but 3 pieces exceed the
+# 300-char budget → the assembly cut triggers).
+SNIP3_SLICES = [(1, 120, ". "), (121, 120, "! "), (241, 120, "?")]
+# OVERLAPPING starts: the corpus averages ~300 chars, so disjoint
+# slices would leave later sentences empty — overlap guarantees ~5
+# full sentences per doc and forces the 300-char assembly cut.
+SNIP5_SLICES = [
+    (1, 112, ". "), (61, 112, "! "), (121, 112, "? "),
+    (181, 112, ". "), (241, 112, "."),
+]
+# caller-supplied lemma→IDF map (attach_snippets' public contract
+# takes any dict): common lemmas with DISTINCT dyadic idfs so many
+# sentences match — exercising multi-highlight sentences, the T10
+# crop on long sentences, T12 ordering between different idf vectors,
+# and the T11 300-char cut.  Dyadic constants are bit-exact in both
+# engines.
+SNIP_FIXED_IDF = {"vector": 3.0, "key": 1.5, "line": 0.75}
+
+
+def _snip_text_spark(slices):
+    parts = []
+    for pos, ln, term in slices:
+        parts.append(F.substring(F.col("text"), pos, ln))
+        parts.append(F.lit(term))
+    return F.concat(*parts)
+
+
+def _snip_text_sql(slices) -> str:
+    return " || ".join(
+        f"substr(d.text, {pos}, {ln}) || '{term}'"
+        for pos, ln, term in slices
+    )
+
+
+def _snippets_sql(
+    lemma_terms: list[str],
+    lemma_cte: str,
+    text_expr: str = "d.text",
+    fixed_idf: dict[str, float] | None = None,
+) -> str:
+    """DuckDB replay of the T8–T12 snippet pipeline over the
+    lemma-analyzer top-10 (plans/snippets.py):
+
+    - T8 sentence split: the SAME regex via regexp_extract_all;
+    - T9 highlight: distinct tokens in first-occurrence order whose
+      lemma is a (stop-removed, positive-idf) query lemma, folded
+      over the sentence with list_reduce ∘ regexp_replace('gi') —
+      sequential case-insensitive replacement of the LOWERCASED
+      token, exactly StringUtils.replaceIgnoreCase;
+    - T12 ordering: the Java comparator (ascending compare of
+      ascending-sorted IDF vectors, equal prefix → more lemmas
+      first) is encoded as lexicographic order with missing = +∞
+      (pad the sorted vector with 1e308), ties stable by sentence
+      index;
+    - T10 crop: SentenceUtil.java:15-43's exact 0-based arithmetic
+      (including the rfind=-1 → end one char before the close-tag
+      quirk), transcribed to 1-based substr/strpos;
+    - T11 assembly: include a cropped piece while the running total
+      of previous pieces' len+1 is < 300; join with ' ' + trailing
+      space.
+    """
+    terms_in = ", ".join(f"'{t}'" for t in sorted(set(lemma_terms)))
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    sent_re = r"[^.!?]*[.!?]+(?:\s+|$)|[^.!?]+$"
+    top10 = _bm25_sql(
+        lemma_terms, limit=10,
+        postings_cte=_LPOSTINGS, extra_cte=lemma_cte + ", ",
+    )
+    if fixed_idf is None:
+        qt_cte = f"""qt AS (
+  SELECT ts.term AS lemma,
+         ln((nn.n - ts.df + 0.5) / (ts.df + 0.5)) AS idf
+  FROM tstats ts CROSS JOIN nn
+  WHERE ts.term IN ({terms_in})
+    AND ts.term NOT IN (SELECT term FROM stop)
+    AND (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0)"""
+    else:
+        vals = ", ".join(
+            f"('{k}', {v!r})" for k, v in sorted(fixed_idf.items())
+        )
+        qt_cte = (
+            f"qt AS (SELECT * FROM (VALUES {vals}) q(lemma, idf))"
+        )
+    return f"""
+WITH {_TOKS}, {lemma_cte}, {_LPOSTINGS}, {_TSTATS}, {_STOP},
+nn AS (SELECT count(*) AS n FROM documents),
+{qt_cte},
+top10 AS (SELECT doc_id, rn FROM ({top10}) b),
+pages AS (
+  SELECT t.rn, d.doc_id, {text_expr} AS text
+  FROM top10 t JOIN documents d USING (doc_id)),
+sents AS (
+  SELECT rn, doc_id,
+         unnest(slist) AS sent,
+         unnest(range(len(slist))) AS sidx
+  FROM (SELECT rn, doc_id,
+               regexp_extract_all(text, '{sent_re}') AS slist
+        FROM pages)),
+stoks AS (
+  SELECT rn, doc_id, sidx, sent,
+         list_filter(string_split_regex(
+           trim(regexp_replace(lower(sent), '[^a-z\\s]', ' ', 'g')),
+           '\\s+'), t -> t <> '') AS toklist
+  FROM sents),
+firstocc AS (
+  SELECT rn, doc_id, sidx, word, min(pos) AS fpos
+  FROM (SELECT rn, doc_id, sidx,
+               unnest(toklist) AS word,
+               unnest(range(len(toklist))) AS pos
+        FROM stoks)
+  GROUP BY 1, 2, 3, 4),
+matched AS (
+  SELECT f.rn, f.doc_id, f.sidx, f.word, f.fpos, lm.lemma, q.idf
+  FROM firstocc f
+  JOIN lemma_map lm ON lm.word = f.word
+  JOIN qt q ON q.lemma = lm.lemma),
+sentvec AS (
+  SELECT rn, doc_id, sidx, list_sort(list(idf)) AS fvec
+  FROM (SELECT rn, doc_id, sidx, lemma, min(idf) AS idf
+        FROM matched GROUP BY 1, 2, 3, 4)
+  GROUP BY 1, 2, 3),
+hl AS (
+  SELECT m.rn, m.doc_id, m.sidx, v.fvec,
+         trim(list_reduce(
+           list_prepend(s.sent, list(m.word ORDER BY m.fpos)),
+           (acc, w) -> regexp_replace(
+             acc, w, '<b>' || w || '</b>', 'gi')),
+           {ws}) AS s
+  FROM matched m
+  JOIN stoks s ON s.rn = m.rn AND s.doc_id = m.doc_id
+              AND s.sidx = m.sidx
+  JOIN sentvec v ON v.rn = m.rn AND v.doc_id = m.doc_id
+               AND v.sidx = m.sidx
+  GROUP BY m.rn, m.doc_id, m.sidx, v.fvec, s.sent),
+cropin AS (
+  SELECT rn, doc_id, sidx, fvec, s, len(s) AS slen,
+         strpos(s, '<b>') - 1 AS sl,
+         strpos(s, '</b>') + 3 AS el
+  FROM hl),
+crop2 AS (
+  SELECT *, el - sl AS span,
+         120 - (el - sl) // 2 AS remain
+  FROM cropin),
+crop3 AS (
+  SELECT *,
+    CASE WHEN sl - remain < 0 THEN 0
+         WHEN strpos(substr(s, sl - remain + 1), ' ') > 0
+           THEN sl - remain + strpos(substr(s, sl - remain + 1), ' ')
+         ELSE 0 END AS cstart,
+    CASE WHEN el + remain > slen THEN slen
+         WHEN strpos(reverse(substr(s, el + 1, remain)), ' ') = 0
+           THEN el - 1
+         ELSE el + len(substr(s, el + 1, remain))
+                 - strpos(reverse(substr(s, el + 1, remain)), ' ')
+         END AS cend
+  FROM crop2),
+pieces AS (
+  SELECT rn, doc_id, sidx, fvec,
+    CASE
+      WHEN slen <= 120 THEN s
+      WHEN span > 120
+        THEN '...' || substr(s, sl + 1, span) || '...'
+      ELSE (CASE WHEN cstart > 0 THEN '...' ELSE '' END)
+           || substr(s, cstart + 1, greatest(cend - cstart, 0))
+           || (CASE WHEN cend < slen THEN '...' ELSE '' END)
+    END AS piece
+  FROM crop3),
+ordered AS (
+  SELECT rn, doc_id, piece,
+         row_number() OVER (PARTITION BY doc_id ORDER BY
+           coalesce(fvec[1], 1e308), coalesce(fvec[2], 1e308),
+           coalesce(fvec[3], 1e308), sidx) AS oidx
+  FROM pieces),
+cum AS (
+  SELECT rn, doc_id, piece, oidx,
+         coalesce(sum(len(piece) + 1) OVER (
+           PARTITION BY doc_id ORDER BY oidx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prev_total
+  FROM ordered),
+snips AS (
+  SELECT rn, doc_id,
+         string_agg(piece, ' ' ORDER BY oidx) || ' ' AS snippet
+  FROM cum WHERE prev_total < 300 GROUP BY 1, 2)
+SELECT t.doc_id, CAST(t.rn AS INTEGER) AS rn,
+       coalesce(s.snippet, '') AS snippet
+FROM top10 t LEFT JOIN snips s USING (doc_id)
+"""
+
+
 # logical final corpus of the incremental-maintenance lifecycle
 # (_incremental_dir): every document, minus tombstoned base docs
 # (%10<8 ∧ %9==0), with reindexed base docs (%10<8 ∧ %9==4) carrying
@@ -2833,6 +3027,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(os.path.join(out, "term_stats")).select(
             "term", F.col("df").cast("long").alias("df")
         )
+
+    def snippets_topk_q(spark, sf):
+        """T8–T12 end-to-end over the lemma-analyzer top-10
+        (SentenceUtil.java:15-135, SearchServiceImpl.java:137-162):
+        sentence split, per-sentence query-lemma highlight
+        (replaceIgnoreCase of the lowercased token), IDF-vector
+        sentence ordering, 120-char crop arithmetic (quirks
+        included), 300-char assembly.  The oracle replays the exact
+        string arithmetic in DuckDB, hash-matching the full
+        ``<b>…</b>`` snippet strings."""
+        return _snippets_over(spark, sf, None)
+
+    def _snippets_over(spark, sf, slices, fixed_idf=None):
+        """jobs/search.py's exact snippet flow: lemma top-10 →
+        stop-removed query-lemma IDFs → attach_snippets; ``slices``
+        optionally re-punctuates the corpus text (multi-sentence
+        fixtures) and ``fixed_idf`` substitutes a caller-supplied
+        lemma→idf map (the attach_snippets public contract)."""
+        from search_engine_spark.plans.search import (
+            analyze_query,
+            query_term_idf,
+            search,
+        )
+        from search_engine_spark.plans.snippets import attach_snippets
+
+        idx = _docs_index_lemma(spark, sf)
+        res = search(
+            idx, FLAGSHIP_LEMMA_QUERY, limit=10, analyzer="lemma"
+        )
+        if fixed_idf is None:
+            terms = [
+                t
+                for t in analyze_query(
+                    FLAGSHIP_LEMMA_QUERY, analyzer="lemma"
+                )
+                if t not in set(idx.stoplist)
+            ]
+            lemma_idf = query_term_idf(idx, terms)
+        else:
+            lemma_idf = dict(fixed_idf)
+        pages = _docs_enriched(spark, sf)
+        if slices is not None:
+            pages = pages.withColumn("text", _snip_text_spark(slices))
+        out = attach_snippets(res, pages, lemma_idf, id_col="doc_id")
+        return out.select(
+            "doc_id", F.col("rn").cast("int").alias("rn"), "snippet"
+        )
+
+    def snippets_multisentence_q(spark, sf):
+        """T8/T12/T11 over 3×120-char re-punctuated sentences with a
+        dense fixed idf map — every sentence matches, so ordering
+        compares real idf vectors and the 300-char budget engages."""
+        return _snippets_over(spark, sf, SNIP3_SLICES, SNIP_FIXED_IDF)
+
+    def snippets_assembly_cut_q(spark, sf):
+        """T11's 300-char budget cut over 5×112-char sentences — the
+        4th+ ordered pieces must drop when the running total passes
+        the budget."""
+        return _snippets_over(spark, sf, SNIP5_SLICES, SNIP_FIXED_IDF)
+
+    def snippets_fixed_idf_q(spark, sf):
+        """T10 crop on LONG single sentences (the unmodified 300–550
+        char corpus rows) with many highlights: both crop sides, the
+        word-boundary find/rfind arithmetic and the '...' affixes."""
+        return _snippets_over(spark, sf, None, SNIP_FIXED_IDF)
 
     def taily_erlang_multiterm_q(spark, sf):
         """Two-term Erlang-Taily — exercises the co-occurrence
@@ -5234,6 +5493,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "taily_shard_scores": taily_shard_scores_q,
         "taily_shard_scores_erlang": taily_shard_scores_erlang_q,
         "taily_erlang_multiterm": taily_erlang_multiterm_q,
+        "snippets_topk": snippets_topk_q,
+        "snippets_multisentence": snippets_multisentence_q,
+        "snippets_assembly_cut": snippets_assembly_cut_q,
+        "snippets_fixed_idf": snippets_fixed_idf_q,
         "incremental_postings": incremental_postings_q,
         "incremental_vacuum_postings": incremental_vacuum_postings_q,
         "incremental_term_stats": incremental_term_stats_q,
@@ -5926,6 +6189,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "taily_erlang_multiterm": _taily_erlang_sql(
             TAILY_MULTI_QUERY.split(), TAILY_SC
+        ),
+        "snippets_topk": _snippets_sql(lemma_terms, lemma_cte),
+        "snippets_multisentence": _snippets_sql(
+            lemma_terms, lemma_cte, _snip_text_sql(SNIP3_SLICES),
+            SNIP_FIXED_IDF,
+        ),
+        "snippets_assembly_cut": _snippets_sql(
+            lemma_terms, lemma_cte, _snip_text_sql(SNIP5_SLICES),
+            SNIP_FIXED_IDF,
+        ),
+        "snippets_fixed_idf": _snippets_sql(
+            lemma_terms, lemma_cte, "d.text", SNIP_FIXED_IDF
         ),
         "incremental_postings": _INCR_POSTINGS_SQL,
         "incremental_vacuum_postings": _INCR_POSTINGS_SQL,
