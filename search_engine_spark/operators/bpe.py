@@ -136,6 +136,101 @@ def _disjoint_prefix(rows: list, k: int) -> list:
     return out
 
 
+def _apply_merge_seq(syms: list, a: str, b: str) -> list:
+    """Sequential twin of :func:`_apply_merge_col` — same greedy
+    leftmost-first fold ('aaaa' + (a,a) -> [aa, aa])."""
+    merged = a + b
+    out: list = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = merged
+        else:
+            out.append(x)
+    return out
+
+
+def _learn_bpe_local(
+    word_rows: list[tuple[list, int]],
+    n_merges: int,
+    min_pair_count: int,
+    merges_per_round: int,
+) -> list[tuple[str, str]]:
+    """Driver-side learner over the collected distinct-word frequency
+    table — bit-identical to the distributed round loop (same
+    candidate limit, same ``_disjoint_prefix`` batching, same
+    (count desc, a asc, b asc) tie-break), but with incremental
+    pair-count maintenance and a lazy-invalidation heap so 32k merges
+    are seconds of driver time instead of thousands of Spark jobs.
+
+    Incremental update is exact: within a round the accepted pairs are
+    symbol-disjoint, so applying them in rank order to each word
+    commutes with the distributed path's chained per-word folds.
+    """
+    import heapq
+
+    words = [list(syms) for syms, _ in word_rows]
+    counts = [c for _, c in word_rows]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_where: dict[tuple[str, str], set] = {}
+    heap: list = []
+
+    def _index_word(wi: int, sign: int, touched: set) -> None:
+        syms, c = words[wi], counts[wi] * sign
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + c
+            touched.add(p)
+            if sign > 0:
+                pair_where.setdefault(p, set()).add(wi)
+
+    touched: set = set()
+    for wi in range(len(words)):
+        _index_word(wi, 1, touched)
+    for p in touched:
+        heapq.heappush(heap, (-pair_counts[p], p[0], p[1]))
+
+    def _top(limit: int) -> list[dict]:
+        """Top ``limit`` live pairs in (count desc, a asc, b asc)
+        order, via lazy-deletion pops (stale entries discarded)."""
+        out: list[dict] = []
+        keep: list = []
+        seen: set = set()
+        while heap and len(out) < limit:
+            item = heapq.heappop(heap)
+            negc, a, b = item
+            cur = pair_counts.get((a, b), 0)
+            if -negc != cur or cur < min_pair_count or (a, b) in seen:
+                continue
+            seen.add((a, b))
+            out.append({"a": a, "b": b})
+            keep.append(item)
+        for item in keep:
+            heapq.heappush(heap, item)
+        return out
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        want = min(merges_per_round, n_merges - len(merges))
+        picked = _disjoint_prefix(_top(max(want * 4, 16)), want)
+        if not picked:
+            break
+        for r in picked:
+            a, b = r["a"], r["b"]
+            merges.append((a, b))
+            changed: set = set()
+            for wi in pair_where.pop((a, b), set()):
+                _index_word(wi, -1, changed)
+                words[wi] = _apply_merge_seq(words[wi], a, b)
+                _index_word(wi, 1, changed)
+            for p in changed:
+                c = pair_counts.get(p, 0)
+                if c <= 0:
+                    pair_counts.pop(p, None)
+                else:
+                    heapq.heappush(heap, (-c, p[0], p[1]))
+    return merges
+
+
 def learn_bpe(
     df: DataFrame,
     n_merges: int,
@@ -144,6 +239,7 @@ def learn_bpe(
     min_pair_count: int = 2,
     merges_per_round: int = 1,
     checkpoint_every: int = 8,
+    local_threshold: int = 2_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the
     ordered merge list ``[(a, b), ...]``.
@@ -151,12 +247,33 @@ def learn_bpe(
     ``min_pair_count`` stops early when no pair reaches it (subword-nmt
     semantics).  Ties break deterministically (count desc, a asc,
     b asc) so the result is independent of partitioning.
+
+    When the distinct-word table has at most ``local_threshold`` rows
+    (by the module's Zipf argument, the overwhelmingly common case —
+    ~10^7-10^8 rows even at web scale), it is collected ONCE and the
+    merge sequence is learned driver-side with incremental pair
+    counts: bit-identical output (pinned in tests), but one Spark job
+    instead of one per merge round.  Set ``local_threshold=0`` to
+    force the fully distributed loop (giant-vocab / constrained-driver
+    escape hatch).
     """
     if n_merges <= 0:
         return []
     spark = df.sparkSession
+    wc = word_counts(df, tokens_col_name)
+    if local_threshold > 0 and wc.count() <= local_threshold:
+        rows = wc.collect()
+        word_rows = []
+        for r in rows:
+            syms = list(r["word"])
+            if eow:
+                syms.append(eow)
+            word_rows.append((syms, r["count"]))
+        return _learn_bpe_local(
+            word_rows, n_merges, min_pair_count, merges_per_round
+        )
     words = (
-        word_counts(df, tokens_col_name)
+        wc
         .select(_chars_col(F.col("word"), eow).alias("syms"), "count")
         .localCheckpoint(eager=True)
     )

@@ -174,3 +174,57 @@ def test_partitioning_invariance(spark, docs):
     base = learn_bpe(docs, 15)
     assert learn_bpe(docs.repartition(7), 15) == base
     assert learn_bpe(docs.coalesce(1), 15) == base
+
+
+# ---------------------------------------------------------------------------
+# driver-side fast path (local_threshold): bit-identical to distributed
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("eow", [EOW, None])
+def test_local_path_matches_distributed(spark, docs, eow):
+    # local_threshold=0 forces the per-round Spark loop; the default
+    # collects the word table once and learns driver-side — outputs
+    # must be bit-identical (same argmax, ties, fold semantics)
+    dist = learn_bpe(docs, 25, eow=eow, local_threshold=0)
+    local = learn_bpe(docs, 25, eow=eow)
+    assert local == dist
+
+
+def test_local_path_matches_distributed_batched(spark, docs):
+    dist = learn_bpe(docs, 16, merges_per_round=4, local_threshold=0)
+    local = learn_bpe(docs, 16, merges_per_round=4)
+    assert local == dist
+
+
+def test_local_path_min_pair_count(spark, docs):
+    assert learn_bpe(docs, 10, min_pair_count=10**9) == []
+    dist = learn_bpe(docs, 30, min_pair_count=3, local_threshold=0)
+    local = learn_bpe(docs, 30, min_pair_count=3)
+    assert local == dist
+
+
+def test_local_learner_scales_to_large_merge_counts(spark):
+    # a production-shaped ask: thousands of merges must complete in
+    # driver-seconds, not thousands of Spark jobs.  Synthesize a
+    # deterministic ~6k-distinct-word corpus and learn 2000 merges.
+    import itertools
+    import string
+    import time
+
+    words = []
+    alphabet = string.ascii_lowercase
+    for i, combo in enumerate(
+        itertools.islice(itertools.product(alphabet, repeat=3), 6000)
+    ):
+        words.append(("".join(combo) + alphabet[i % 26], 1 + i % 97))
+    rows = [(w, [w] * c) for (w, c) in words]
+    docs = spark.createDataFrame(
+        [(i, toks) for i, (_, toks) in enumerate(rows)],
+        "doc_id long, tokens array<string>",
+    )
+    t0 = time.time()
+    merges = learn_bpe(docs, 2000)
+    elapsed = time.time() - t0
+    assert len(merges) == 2000
+    assert elapsed < 60  # driver-side: seconds, not Spark-job-hours
