@@ -5,7 +5,8 @@
         [--index /data/other_index ...]  # federated, exact global stats \
         [--site host1 --site host2] [--offset 0] [--limit 20] \
         [--no-prune]  # disable block-max WAND, exact reference path \
-        [--ranker bm25|lm|pl2|synonyms|prefix|wildcard|maxscore] \
+        [--ranker bm25|lm|pl2|synonyms|prefix|wildcard|maxscore|
+                  impact|rescore] \
         [--mu 2000] [--c 1.0] \
         [--synonyms '{"fast": ["quick"]}'] [--max-expansions 50]
 
@@ -43,14 +44,23 @@ def main(argv: list[str] | None = None) -> None:
         "--ranker", default="bm25",
         choices=[
             "bm25", "maxscore", "lm", "pl2", "synonyms", "prefix",
-            "wildcard",
+            "wildcard", "impact", "rescore",
         ],
         help="bm25 (default, block-max WAND, rarest-term candidates)"
              " | maxscore (union/OR candidates, MaxScore-pruned) "
              "| lm (Dirichlet query likelihood) | pl2 (DFR "
              "divergence-from-randomness, --c) | synonyms (group "
              "BM25, needs --synonyms) | prefix (trailing-* units "
-             "expand against the dictionary)")
+             "expand against the dictionary) | impact (quantized "
+             "impact-ordered first pass over the persisted "
+             "<index>/impacts artifact; build with --impacts) | "
+             "rescore (impact first pass, exact BM25 re-rank of the "
+             "top --first-k window)")
+    ap.add_argument("--first-k", type=int, default=100,
+                    help="candidate window for --ranker rescore")
+    ap.add_argument("--min-impact", type=int, default=None,
+                    help="skip postings below this quantized impact "
+                         "for --ranker impact/rescore")
     ap.add_argument("--c", type=float, default=1.0,
                     help="length-normalization strength for "
                          "--ranker pl2")
@@ -115,6 +125,36 @@ def main(argv: list[str] | None = None) -> None:
             analyzer=cidx_analyzer(spark, args.index),
             prune=not args.no_prune,
         )
+    elif args.ranker in ("impact", "rescore"):
+        from search_engine_spark import fsutil
+        from search_engine_spark.plans.impact import (
+            IMPACTS_META,
+            impact_topk_persisted,
+            rescore_topk_persisted,
+        )
+
+        if args.site:
+            ap.error("--ranker impact/rescore reads only the impacts "
+                     "artifact (no site column); use the default "
+                     "bm25 ranker with --site")
+        root = args.index.rstrip("/")
+        if not fsutil.exists(root + "/" + IMPACTS_META, spark):
+            ap.error(f"no impacts artifact under {root} — rebuild "
+                     "with jobs/build_index.py --impacts")
+        if args.ranker == "impact":
+            result = impact_topk_persisted(
+                cidx, root, args.query, limit=args.limit,
+                offset=args.offset,
+                analyzer=cidx_analyzer(spark, args.index),
+                min_impact=args.min_impact,
+            )
+        else:
+            result = rescore_topk_persisted(
+                cidx, root, args.query, first_k=args.first_k,
+                limit=args.limit, offset=args.offset,
+                analyzer=cidx_analyzer(spark, args.index),
+                min_impact=args.min_impact,
+            )
     elif args.ranker == "lm":
         from search_engine_spark.plans.lm import search_lm_compact
 
