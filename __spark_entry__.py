@@ -319,7 +319,14 @@ def _incremental_dir(spark: SparkSession, sf_dir: str) -> str:
             posts = posts.join(
                 F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
             )
-        docs_map = spark.read.parquet(os.path.join(out, "docs"))
+        from search_engine_spark.plans.build import (
+            load_stats,
+            table_path,
+        )
+
+        docs_map = spark.read.parquet(
+            table_path(out, "docs", load_stats(spark, out))
+        )
         return posts.join(docs_map.select("doc_id", "url"), "doc_id").select(
             nat.alias("doc_id"), "term",
             F.col("tf").cast("long").alias("tf"),
@@ -3024,9 +3031,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         term lists on tombstone (R24), recomputed by vacuum — vs the
         oracle's from-scratch recount."""
         out = _incremental_dir(spark, sf)
-        return spark.read.parquet(os.path.join(out, "term_stats")).select(
-            "term", F.col("df").cast("long").alias("df")
+        from search_engine_spark.plans.build import (
+            load_stats,
+            table_path,
         )
+
+        return spark.read.parquet(
+            table_path(out, "term_stats", load_stats(spark, out))
+        ).select("term", F.col("df").cast("long").alias("df"))
 
     def snippets_topk_q(spark, sf):
         """T8–T12 end-to-end over the lemma-analyzer top-10

@@ -98,6 +98,40 @@ def rename(src: str, dst: str, spark: SparkSession | None = None) -> None:
         raise IOError(f"rename {src} -> {dst} failed")
 
 
+def rename_overwrite(
+    src: str, dst: str, spark: SparkSession | None = None
+) -> None:
+    """Atomically replace ``dst`` with ``src`` (both files).
+
+    Uses ``FileContext.rename(..., Options.Rename.OVERWRITE)`` — the
+    HDFS-atomic overwrite primitive (what Iceberg's HadoopCatalog
+    uses for its version-hint commit).  Falls back to delete+rename
+    on FileSystems without a FileContext implementation; on such
+    stores the window is a missing-file read (a clean retryable
+    failure), never a partial file, because ``src`` is always fully
+    written before the call."""
+    spark = _session(spark)
+    jvm = spark._jvm
+    jsrc = jvm.org.apache.hadoop.fs.Path(src)
+    jdst = jvm.org.apache.hadoop.fs.Path(dst)
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jsrc.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        gateway = spark.sparkContext._gateway
+        opt_cls = getattr(
+            jvm, "org.apache.hadoop.fs.Options$Rename"
+        )
+        opts = gateway.new_array(opt_cls, 1)
+        opts[0] = opt_cls.valueOf("OVERWRITE")
+        fc.rename(jsrc, jdst, opts)
+    except Exception:
+        jfs, _ = _fs(spark, src)
+        jfs.delete(jdst, True)
+        if not jfs.rename(jsrc, jdst):
+            raise IOError(f"rename {src} -> {dst} failed")
+
+
 def list_dir(path: str, spark: SparkSession | None = None) -> list[str]:
     """Child FULL paths of a directory; [] when it doesn't exist."""
     spark = _session(spark)

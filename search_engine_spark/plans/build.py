@@ -57,6 +57,29 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "manifest")
 
 
+def load_stats(spark: SparkSession, out_dir: str) -> dict:
+    """The index's committed snapshot descriptor (``stats.json``)."""
+    return json.loads(
+        fsutil.read_text(os.path.join(out_dir, "stats.json"), spark)
+    )
+
+
+def table_path(out_dir: str, table: str, meta: dict | None = None) -> str:
+    """Resolve a logical table ("index", "docs", "term_stats",
+    "site_stats", "index_deltas", "tombstones") to its current data
+    directory THROUGH the snapshot descriptor.
+
+    stats.json is the commit point (Iceberg's version-hint analog):
+    maintenance writes replacement tables under generation-suffixed
+    dirs, then atomically flips ``paths`` in stats.json
+    (fsutil.rename_overwrite), so a reader that loaded one stats.json
+    sees one consistent generation of EVERY table — never new
+    postings with old term_stats.  Missing key = the legacy fixed
+    name (fresh builds, pre-snapshot indexes)."""
+    rel = (meta or {}).get("paths", {}).get(table, table)
+    return os.path.join(out_dir, rel)
+
+
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = _manifest_path(out_dir)
     try:
@@ -190,6 +213,13 @@ def build_and_write(
                     "postings_per_shard": postings_per_shard,
                     "n_segments": n_segments,
                     "doc_id_codec": config.doc_id_codec,
+                    # snapshot protocol (plans/incremental.py):
+                    # per-table data locations + visible delta epochs,
+                    # committed by atomic stats.json replacement
+                    "gen": 0,
+                    "paths": {},
+                    "delta_epochs": [],
+                    "retired": [],
                 },
             ),
             spark,
@@ -301,12 +331,31 @@ def build_and_write(
     }
 
 
-def delta_epoch_dirs(spark: SparkSession, out_dir: str) -> list[str]:
+def delta_epoch_dirs(
+    spark: SparkSession, out_dir: str, meta: dict | None = None
+) -> list[str]:
     """Full paths of the LSM-style delta-epoch segment directories
-    (``index_deltas/epoch=N``) written by incremental appends, sorted
-    by epoch number. Empty for a fresh (or just-vacuumed/merged-down)
-    index."""
-    base = os.path.join(out_dir, "index_deltas")
+    (``<deltas>/epoch=N``) written by incremental appends, sorted by
+    epoch number. Empty for a fresh (or just-vacuumed/merged-down)
+    index.
+
+    Snapshot-aware: when the descriptor carries a ``delta_epochs``
+    list, ONLY those epochs are visible — an epoch directory a
+    concurrent append has materialized but not yet committed does not
+    exist for this reader.  Directory listing is the legacy fallback
+    for descriptors written before the snapshot protocol."""
+    if meta is None:
+        try:
+            meta = load_stats(spark, out_dir)
+        except Exception:
+            meta = {}
+    base = table_path(out_dir, "index_deltas", meta)
+    if "delta_epochs" in meta:
+        names = sorted(
+            meta["delta_epochs"],
+            key=lambda n: int(n.split("=", 1)[1]),
+        )
+        return [os.path.join(base, n) for n in names]
     out = []
     for p in fsutil.list_dir(base, spark):
         name = p.rstrip("/").rsplit("/", 1)[-1]
@@ -315,7 +364,9 @@ def delta_epoch_dirs(spark: SparkSession, out_dir: str) -> list[str]:
     return [p for _, p in sorted(out)]
 
 
-def read_segments(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_segments(
+    spark: SparkSession, out_dir: str, meta: dict | None = None
+) -> DataFrame:
     """All live segment rows: the base build's ``index/`` plus every
     appended delta epoch. Each directory is bucket-partitioned, so
     WAND's bucket pruning applies per union leg; delta epochs are
@@ -324,17 +375,31 @@ def read_segments(spark: SparkSession, out_dir: str) -> DataFrame:
     can consolidate deltas without rewriting the base — merge cost is
     proportional to delta size, the LSM property a 100 TB index
     needs."""
-    segs = spark.read.parquet(os.path.join(out_dir, "index"))
-    for d in delta_epoch_dirs(spark, out_dir):
+    if meta is None:
+        try:
+            meta = load_stats(spark, out_dir)
+        except Exception:
+            meta = {}
+    segs = spark.read.parquet(table_path(out_dir, "index", meta))
+    for d in delta_epoch_dirs(spark, out_dir, meta):
         segs = segs.unionByName(spark.read.parquet(d))
     return segs
 
 
-def load_compact_index(spark: SparkSession, out_dir: str) -> CompactIndex:
-    """Open a persisted index directory for querying."""
-    meta = json.loads(
-        fsutil.read_text(os.path.join(out_dir, "stats.json"), spark)
-    )
+def load_compact_index(
+    spark: SparkSession, out_dir: str, meta: dict | None = None
+) -> CompactIndex:
+    """Open a persisted index directory for querying.
+
+    The snapshot descriptor (stats.json) is read ONCE; every table
+    frame resolves through its ``paths`` map, so the returned
+    CompactIndex is a consistent snapshot even if maintenance commits
+    concurrently (old generation dirs are retained until the next
+    maintenance op starts).  Callers composing further snapshot reads
+    (e.g. plans.incremental.open_index adding tombstones) pass the
+    SAME ``meta`` to stay on one generation."""
+    if meta is None:
+        meta = load_stats(spark, out_dir)
     config = EngineConfig(
         bm25=BM25Config(k1=meta["k1"], b=meta["b"]),
         stoplist_size=meta["stoplist_size"],
@@ -344,10 +409,14 @@ def load_compact_index(spark: SparkSession, out_dir: str) -> CompactIndex:
         doc_id_codec=meta.get("doc_id_codec", "varint"),
     )
     return CompactIndex(
-        segments=read_segments(spark, out_dir),
-        doc_map=spark.read.parquet(os.path.join(out_dir, "docs")),
-        term_stats=spark.read.parquet(os.path.join(out_dir, "term_stats")),
-        site_stats=spark.read.parquet(os.path.join(out_dir, "site_stats")),
+        segments=read_segments(spark, out_dir, meta),
+        doc_map=spark.read.parquet(table_path(out_dir, "docs", meta)),
+        term_stats=spark.read.parquet(
+            table_path(out_dir, "term_stats", meta)
+        ),
+        site_stats=spark.read.parquet(
+            table_path(out_dir, "site_stats", meta)
+        ),
         n_docs=meta["n_docs"],
         avg_len=meta["avg_len"],
         stoplist=tuple(meta["stoplist"]),

@@ -62,6 +62,7 @@ from search_engine_spark.plans.build import (
     delta_epoch_dirs,
     load_compact_index,
     read_segments,
+    table_path,
 )
 from search_engine_spark.sources.pages import enrich_pages
 
@@ -77,21 +78,79 @@ def _stats(out_dir: str) -> dict:
 
 
 def _write_stats(out_dir: str, meta: dict) -> None:
-    fsutil.write_text(
-        os.path.join(out_dir, "stats.json"), json.dumps(meta)
+    """ATOMIC descriptor replacement: write to a temp file, then
+    rename over stats.json (FileContext OVERWRITE — the same
+    primitive Iceberg's HadoopCatalog commit uses).  A concurrent
+    reader sees the complete old or the complete new descriptor,
+    never a torn write."""
+    path = os.path.join(out_dir, "stats.json")
+    tmp = path + "." + uuid.uuid4().hex[:8] + ".tmp"
+    fsutil.write_text(tmp, json.dumps(meta))
+    fsutil.rename_overwrite(tmp, path)
+
+
+def _gen_rel(table: str, gen: int) -> str:
+    """Generation-suffixed relative dir for a table rewrite."""
+    return f"{table}_g{gen}"
+
+
+def _expire_retired(out_dir: str, meta: dict) -> None:
+    """Delete data dirs retired by the PREVIOUS commit (snapshot
+    retention = one maintenance interval: a reader that loaded the
+    pre-previous descriptor has had a full op's lifetime to finish).
+    Runs at the START of every maintenance op, before any new write —
+    the Iceberg expire_snapshots analog."""
+    for rel in meta.get("retired") or []:
+        fsutil.delete(os.path.join(out_dir, rel))
+    meta["retired"] = []
+
+
+def _commit(
+    out_dir: str,
+    meta: dict,
+    new_paths: dict | None = None,
+    retire: tuple | list = (),
+) -> None:
+    """Flip the snapshot: point ``paths`` at the new generation dirs
+    and atomically replace stats.json.  Old dirs go on the ``retired``
+    list (deleted by the NEXT op's :func:`_expire_retired`), so every
+    already-loaded CompactIndex keeps reading its own consistent
+    generation.  A crash BEFORE this call leaves only orphaned
+    ``*_gN`` dirs — the committed snapshot is untouched and a retried
+    op overwrites them (all generation writes use mode=overwrite)."""
+    paths = dict(meta.get("paths") or {})
+    if new_paths:
+        paths.update(new_paths)
+    meta["paths"] = paths
+    meta["gen"] = int(meta.get("gen", 0)) + 1
+    meta["retired"] = sorted(
+        set(meta.get("retired") or []) | {r for r in retire if r}
     )
+    _write_stats(out_dir, meta)
 
 
-def read_tombstones(spark: SparkSession, out_dir: str) -> DataFrame | None:
+def read_tombstones(
+    spark: SparkSession, out_dir: str, meta: dict | None = None
+) -> DataFrame | None:
+    if meta is None:
+        try:
+            meta = _stats(out_dir)
+        except Exception:
+            meta = {}
     try:
-        return spark.read.parquet(os.path.join(out_dir, "tombstones"))
+        return spark.read.parquet(
+            table_path(out_dir, "tombstones", meta)
+        )
     except Exception:
         return None
 
 
-def _live_docs(spark: SparkSession, out_dir: str) -> DataFrame:
-    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
-    tomb = read_tombstones(spark, out_dir)
+def _live_docs(
+    spark: SparkSession, out_dir: str, meta: dict | None = None
+) -> DataFrame:
+    meta = _stats(out_dir) if meta is None else meta
+    docs = spark.read.parquet(table_path(out_dir, "docs", meta))
+    tomb = read_tombstones(spark, out_dir, meta)
     if tomb is not None:
         docs = docs.join(
             F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
@@ -102,7 +161,9 @@ def _live_docs(spark: SparkSession, out_dir: str) -> DataFrame:
 def _recompute_scalar_stats(
     spark: SparkSession, out_dir: str, meta: dict
 ) -> dict:
-    live = _live_docs(spark, out_dir)
+    # meta's (possibly pending, pre-commit) paths decide which
+    # generation the recompute reads
+    live = _live_docs(spark, out_dir, meta)
     agg = live.agg(
         F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
     ).collect()[0]
@@ -115,7 +176,7 @@ def _recompute_scalar_stats(
 def _recompute_stoplist(
     spark: SparkSession, out_dir: str, meta: dict
 ) -> dict:
-    ts = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    ts = spark.read.parquet(table_path(out_dir, "term_stats", meta))
     meta["stoplist"] = list(
         compute_stoplist(ts, meta["n_docs"], meta["stoplist_size"])
     )
@@ -155,6 +216,16 @@ def append_pages(
     """Add not-yet-indexed docs.  Urls already present are ignored
     (use :func:`reindex_pages` for R25 upsert semantics)."""
     meta = _stats(out_dir)
+    _expire_retired(out_dir, meta)
+    gen_next = int(meta.get("gen", 0)) + 1
+    # visible epochs BEFORE this op writes its own (legacy
+    # descriptors: snapshot the current listing)
+    visible_epochs = meta.get("delta_epochs")
+    if visible_epochs is None:
+        visible_epochs = [
+            p.rstrip("/").rsplit("/", 1)[-1]
+            for p in delta_epoch_dirs(spark, out_dir, meta)
+        ]
     config = _config_from(meta)
     n_buckets = meta["n_buckets"]
     build_id = uuid.uuid4().hex[:12]
@@ -165,7 +236,7 @@ def append_pages(
     )
     # LIVE urls only: a tombstoned url is re-addable (the R25 upsert
     # path tombstones the old version, then appends through here)
-    existing = _live_docs(spark, out_dir).select("url")
+    existing = _live_docs(spark, out_dir, meta).select("url")
     fresh = enriched.join(existing, "url", "left_anti").cache()
     n_new = fresh.count()
     if n_new == 0:
@@ -205,15 +276,20 @@ def append_pages(
     )
     segs = segs.withColumn("bucket", bucket_col(F.col("term"), n_buckets))
     # LSM-style: each append lands in its OWN epoch directory under
-    # index_deltas/ (never appended into the base index/ files), so
+    # the deltas dir (never appended into the base index files), so
     # merge_delta_epochs can consolidate deltas proportionally to
-    # delta size and vacuum/merges can drop whole directories
+    # delta size and vacuum/merges can drop whole directories.
+    # INVISIBLE until commit: readers resolve epochs through the
+    # descriptor's delta_epochs list, which doesn't name this one yet.
     (
         segs.repartition(F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(
-            os.path.join(out_dir, "index_deltas", f"epoch={epoch}")
+            os.path.join(
+                table_path(out_dir, "index_deltas", meta),
+                f"epoch={epoch}",
+            )
         )
     )
 
@@ -258,12 +334,17 @@ def append_pages(
         )
         appended_positions = True
 
-    # derived stats: df = old + delta (R10 batch form).  Materialized
-    # to tmp BEFORE the docs append — ``fresh`` (and thus delta_ts)
-    # anti-joins the docs table, and writing docs/ would invalidate
-    # its cache and re-evaluate the delta to empty (see _write_tmp).
-    ts_path = os.path.join(out_dir, "term_stats")
-    old_ts = spark.read.parquet(ts_path)
+    # derived stats: df = old + delta (R10 batch form), written to a
+    # FRESH generation dir — the committed term_stats is never
+    # touched, so readers of the current snapshot stay consistent and
+    # no tmp/swap ordering is needed.  Still written BEFORE the docs
+    # append: ``fresh`` (and thus delta_ts) anti-joins the docs table,
+    # and writing docs/ would invalidate its cache and re-evaluate
+    # the delta to empty.
+    old_ts_rel = (meta.get("paths") or {}).get(
+        "term_stats", "term_stats"
+    )
+    old_ts = spark.read.parquet(table_path(out_dir, "term_stats", meta))
     merged = (
         old_ts.join(delta_ts.withColumnRenamed("df", "df2"), "term",
                     "full_outer")
@@ -273,17 +354,45 @@ def append_pages(
             .alias("df"),
         )
     )
-    ts_tmp = _write_tmp(merged, ts_path)
+    ts_rel = _gen_rel("term_stats", gen_next)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(out_dir, ts_rel)
+    )
 
-    doc_map.write.mode("append").parquet(os.path.join(out_dir, "docs"))
-    _swap(ts_tmp, ts_path)
-    _rewrite_site_stats(spark, out_dir)
+    # docs append is ADDITIVE in place: rows for uncommitted doc_ids
+    # are inert for concurrent readers (their postings epoch is not
+    # in any committed delta_epochs list, and n_docs/avg_len flip
+    # only at commit)
+    doc_map.write.mode("append").parquet(
+        table_path(out_dir, "docs", meta)
+    )
+
+    # pending view: the descriptor this commit will publish
+    old_ss_rel = (meta.get("paths") or {}).get(
+        "site_stats", "site_stats"
+    )
+    ss_rel = _gen_rel("site_stats", gen_next)
+    pending = dict(meta)
+    pending["paths"] = {
+        **(meta.get("paths") or {}),
+        "term_stats": ts_rel,
+        "site_stats": ss_rel,
+    }
+    _write_site_stats(spark, out_dir, pending, ss_rel)
 
     meta["next_id_segment"] = seg_base + delta_segments
     meta["append_epoch"] = epoch
-    meta = _recompute_scalar_stats(spark, out_dir, meta)
-    meta = _recompute_stoplist(spark, out_dir, meta)
-    _write_stats(out_dir, meta)
+    meta["delta_epochs"] = list(visible_epochs) + [f"epoch={epoch}"]
+    _recompute_scalar_stats(spark, out_dir, pending)
+    _recompute_stoplist(spark, out_dir, pending)
+    meta["n_docs"] = pending["n_docs"]
+    meta["avg_len"] = pending["avg_len"]
+    meta["stoplist"] = pending["stoplist"]
+    _commit(
+        out_dir, meta,
+        new_paths={"term_stats": ts_rel, "site_stats": ss_rel},
+        retire=(old_ts_rel, old_ss_rel),
+    )
 
     spark.createDataFrame(
         [(None, "append", int(n_new), None, time.time(), build_id)],
@@ -300,9 +409,19 @@ def tombstone_urls(
     spark: SparkSession, out_dir: str, urls: list[str]
 ) -> dict:
     """R23+R24: logically delete pages; df decremented via the dead
-    docs' term lists, scalar stats recomputed from live docs."""
-    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
-    tomb = read_tombstones(spark, out_dir)
+    docs' term lists, scalar stats recomputed from live docs.
+
+    Snapshot-committed: the new tombstone table (old rows ∪ new) and
+    the decremented term_stats land in fresh generation dirs and
+    become visible in ONE atomic stats.json flip — a concurrent
+    reader never sees the tombstones applied without the matching
+    df/stoplist/avg_len."""
+    meta = _stats(out_dir)
+    _expire_retired(out_dir, meta)
+    gen_next = int(meta.get("gen", 0)) + 1
+
+    docs = spark.read.parquet(table_path(out_dir, "docs", meta))
+    tomb = read_tombstones(spark, out_dir, meta)
     dead = docs.filter(F.col("url").isin(urls)).select("doc_id", "url")
     if tomb is not None:
         dead = dead.join(
@@ -313,14 +432,16 @@ def tombstone_urls(
         return {"tombstoned": 0}
     dead_ids = [r["doc_id"] for r in dead_rows]
 
-    segments = read_segments(spark, out_dir)
+    segments = read_segments(spark, out_dir, meta)
     dec = (
         terms_of_docs(segments, dead_ids)
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("dec"))
     )
-    ts_path = os.path.join(out_dir, "term_stats")
-    old_ts = spark.read.parquet(ts_path)
+    old_ts_rel = (meta.get("paths") or {}).get(
+        "term_stats", "term_stats"
+    )
+    old_ts = spark.read.parquet(table_path(out_dir, "term_stats", meta))
     new_ts = (
         old_ts.join(dec, "term", "left")
         .select(
@@ -329,19 +450,54 @@ def tombstone_urls(
         )
         .filter(F.col("df") > 0)  # decrement-or-DELETE (R24)
     )
-    _overwrite_parquet(spark, new_ts, ts_path)
+    ts_rel = _gen_rel("term_stats", gen_next)
+    new_ts.write.mode("overwrite").parquet(
+        os.path.join(out_dir, ts_rel)
+    )
 
     now = time.time()
-    spark.createDataFrame(
+    new_tomb = spark.createDataFrame(
         [(int(r["doc_id"]), r["url"], now) for r in dead_rows],
         TOMBSTONE_SCHEMA,
-    ).write.mode("append").parquet(os.path.join(out_dir, "tombstones"))
+    )
+    if tomb is not None:
+        new_tomb = tomb.unionByName(new_tomb)
+    old_tomb_rel = (
+        (meta.get("paths") or {}).get("tombstones", "tombstones")
+        if tomb is not None
+        else None
+    )
+    tomb_rel = _gen_rel("tombstones", gen_next)
+    new_tomb.write.mode("overwrite").parquet(
+        os.path.join(out_dir, tomb_rel)
+    )
 
-    meta = _stats(out_dir)
-    meta = _recompute_scalar_stats(spark, out_dir, meta)
-    meta = _recompute_stoplist(spark, out_dir, meta)
-    _write_stats(out_dir, meta)
-    _rewrite_site_stats(spark, out_dir)
+    old_ss_rel = (meta.get("paths") or {}).get(
+        "site_stats", "site_stats"
+    )
+    ss_rel = _gen_rel("site_stats", gen_next)
+    pending = dict(meta)
+    pending["paths"] = {
+        **(meta.get("paths") or {}),
+        "term_stats": ts_rel,
+        "tombstones": tomb_rel,
+        "site_stats": ss_rel,
+    }
+    _write_site_stats(spark, out_dir, pending, ss_rel)
+    _recompute_scalar_stats(spark, out_dir, pending)
+    _recompute_stoplist(spark, out_dir, pending)
+    meta["n_docs"] = pending["n_docs"]
+    meta["avg_len"] = pending["avg_len"]
+    meta["stoplist"] = pending["stoplist"]
+    _commit(
+        out_dir, meta,
+        new_paths={
+            "term_stats": ts_rel,
+            "tombstones": tomb_rel,
+            "site_stats": ss_rel,
+        },
+        retire=(old_ts_rel, old_tomb_rel, old_ss_rel),
+    )
     return {"tombstoned": len(dead_rows)}
 
 
@@ -381,10 +537,12 @@ def merge_delta_epochs(
     the consolidated epoch; block metadata keeps the shared
     ``blocks_avg_len`` baseline so WAND gating semantics are
     unchanged."""
-    dirs = delta_epoch_dirs(spark, out_dir)
+    meta = _stats(out_dir)
+    dirs = delta_epoch_dirs(spark, out_dir, meta)
     if len(dirs) < min_epochs:
         return {"merged_epochs": 0}
-    meta = _stats(out_dir)
+    _expire_retired(out_dir, meta)
+    gen_next = int(meta.get("gen", 0)) + 1
     config = _config_from(meta)
     n_buckets = meta["n_buckets"]
     pps = int(meta.get("postings_per_shard", 1 << 20))
@@ -398,7 +556,9 @@ def merge_delta_epochs(
     )
     # salt factors from the LIVE full-index df (a delta-local df
     # would under-salt a head term that is mostly in the base)
-    live_ts = spark.read.parquet(os.path.join(out_dir, "term_stats"))
+    live_ts = spark.read.parquet(
+        table_path(out_dir, "term_stats", meta)
+    )
     segs = compact_postings_withlen(
         posts, live_ts, blocks_avg, config, pps
     )
@@ -411,20 +571,27 @@ def merge_delta_epochs(
         "shard", (F.col("shard") + F.lit(epoch << 16)).cast("int")
     ).withColumn("bucket", bucket_col(F.col("term"), n_buckets))
 
-    base = os.path.join(out_dir, "index_deltas")
-    tmp = os.path.join(out_dir, "index_deltas_tmp")
+    # the consolidated level lands in a FRESH deltas dir; the old
+    # level stays on disk for in-flight readers and is retired (the
+    # next op deletes it) — the whole flip is the one stats.json swap
+    old_deltas_rel = (meta.get("paths") or {}).get(
+        "index_deltas", "index_deltas"
+    )
+    deltas_rel = _gen_rel("index_deltas", gen_next)
     (
         segs.repartition(F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(os.path.join(tmp, f"epoch={epoch}"))
+        .parquet(os.path.join(out_dir, deltas_rel, f"epoch={epoch}"))
     )
-    # tmp is fully materialized → atomically replace the old level
-    fsutil.delete(base)
-    fsutil.rename(tmp, base)
 
     meta["append_epoch"] = epoch
-    _write_stats(out_dir, meta)
+    meta["delta_epochs"] = [f"epoch={epoch}"]
+    _commit(
+        out_dir, meta,
+        new_paths={"index_deltas": deltas_rel},
+        retire=(old_deltas_rel,),
+    )
     spark.createDataFrame(
         [(None, "merge_deltas", len(dirs), None, time.time(),
           uuid.uuid4().hex[:12])],
@@ -445,12 +612,14 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     head term's posting list is still split across salt shards (never
     one task / one at-rest shard), exactly as a fresh build of the
     surviving corpus would leave it."""
-    tomb = read_tombstones(spark, out_dir)
     meta = _stats(out_dir)
+    _expire_retired(out_dir, meta)
+    gen_next = int(meta.get("gen", 0)) + 1
+    tomb = read_tombstones(spark, out_dir, meta)
     config = _config_from(meta)
     n_buckets = meta["n_buckets"]
     pps = int(meta.get("postings_per_shard", 1 << 20))
-    segments = read_segments(spark, out_dir)
+    segments = read_segments(spark, out_dir, meta)
 
     dead_ids = (
         {r["doc_id"] for r in tomb.select("doc_id").collect()}
@@ -484,31 +653,27 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     rebuilt = segs.withColumn(
         "bucket", bucket_col(F.col("term"), n_buckets)
     )
-    tmp = os.path.join(out_dir, "index_vacuum_tmp")
+    # every rewritten table lands in a FRESH generation dir — the
+    # committed snapshot's files are never touched during the op, so
+    # in-flight readers keep a consistent index and the visibility
+    # flip is exactly one atomic stats.json replacement (_commit)
+    old_paths = dict(meta.get("paths") or {})
+    idx_rel = _gen_rel("index", gen_next)
     (
         rebuilt.repartition(F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("bucket")
-        .parquet(tmp)
+        .parquet(os.path.join(out_dir, idx_rel))
     )
-    # live_ts reads the OLD index files — materialize before the swap
-    # deletes them (see _write_tmp ordering note)
-    ts_path = os.path.join(out_dir, "term_stats")
-    ts_tmp = _write_tmp(live_ts, ts_path)
-
-    final = os.path.join(out_dir, "index")
-    fsutil.delete(final)
-    fsutil.rename(tmp, final)
-    # delta epochs were incorporated into the rebuilt base — drop the
-    # whole LSM level (safe: rebuilt tmp and ts_tmp were materialized
-    # above, before any old file is deleted)
-    fsutil.delete(os.path.join(out_dir, "index_deltas"))
-    _swap(ts_tmp, ts_path)
+    ts_rel = _gen_rel("term_stats", gen_next)
+    live_ts.write.mode("overwrite").parquet(
+        os.path.join(out_dir, ts_rel)
+    )
     live_ts.unpersist()
 
-    if tomb is not None:
-        fsutil.delete(os.path.join(out_dir, "tombstones"))
-    docs = spark.read.parquet(os.path.join(out_dir, "docs"))
+    old_docs_rel = old_paths.get("docs", "docs")
+    docs_rel = old_docs_rel
+    docs = spark.read.parquet(table_path(out_dir, "docs", meta))
     if dead_ids:
         # anti-JOIN, not a driver isin list: bulk deletes can carry
         # arbitrarily many ids, and a join keeps the predicate O(1)
@@ -516,23 +681,59 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
             [(int(d),) for d in dead_ids], "doc_id long"
         )
         live_docs = docs.join(F.broadcast(dead_df), "doc_id", "left_anti")
-        _overwrite_parquet(spark, live_docs, os.path.join(out_dir, "docs"))
-    _rewrite_site_stats(spark, out_dir)
-    meta = _recompute_scalar_stats(spark, out_dir, meta)
-    meta = _recompute_stoplist(spark, out_dir, meta)
+        docs_rel = _gen_rel("docs", gen_next)
+        live_docs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, docs_rel)
+        )
+
+    ss_rel = _gen_rel("site_stats", gen_next)
+    new_paths = {
+        "index": idx_rel,
+        "term_stats": ts_rel,
+        "docs": docs_rel,
+        "site_stats": ss_rel,
+        # fresh (not-yet-existing) namespaces: deltas and tombstones
+        # were folded into / dropped by the rebuild
+        "index_deltas": _gen_rel("index_deltas", gen_next),
+        "tombstones": _gen_rel("tombstones", gen_next),
+    }
+    pending = dict(meta)
+    pending["paths"] = {**old_paths, **new_paths}
+    _write_site_stats(spark, out_dir, pending, ss_rel)
+    _recompute_scalar_stats(spark, out_dir, pending)
+    _recompute_stoplist(spark, out_dir, pending)
+    meta["n_docs"] = pending["n_docs"]
+    meta["avg_len"] = pending["avg_len"]
+    meta["stoplist"] = pending["stoplist"]
     meta["blocks_avg_len"] = meta["avg_len"]
     # the rebuild re-salted every term from scratch — append shard
     # epochs restart (shard ids are fresh-build-shaped again)
     meta["append_epoch"] = 0
-    _write_stats(out_dir, meta)
+    meta["delta_epochs"] = []
+    retire = [
+        old_paths.get("index", "index"),
+        old_paths.get("term_stats", "term_stats"),
+        old_paths.get("site_stats", "site_stats"),
+        old_paths.get("index_deltas", "index_deltas"),
+    ]
+    if docs_rel != old_docs_rel:
+        retire.append(old_docs_rel)
+    if tomb is not None:
+        retire.append(old_paths.get("tombstones", "tombstones"))
+    _commit(out_dir, meta, new_paths=new_paths, retire=retire)
     return {"vacuumed": len(dead_ids)}
 
 
 def open_index(spark: SparkSession, out_dir: str):
     """Load for querying with tombstones applied (doc_map = live
-    docs), so search results never surface deleted pages."""
-    cidx = load_compact_index(spark, out_dir)
-    tomb = read_tombstones(spark, out_dir)
+    docs), so search results never surface deleted pages.
+
+    The descriptor is read ONCE and shared between the index load and
+    the tombstone read — two independent stats.json reads could
+    straddle a concurrent maintenance commit and mix generations."""
+    meta = _stats(out_dir)
+    cidx = load_compact_index(spark, out_dir, meta)
+    tomb = read_tombstones(spark, out_dir, meta)
     if tomb is not None:
         cidx.tombstones = tomb
         cidx.doc_map = cidx.doc_map.join(
@@ -558,34 +759,14 @@ def _config_from(meta: dict) -> EngineConfig:
     )
 
 
-def _write_tmp(df: DataFrame, path: str) -> str:
-    """Materialize ``df`` next to ``path`` WITHOUT touching ``path``.
-
-    Ordering is load-bearing everywhere in this module: Spark
-    invalidates cached plans whose input path gets written
-    (CacheManager.recacheByPath) and file listings are snapshotted at
-    read time — so every frame derived from a table must be
-    physically materialized BEFORE that table is mutated, then the
-    temp dir is swapped in with :func:`_swap`."""
-    tmp = path.rstrip("/") + "_tmp_swap"
-    df.write.mode("overwrite").parquet(tmp)
-    return tmp
-
-
-def _swap(tmp: str, path: str) -> None:
-    fsutil.delete(path)
-    fsutil.rename(tmp, path)
-
-
-def _overwrite_parquet(
-    spark: SparkSession, df: DataFrame, path: str
+def _write_site_stats(
+    spark: SparkSession, out_dir: str, meta: dict, dest_rel: str
 ) -> None:
-    """Safe self-referential overwrite: materialize to a temp dir,
-    then swap (parquet can't overwrite its own input)."""
-    _swap(_write_tmp(df, path), path)
-
-
-def _rewrite_site_stats(spark: SparkSession, out_dir: str) -> None:
-    live = _live_docs(spark, out_dir)
+    """Recompute site_stats from the (pending) snapshot's live docs
+    into a fresh generation dir — the committed dir is never touched,
+    so no tmp/swap dance is needed."""
+    live = _live_docs(spark, out_dir, meta)
     stats = live.groupBy("site").agg(F.count(F.lit(1)).alias("pages"))
-    _overwrite_parquet(spark, stats, os.path.join(out_dir, "site_stats"))
+    stats.write.mode("overwrite").parquet(
+        os.path.join(out_dir, dest_rel)
+    )

@@ -49,12 +49,12 @@ def _actual(spark, out_dir, query, offset, limit, prune=True):
 
 
 def _disk_term_stats(spark, out_dir):
-    import os
+    from search_engine_spark.plans.build import load_stats, table_path
 
     return {
         (r["term"], r["df"])
         for r in spark.read.parquet(
-            os.path.join(out_dir, "term_stats")
+            table_path(out_dir, "term_stats", load_stats(spark, out_dir))
         ).collect()
     }
 
