@@ -81,17 +81,24 @@ def _fake_embedding(payload: bytes, dim: int) -> list[float]:
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Real decode path.  Binary PPM/PGM (``P6``/``P5``) is parsed in
-    pure numpy — no external library — returning an ``(H, W, 3)``
-    uint8 array; every other container still raises
-    ``NotImplementedError`` (the sandbox has no Pillow/opencv; JPEG/
-    PNG support is a one-branch swap-in here)."""
+    """Real decode path, no external library: binary PPM/PGM
+    (``P6``/``P5``) parsed inline, baseline-sequential JPEG decoded
+    by :mod:`search_engine_spark.functions.jpeg` (pure-numpy T.81:
+    Huffman + dequant + IDCT + chroma upsample + YCbCr→RGB).  All
+    return ``(H, W, 3)`` uint8.  PNG / progressive JPEG still raise
+    ``NotImplementedError`` (Pillow/opencv is the swap-in there)."""
     magic = bytes(payload[:2])
+    if magic == b"\xff\xd8":
+        from search_engine_spark.functions.jpeg import (
+            decode_baseline_jpeg,
+        )
+
+        return decode_baseline_jpeg(bytes(payload))
     if magic not in (b"P6", b"P5"):
         raise NotImplementedError(
-            "real image decoding beyond binary PPM/PGM requires "
-            "Pillow/opencv — not available in this environment; use "
-            "decoder='fake' or install a codec and extend this function"
+            "real image decoding beyond PPM/PGM and baseline JPEG "
+            "requires Pillow/opencv — not available in this "
+            "environment; use decoder='fake' or extend this function"
         )
     # header: magic, then 3 decimal fields (w, h, maxval) separated by
     # whitespace/comments, then ONE whitespace byte, then the raster
