@@ -278,3 +278,75 @@ def test_cli_impact_requires_artifact(spark, cidx, capsys, tmp_path,
             capsys,
             ["--index", bare, "--query", QUERY, "--ranker", "impact"],
         )
+
+
+# ---------------------------------------------------------------------------
+# maintenance CLI (jobs/maintain_index.py)
+# ---------------------------------------------------------------------------
+
+
+def test_cli_maintenance_lifecycle(spark, index_dir, tmp_path, capsys):
+    import shutil
+
+    idx = str(tmp_path / "m_idx")
+    shutil.copytree(index_dir, idx)
+
+    # extra pages parquet for append
+    from search_engine_spark.sources.fixtures import pages_df
+
+    extra_path = str(tmp_path / "extra")
+    base = pages_df(spark, 40, n_sites=4, seed=42)
+    spark.createDataFrame(
+        [(r["url"] + "?m=1", r["warc_ts"], r["html"], r["text"],
+          r["lang"]) for r in base.collect()],
+        base.schema,
+    ).write.parquet(extra_path)
+
+    def run(argv):
+        maintain = _load_job("maintain_index")
+        capsys.readouterr()
+        _no_stop(maintain.main, argv)
+        out = capsys.readouterr().out
+        return json.loads(out.strip().splitlines()[-1])
+
+    st0 = run(["--index", idx, "status"])
+    appended = run(["--index", idx, "append", "--input", extra_path])
+    assert appended["appended"] == 40
+    assert appended["gen"] == st0["gen"] + 1
+
+    urls_file = tmp_path / "dead.txt"
+    dead = [
+        r["url"] + "?m=1" for r in base.limit(4).select("url").collect()
+    ]
+    urls_file.write_text("\n".join(dead))
+    tombed = run(["--index", idx, "tombstone",
+                  "--urls-file", str(urls_file)])
+    assert tombed["tombstoned"] == 4
+
+    merged = run(["--index", idx, "merge", "--min-epochs", "1"])
+    assert merged["merged_epochs"] == 1
+
+    vac = run(["--index", idx, "vacuum"])
+    assert vac["vacuumed"] == 4
+
+    st1 = run(["--index", idx, "status"])
+    assert st1["n_docs"] == st0["n_docs"] + 40 - 4
+    assert st1["retired"], "vacuum should leave a retired generation"
+    exp = run(["--index", idx, "expire"])
+    assert exp["expired"] == st1["retired"]
+    assert run(["--index", idx, "status"])["retired"] == []
+
+    # the maintained index still answers rank-identically to a direct
+    # library query
+    from search_engine_spark.plans.incremental import open_index
+    from search_engine_spark.plans.wand import search_compact
+
+    rows = _run_search(
+        capsys, ["--index", idx, "--query", QUERY, "--limit", "5"]
+    )
+    _assert_rank_identical(
+        rows,
+        search_compact(
+            open_index(spark, idx), QUERY, limit=5, analyzer="tokens"
+        ),
+    )
