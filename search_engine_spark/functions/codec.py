@@ -28,21 +28,43 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
-def encode_varint(values: np.ndarray) -> bytes:
-    """Unsigned LEB128-encode a uint64 array into one bytes buffer."""
+def bit_length_u64(values: np.ndarray) -> np.ndarray:
+    """Exact per-element ``int.bit_length()`` over a uint64 array
+    (branchless binary descent, 6 vector passes — no per-element
+    Python, no float round-off at the 2^k boundaries)."""
+    v = np.asarray(values, dtype=np.uint64)
+    out = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    for sh in (32, 16, 8, 4, 2, 1):
+        m = tmp >> np.uint64(sh)
+        has = m > 0
+        out[has] += sh
+        tmp[has] = m[has]
+    out[v > 0] += 1
+    return out
+
+
+def varint_len(values: np.ndarray) -> np.ndarray:
+    """Encoded LEB128 byte length per value: ceil(bitlen/7), min 1."""
+    return np.maximum((bit_length_u64(values) + 6) // 7, 1)
+
+
+def varint_encode_all(
+    values: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized LEB128 over a uint64 array → ``(buf, offsets)``.
+
+    ``buf`` is one uint8 buffer holding every value's encoding
+    back-to-back; ``offsets`` (int64, len n+1) gives each value's byte
+    range, so a caller batching many posting runs encodes ALL of them
+    in one pass and slices per-run payloads out — varints are
+    per-value independent, so ``buf[offsets[i]:offsets[j]].tobytes()``
+    is bit-identical to ``encode_varint(values[i:j])``.
+    """
     vals = np.asarray(values, dtype=np.uint64)
     if vals.size == 0:
-        return b""
-    # bytes needed per value: ceil(bitlen/7), min 1
-    nbits = np.zeros(vals.shape, dtype=np.int64)
-    tmp = vals.copy()
-    while True:
-        nz = tmp > 0
-        if not nz.any():
-            break
-        nbits[nz] += 1
-        tmp >>= np.uint64(1)
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    nbytes = varint_len(vals)
     offsets = np.concatenate(([0], np.cumsum(nbytes)))
     out = np.zeros(int(offsets[-1]), dtype=np.uint8)
     shifted = vals.copy()
@@ -54,7 +76,13 @@ def encode_varint(values: np.ndarray) -> bytes:
         more = (nbytes[active] - 1) > b
         out[idx] = chunk | (more.astype(np.uint8) << 7)
         shifted[active] >>= np.uint64(7)
-    return out.tobytes()
+    return out, offsets
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """Unsigned LEB128-encode a uint64 array into one bytes buffer."""
+    buf, _ = varint_encode_all(values)
+    return buf.tobytes()
 
 
 def decode_varint(buf: bytes, count: int) -> np.ndarray:
@@ -117,6 +145,21 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
 # vectorized np.unpackbits + flatnonzero — no per-element Python.
 
 
+def _varint_scalar(x: int) -> bytes:
+    """LEB128 for ONE value — byte-identical to :func:`encode_varint`
+    on a 1-element array, without the vectorized path's per-call
+    overhead (ef_encode's 2-value header was 75% of its cost)."""
+    out = bytearray()
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        if x:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
 def _read_leading_varints(buf: bytes, k: int) -> tuple[list[int], int]:
     """Parse ``k`` LEB128 varints from the head of ``buf`` →
     (values, bytes consumed)."""
@@ -144,7 +187,7 @@ def ef_encode(sorted_ids: np.ndarray) -> bytes:
     x = ids - first
     u = int(x[-1]) + 1
     l = max(int(u // n).bit_length() - 1, 0) if u > n else 0
-    head = encode_varint(np.array([first, l], dtype=np.uint64))
+    head = _varint_scalar(int(first)) + _varint_scalar(l)
     if l:
         bits = (
             (x[:, None] >> np.arange(l, dtype=np.uint64))
@@ -293,6 +336,152 @@ def build_blocks(
             }
         )
     return blocks
+
+
+def ef_sizes(
+    first: np.ndarray, last: np.ndarray, counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact :func:`ef_encode` output byte size per block, vectorized.
+
+    Computed analytically from (first_doc_id, last_doc_id, count) so
+    the adaptive codec can pick varint-vs-EF for EVERY block in one
+    numpy pass and only materialize the EF encoding for the blocks
+    where it wins.  Returns ``(sizes, l)`` — pinned bit-exact against
+    ``len(ef_encode(...))`` by tests/test_ef_codec.py.
+    """
+    first = np.asarray(first, dtype=np.uint64)
+    last = np.asarray(last, dtype=np.uint64)
+    n = np.asarray(counts, dtype=np.uint64)
+    u = (last - first) + np.uint64(1)
+    # l = max(bitlen(u//n) - 1, 0) if u > n else 0   (ef_encode:146)
+    l = np.where(u > n, np.maximum(bit_length_u64(u // n) - 1, 0), 0)
+    l_u = l.astype(np.uint64)
+    head = varint_len(first) + varint_len(l_u)
+    lows = (n.astype(np.int64) * l + 7) // 8
+    pos_last = ((last - first) >> l_u).astype(np.int64) + (
+        n.astype(np.int64) - 1
+    )
+    high = (pos_last + 1 + 7) // 8
+    return head + lows + high, l
+
+
+def build_blocks_batch(
+    ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    group_starts: np.ndarray,
+    avg_len: float,
+    k1: float,
+    b: float,
+    block_size: int = 128,
+    id_codec: str = "varint",
+) -> dict:
+    """Vectorized :func:`build_blocks` over MANY terms at once.
+
+    Input rows must already be sorted by (group, doc_id);
+    ``group_starts`` (int64) marks each term-group's first row.  One
+    numpy pass computes every block's metadata (reduceat extrema) and
+    ONE global varint pass encodes all three payload streams, sliced
+    per block — bit-identical to calling :func:`build_blocks` per
+    group (pinned by tests).  This removes the per-group Python +
+    per-block small-numpy-call overhead that dominated the grouped
+    Arrow compaction at Zipf term counts (~10 numpy ops × n_blocks ×
+    n_terms → 3 global passes + one cheap slice loop).
+
+    Returns a dict of per-block arrays: ``group`` (index into
+    group_starts), ``block_id``, ``count``, ``first_doc_id``,
+    ``last_doc_id``, ``max_u``, ``min_u`` plus lists ``doc_ids``,
+    ``tfs``, ``doc_lens`` of payload bytes.
+    """
+    ids = np.asarray(ids, dtype=np.uint64)
+    tfs = np.asarray(tfs, dtype=np.uint64)
+    dls = np.asarray(dls, dtype=np.uint64)
+    group_starts = np.asarray(group_starts, dtype=np.int64)
+    nrows = ids.size
+    empty = dict(
+        group=np.empty(0, np.int64), block_id=np.empty(0, np.int64),
+        count=np.empty(0, np.int64), first_doc_id=np.empty(0, np.int64),
+        last_doc_id=np.empty(0, np.int64), max_u=np.empty(0, np.float64),
+        min_u=np.empty(0, np.float64), doc_ids=[], tfs=[], doc_lens=[],
+    )
+    if nrows == 0:
+        return empty
+    group_lens = np.diff(np.append(group_starts, nrows))
+    # row offset within its group; block starts where offset % bs == 0
+    offs = np.arange(nrows, dtype=np.int64) - np.repeat(
+        group_starts, group_lens
+    )
+    bstarts = np.flatnonzero(offs % block_size == 0)
+    bends = np.append(bstarts[1:], nrows) - 1
+    counts = bends - bstarts + 1
+    n_blocks_per_group = (group_lens + block_size - 1) // block_size
+    block_group = np.repeat(
+        np.arange(group_starts.size, dtype=np.int64), n_blocks_per_group
+    )
+    block_id = offs[bstarts] // block_size
+
+    u = bm25_u(tfs, dls, avg_len, k1, b)
+    max_u = np.maximum.reduceat(u, bstarts)
+    min_u = np.minimum.reduceat(u, bstarts)
+    first = ids[bstarts]
+    last = ids[bends]
+
+    # one global varint pass per stream; per-block payload = slice.
+    # gaps restart absolute at every block start (delta_encode:86-93
+    # keeps element 0 absolute), so cross-block/cross-group wraparound
+    # values are computed-but-overwritten, never emitted.
+    gaps = ids.copy()
+    gaps[1:] -= ids[:-1]
+    gaps[bstarts] = ids[bstarts]
+    buf_i, off_i = varint_encode_all(gaps)
+    buf_t, off_t = varint_encode_all(tfs)
+    buf_d, off_d = varint_encode_all(dls)
+
+    n_blocks = bstarts.size
+    use_ef = np.zeros(n_blocks, dtype=bool)
+    if id_codec in ("ef", "adaptive"):
+        if id_codec == "ef":
+            use_ef[:] = True
+        else:
+            ef_sz, _ = ef_sizes(first, last, counts)
+            vi_sz = off_i[bends + 1] - off_i[bstarts]
+            # encode_doc_ids:214 keeps EF iff strictly smaller (tag
+            # byte on both sides cancels)
+            use_ef = ef_sz < vi_sz
+    elif id_codec != "varint":  # pragma: no cover - guarded API
+        raise ValueError(f"unknown doc_id codec {id_codec!r}")
+
+    tag_vi = bytes([_TAG_VARINT])
+    tag_ef = bytes([_TAG_EF])
+    doc_payloads = []
+    for bi in range(n_blocks):
+        s, e = bstarts[bi], bends[bi] + 1
+        if use_ef[bi]:
+            doc_payloads.append(tag_ef + ef_encode(ids[s:e]))
+        else:
+            doc_payloads.append(
+                tag_vi + buf_i[off_i[s]:off_i[e]].tobytes()
+            )
+    tf_payloads = [
+        buf_t[off_t[s]:off_t[e + 1]].tobytes()
+        for s, e in zip(bstarts, bends)
+    ]
+    dl_payloads = [
+        buf_d[off_d[s]:off_d[e + 1]].tobytes()
+        for s, e in zip(bstarts, bends)
+    ]
+    return dict(
+        group=block_group,
+        block_id=block_id,
+        count=counts,
+        first_doc_id=first.astype(np.int64),
+        last_doc_id=last.astype(np.int64),
+        max_u=max_u,
+        min_u=min_u,
+        doc_ids=doc_payloads,
+        tfs=tf_payloads,
+        doc_lens=dl_payloads,
+    )
 
 
 def read_block(block: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -39,7 +39,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from search_engine_spark.config import DEFAULT, EngineConfig
-from search_engine_spark.functions.codec import build_blocks, read_block
+from search_engine_spark.functions.codec import (
+    build_blocks,
+    build_blocks_batch,
+    read_block,
+)
 from search_engine_spark.operators.postings import InvertedIndex
 
 SEGMENT_BITS = 40
@@ -271,70 +275,166 @@ def compact_postings_withlen(
         ]
     )
 
+    seg_cols = [f.name for f in SEGMENT_SCHEMA.fields]
+
     def partial_builder(batches):
         import numpy as np
 
         from search_engine_spark.functions.codec import (
-            encode_doc_ids,
-            encode_varint,
+            varint_encode_all,
         )
 
         # one combine per PARTITION, not per ~10k-row Arrow batch —
         # per-batch runs would multiply the partial count ~20x and
-        # drown the reducer in tiny runs
+        # drown the reducer in tiny runs.  All (term, salt) runs of
+        # the partition are encoded in ONE vectorized pass (lexsort +
+        # global varint, sliced per run) — no per-group Python.
         parts = list(batches)
         if not parts:
             return
         pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
-        rows = []
-        for (term, salt), g in pdf.groupby(["term", "salt"],
-                                           sort=False):
-            ids = g["doc_id"].to_numpy(dtype=np.uint64)
-            order = np.argsort(ids, kind="stable")
-            ids = ids[order]
-            tfs = g["tf"].to_numpy(dtype=np.uint64)[order]
-            dls = g["doc_len"].to_numpy(dtype=np.uint64)[order]
-            rows.append(
-                {
-                    "term": term,
-                    "salt": int(salt),
-                    "count": int(ids.size),
-                    "doc_ids": encode_doc_ids(ids),
-                    "tfs": encode_varint(tfs),
-                    "doc_lens": encode_varint(dls),
-                }
-            )
+        if not len(pdf):
+            return
+        codes, uniq = pd.factorize(pdf["term"], sort=False)
+        uniq = np.asarray(uniq, dtype=object)
+        salts_np = pdf["salt"].to_numpy(dtype=np.int64)
+        key = codes.astype(np.int64) * (
+            np.int64(salts_np.max()) + 1
+        ) + salts_np
+        ids = pdf["doc_id"].to_numpy(dtype=np.uint64)
+        order = np.lexsort((ids, key))
+        key_s = key[order]
+        ids_s = ids[order]
+        tfs_s = pdf["tf"].to_numpy(dtype=np.uint64)[order]
+        dls_s = pdf["doc_len"].to_numpy(dtype=np.uint64)[order]
+        run_starts = np.concatenate(
+            ([0], np.flatnonzero(key_s[1:] != key_s[:-1]) + 1)
+        )
+        run_ends = np.append(run_starts[1:], key_s.size) - 1
+        # delta-gaps restart absolute at each run start — each run's
+        # slice is bit-identical to encode_doc_ids(run_ids) (tag 0x00)
+        gaps = ids_s.copy()
+        gaps[1:] -= ids_s[:-1]
+        gaps[run_starts] = ids_s[run_starts]
+        buf_i, off_i = varint_encode_all(gaps)
+        buf_t, off_t = varint_encode_all(tfs_s)
+        buf_d, off_d = varint_encode_all(dls_s)
+        codes_s = codes[order]
         yield pd.DataFrame(
-            rows, columns=[f.name for f in partial_schema.fields]
+            {
+                "term": uniq[codes_s[run_starts]],
+                "salt": salts_np[order][run_starts],
+                "count": run_ends - run_starts + 1,
+                "doc_ids": [
+                    b"\x00" + buf_i[off_i[s]:off_i[e + 1]].tobytes()
+                    for s, e in zip(run_starts, run_ends)
+                ],
+                "tfs": [
+                    buf_t[off_t[s]:off_t[e + 1]].tobytes()
+                    for s, e in zip(run_starts, run_ends)
+                ],
+                "doc_lens": [
+                    buf_d[off_d[s]:off_d[e + 1]].tobytes()
+                    for s, e in zip(run_starts, run_ends)
+                ],
+            },
+            columns=[f.name for f in partial_schema.fields],
         )
 
-    def reduce_partials(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def reduce_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Complete (term, salt) groups of partial runs → final block
+        rows, all groups in one vectorized pass."""
         import numpy as np
 
-        term, shard = key
-        ids_l, tf_l, dl_l = [], [], []
-        for blk in pdf[["count", "doc_ids", "tfs", "doc_lens"]].to_dict(
-            "records"
-        ):
-            ids, tfs, dls = read_block(blk)
-            ids_l.append(ids)
-            tf_l.append(tfs)
-            dl_l.append(dls)
-        blocks = build_blocks(
-            np.concatenate(ids_l),
-            np.concatenate(tf_l),
-            np.concatenate(dl_l),
-            avg_len,
-            k1,
-            b,
-            config.block_size,
-            config.doc_id_codec,
+        from search_engine_spark.functions.codec import decode_varint
+
+        codes, uniq = pd.factorize(pdf["term"], sort=False)
+        uniq = np.asarray(uniq, dtype=object)
+        salts_np = pdf["salt"].to_numpy(dtype=np.int64)
+        counts = pdf["count"].to_numpy(dtype=np.int64)
+        change = np.empty(codes.size, dtype=bool)
+        change[0] = True
+        change[1:] = (codes[1:] != codes[:-1]) | (
+            salts_np[1:] != salts_np[:-1]
         )
-        return _blocks_to_pdf(term, int(shard), blocks)
+        run_group = np.cumsum(change) - 1
+        # partial payloads are always tag-0x00 varint; varints are
+        # self-delimiting, so ALL runs decode in one pass per stream
+        total = int(counts.sum())
+        gaps = decode_varint(
+            b"".join(buf[1:] for buf in pdf["doc_ids"]), total
+        )
+        tfs = decode_varint(b"".join(pdf["tfs"]), total)
+        dls = decode_varint(b"".join(pdf["doc_lens"]), total)
+        row_run_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        cs = np.cumsum(gaps, dtype=np.uint64)
+        base = cs[row_run_starts] - gaps[row_run_starts]
+        ids = cs - np.repeat(base, counts)
+        grp_rows = np.repeat(run_group, counts)
+        order = np.lexsort((ids, grp_rows))
+        ids = ids[order]
+        tfs = tfs[order]
+        dls = dls[order]
+        grp_rows = grp_rows[order]
+        gstarts = np.concatenate(
+            ([0], np.flatnonzero(grp_rows[1:] != grp_rows[:-1]) + 1)
+        )
+        blocks = build_blocks_batch(
+            ids, tfs, dls, gstarts, avg_len, k1, b,
+            config.block_size, config.doc_id_codec,
+        )
+        g_first_run = np.flatnonzero(change)
+        terms_g = uniq[codes[g_first_run]]
+        salts_g = salts_np[g_first_run]
+        bg = blocks["group"]
+        return pd.DataFrame(
+            {
+                "term": terms_g[bg],
+                "shard": salts_g[bg],
+                "block_id": blocks["block_id"],
+                "count": blocks["count"],
+                "first_doc_id": blocks["first_doc_id"],
+                "last_doc_id": blocks["last_doc_id"],
+                "max_u": blocks["max_u"],
+                "min_u": blocks["min_u"],
+                "doc_ids": blocks["doc_ids"],
+                "tfs": blocks["tfs"],
+                "doc_lens": blocks["doc_lens"],
+            },
+            columns=seg_cols,
+        )
+
+    def batch_reducer(batches):
+        # rows arrive hash-partitioned and sorted by (term, salt) —
+        # every group is contiguous; an Arrow batch may split the
+        # LAST group, so hold it back and prepend to the next batch
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            lt = pdf["term"].iat[-1]
+            ls = pdf["salt"].iat[-1]
+            n_tail = int(
+                (
+                    (pdf["term"].to_numpy(dtype=object) == lt)
+                    & (pdf["salt"].to_numpy() == ls)
+                ).sum()
+            )
+            cut = len(pdf) - n_tail
+            carry = pdf.iloc[cut:]
+            if cut:
+                yield reduce_pdf(pdf.iloc[:cut])
+        if carry is not None and len(carry):
+            yield reduce_pdf(carry)
 
     partial = salted.mapInPandas(partial_builder, partial_schema)
-    return partial.groupBy("term", "salt").applyInPandas(
-        reduce_partials, SEGMENT_SCHEMA
+    return (
+        partial.repartition("term", "salt")
+        .sortWithinPartitions("term", "salt")
+        .mapInPandas(batch_reducer, SEGMENT_SCHEMA)
     )
 
 
