@@ -123,21 +123,95 @@ def _lemmatize_memo(word: str, lang: str) -> str:
     return hit
 
 
+def _batch_lemma_counts(
+    tok_lists: list, langs,
+) -> tuple["np.ndarray", list, list]:
+    """Per-doc lemma tf counts over a whole Arrow batch, vectorized.
+
+    Lemmatizes each UNIQUE (word, lang) once per batch (Zipf web text
+    makes the unique set tiny next to the token stream), then counts
+    (doc, lemma) pairs with one integer np.unique — no per-token
+    Python in the hot loop.  Returns ``(doc_lens, terms_list,
+    tfs_list)`` where the lists hold one numpy array per doc.  Term
+    order within a doc is deterministic (global first-occurrence
+    lemma code) but unspecified — downstream explodes immediately.
+    """
+    import numpy as np
+
+    n = len(tok_lists)
+    memo = _lemmatize_memo
+    lens = np.fromiter(
+        (len(t) if t is not None else 0 for t in tok_lists),
+        np.int64, n,
+    )
+    total = int(lens.sum())
+    empty_obj = np.empty(0, dtype=object)
+    empty_tf = np.empty(0, dtype=np.int32)
+    if total == 0:
+        return lens, [empty_obj] * n, [empty_tf] * n
+    all_toks = np.empty(total, dtype=object)
+    pos = 0
+    for t in tok_lists:
+        if t is not None and len(t):
+            all_toks[pos:pos + len(t)] = t
+            pos += len(t)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    lang_per_doc = np.asarray(
+        [lg or "english" for lg in langs], dtype=object
+    )
+    lang_per_tok = lang_per_doc[doc_idx]
+    uniq_langs = pd.unique(lang_per_doc)
+
+    # lemma string per token — computed per lang class (usually one)
+    tok_lemma = np.empty(total, dtype=object)
+    for lg in uniq_langs:
+        mask = lang_per_tok == lg
+        codes, uniq = pd.factorize(all_toks[mask])
+        lemmas_u = np.asarray(
+            [memo(w, lg) for w in uniq], dtype=object
+        )
+        tok_lemma[mask] = lemmas_u[codes]
+
+    lcodes, luniq = pd.factorize(tok_lemma)
+    luniq = np.asarray(luniq, dtype=object)
+    keep = luniq[lcodes] != ""
+    d = doc_idx[keep]
+    lc = lcodes[keep]
+    n_lemmas = len(luniq)
+    key = d * np.int64(n_lemmas) + lc
+    uk, tf = np.unique(key, return_counts=True)
+    out_doc = uk // n_lemmas
+    terms = luniq[uk % n_lemmas]
+    tf = tf.astype(np.int32)
+    bounds = np.searchsorted(out_doc, np.arange(n + 1, dtype=np.int64))
+    terms_list = [
+        terms[bounds[i]:bounds[i + 1]] if bounds[i] < bounds[i + 1]
+        else empty_obj
+        for i in range(n)
+    ]
+    tfs_list = [
+        tf[bounds[i]:bounds[i + 1]] if bounds[i] < bounds[i + 1]
+        else empty_tf
+        for i in range(n)
+    ]
+    return lens, terms_list, tfs_list
+
+
 @pandas_udf(_LEMMA_COUNTS_TYPE)
 def lemma_counts_udf(tokens: pd.Series, lang: pd.Series) -> pd.Series:
     """tokens array + lang -> array<struct<term,tf>> per row."""
-    out = []
-    memo = _lemmatize_memo
-    for toks, lg in zip(tokens, lang):
-        lg = lg or "english"
-        counts: Counter[str] = Counter()
-        if toks is not None:
-            for word in toks:
-                lemma = memo(word, lg)
-                if lemma:
-                    counts[lemma] += 1
-        out.append([{"term": t, "tf": c} for t, c in counts.items()])
-    return pd.Series(out)
+    _, terms_list, tfs_list = _batch_lemma_counts(
+        list(tokens), list(lang)
+    )
+    return pd.Series(
+        [
+            [
+                {"term": t, "tf": int(c)}
+                for t, c in zip(terms, tfs)
+            ]
+            for terms, tfs in zip(terms_list, tfs_list)
+        ]
+    )
 
 
 # T3+T4+T5+T6+T7 fully fused: text -> (doc_len, lemma counts) in ONE
@@ -145,31 +219,35 @@ def lemma_counts_udf(tokens: pd.Series, lang: pd.Series) -> pd.Series:
 # asserted by tests) means the build never materializes a tokens
 # array column — roughly half the cache footprint and Arrow traffic
 # per document, which is the scaling currency at corpus scale.
+# Counts are parallel primitive arrays (terms/tfs), not
+# array<struct>: pandas→Arrow conversion of numpy-array-valued list
+# columns skips the per-element dict boxing that dominated the
+# struct version's cost; build_postings re-zips them JVM-side.
 _ANALYZED_TYPE = T.StructType(
     [
         T.StructField("doc_len", T.IntegerType(), False),
-        T.StructField("counts", _LEMMA_COUNTS_TYPE, False),
+        T.StructField(
+            "terms", T.ArrayType(T.StringType(), False), False
+        ),
+        T.StructField(
+            "tfs", T.ArrayType(T.IntegerType(), False), False
+        ),
     ]
 )
 
 
 @pandas_udf(_ANALYZED_TYPE)
 def analyze_text_udf(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
-    memo = _lemmatize_memo
-    lens, counts_col = [], []
-    for txt, lg in zip(text, lang):
-        lg = lg or "english"
-        toks = tokenize_py(txt, lg)
-        counts: Counter[str] = Counter()
-        for word in toks:
-            lemma = memo(word, lg)
-            if lemma:
-                counts[lemma] += 1
-        lens.append(len(toks))
-        counts_col.append(
-            [{"term": t, "tf": c} for t, c in counts.items()]
-        )
-    return pd.DataFrame({"doc_len": lens, "counts": counts_col})
+    tok_lists = [
+        tokenize_py(txt, lg or "english")
+        for txt, lg in zip(text, lang)
+    ]
+    lens, terms_list, tfs_list = _batch_lemma_counts(
+        tok_lists, list(lang)
+    )
+    return pd.DataFrame(
+        {"doc_len": lens, "terms": terms_list, "tfs": tfs_list}
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -49,9 +49,15 @@ def build_postings(
         if "analyzed" in enriched.columns:
             # fused path (enrich_pages(compute_tokens=False)): counts
             # were produced together with doc_len in one Arrow pass
+            # as parallel primitive arrays — re-zipped JVM-side
             counts = enriched.select(
                 F.col(id_col),
-                F.explode(F.col("analyzed.counts")).alias("tc"),
+                F.explode(
+                    F.arrays_zip(
+                        F.col("analyzed.terms").alias("term"),
+                        F.col("analyzed.tfs").alias("tf"),
+                    )
+                ).alias("tc"),
             )
         else:
             counts = enriched.select(

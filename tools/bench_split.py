@@ -157,6 +157,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--pages-per-core", type=int, default=24000)
+    ap.add_argument("--runs", type=int, default=3,
+                    help="measured runs; the median-wall run is "
+                         "reported (shared-microVM noise is 1.5-2x "
+                         "run to run)")
     args = ap.parse_args()
     cpus = args.cpus
     pages = cpus * args.pages_per_core
@@ -206,17 +210,23 @@ def main() -> None:
         analyzer="lemma", n_segments=cpus * 2, resume=False,
     )
 
-    base = _proc_tree_cpu()
-    sampler = _Sampler()
-    sampler.start()
-    t0 = time.time()
-    summary = build_and_write(
-        spark, pages_df, os.path.join(tmp, "timed"),
-        analyzer="lemma", n_segments=cpus * 2, resume=False,
-    )
-    wall = time.time() - t0
-    sampler.stop()
-    end = _proc_tree_cpu()
+    runs = []
+    for ri in range(max(1, args.runs)):
+        base = _proc_tree_cpu()
+        sampler = _Sampler()
+        sampler.start()
+        t0 = time.time()
+        summary = build_and_write(
+            spark, pages_df, os.path.join(tmp, f"timed{ri}"),
+            analyzer="lemma", n_segments=cpus * 2, resume=False,
+        )
+        wall = time.time() - t0
+        sampler.stop()
+        end = _proc_tree_cpu()
+        runs.append((wall, summary, sampler, base, end, t0))
+
+    runs.sort(key=lambda r: r[0])
+    wall, summary, sampler, base, end, t0 = runs[len(runs) // 2]
 
     py_cpu = end["python"] - base["python"]
     jvm_cpu = end["jvm"] - base["jvm"]
@@ -258,6 +268,7 @@ def main() -> None:
         "pages": pages,
         "wall_s": round(wall, 2),
         "docs_per_sec": round(pages / wall, 1),
+        "runs_wall_s": [round(r[0], 2) for r in runs],
         "python_worker_cpu_s": round(py_cpu, 1),
         "jvm_cpu_s": round(jvm_cpu, 1),
         "python_share_of_busy": round(py_cpu / busy, 3) if busy else None,
