@@ -5,12 +5,13 @@ A large-scale training-data pipeline carries media next to text:
 provides the Spark-side machinery — schemas, Arrow batch shapes,
 ``mapInPandas`` decode/feature/resize/frame-sample operators.  The
 ``decoder="real"`` paths genuinely decode the formats parseable in
-pure numpy — binary PPM/PGM images and RIFF/WAVE PCM audio — and
+pure numpy/stdlib — binary PPM/PGM, baseline JPEG (functions/jpeg),
+PNG (functions/png, stdlib zlib) and RIFF/WAVE PCM audio — and
 compute real features (grayscale histograms, RMS/zero-crossings/
-spectral bands); compressed containers (JPEG/PNG/mp3/mp4) raise
-``NotImplementedError`` because the sandbox has no Pillow/torchaudio/
-PyAV — each is a one-function swap-in (`_decode_image_real`,
-`_decode_wav_real`).  ``decoder="fake"`` (default) derives
+spectral bands); the remaining compressed containers (progressive
+JPEG/mp3/mp4) raise ``NotImplementedError`` because the sandbox has
+no Pillow/torchaudio/PyAV — each is a one-function swap-in
+(`_decode_image_real`, `_decode_wav_real`).  ``decoder="fake"`` (default) derives
 deterministic pseudo-features from the bytes alone, for pipeline
 tests without media files.  Everything around the codecs — batching,
 schema, partitioning — is real and tested either way.
@@ -94,10 +95,14 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
         )
 
         return decode_baseline_jpeg(bytes(payload))
+    if magic == b"\x89P":
+        from search_engine_spark.functions.png import decode_png
+
+        return decode_png(bytes(payload))
     if magic not in (b"P6", b"P5"):
         raise NotImplementedError(
-            "real image decoding beyond PPM/PGM and baseline JPEG "
-            "requires Pillow/opencv — not available in this "
+            "real image decoding beyond PPM/PGM, PNG and baseline "
+            "JPEG requires Pillow/opencv — not available in this "
             "environment; use decoder='fake' or extend this function"
         )
     # header: magic, then 3 decimal fields (w, h, maxval) separated by
