@@ -165,40 +165,99 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 μ-law byte → linear int, exact (vectorized form of
+    the canonical ulaw2linear reference implementation)."""
+    u = (~codes).astype(np.int32) & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return np.where((u & 0x80) != 0, 0x84 - t, t - 0x84)
+
+
+def _alaw_decode(codes: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law byte → linear int, exact (vectorized form of
+    the canonical alaw2linear reference implementation)."""
+    a = codes.astype(np.int32) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where((a & 0x80) != 0, t, -t)
+
+
 def _decode_wav_real(payload: bytes) -> tuple[np.ndarray, int]:
-    """Real audio decode: RIFF/WAVE PCM (8/16-bit, any channel count)
-    parsed in pure numpy — no external library — returning
-    (mono float64 samples in [-1, 1], sample_rate).  Compressed
-    containers (mp3/ogg/aac) still raise ``NotImplementedError``
-    (torchaudio/ffmpeg is the swap-in there)."""
+    """Real audio decode: RIFF/WAVE parsed in pure numpy — no external
+    library — returning (mono float64 samples in [-1, 1],
+    sample_rate).  Formats: integer PCM 8/16/24/32-bit (fmt=1), IEEE
+    float 32/64 (fmt=3), G.711 A-law/μ-law (fmt=6/7), each also
+    behind a WAVE_FORMAT_EXTENSIBLE (0xFFFE) header; any channel
+    count (downmixed to mono).  Compressed codecs (mp3/ogg/aac) still
+    raise ``NotImplementedError`` (torchaudio/ffmpeg is the swap-in
+    there)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
             "real audio decoding beyond RIFF/WAVE PCM requires "
             "torchaudio/ffmpeg — not available in this environment; "
             "use decoder='fake' or extend this function"
         )
-    pos, fmt, data = 12, None, None
+    pos, fmt, fmt_body, data = 12, None, b"", None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = _struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = _struct.unpack("<HHIIHH", body[:16])
+            fmt_body = bytes(body)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("malformed WAV: missing fmt/data chunk")
     audio_fmt, n_ch, rate, _, _, bits = fmt
-    if audio_fmt != 1:
-        raise NotImplementedError("only PCM (fmt=1) WAV supported")
-    if bits == 16:
-        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
-    elif bits == 8:  # unsigned in WAV
-        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
-             - 128.0) / 128.0
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real format is
+        # the first two bytes of the SubFormat GUID (after the 2-byte
+        # cbSize, 2-byte valid-bits, 4-byte channel mask)
+        if len(fmt_body) < 26:
+            raise ValueError("malformed extensible WAV fmt chunk")
+        (audio_fmt,) = _struct.unpack("<H", fmt_body[24:26])
+    if audio_fmt == 1:  # integer PCM
+        if bits == 16:
+            x = (np.frombuffer(data, dtype="<i2").astype(np.float64)
+                 / 32768.0)
+        elif bits == 8:  # unsigned in WAV
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                 - 128.0) / 128.0
+        elif bits == 24:  # 3-byte little-endian two's complement
+            raw = np.frombuffer(
+                data, dtype=np.uint8, count=len(data) - len(data) % 3
+            ).reshape(-1, 3).astype(np.int32)
+            v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            v -= (v & 0x800000) << 1  # sign-extend bit 23
+            x = v.astype(np.float64) / 8388608.0
+        elif bits == 32:
+            x = (np.frombuffer(data, dtype="<i4").astype(np.float64)
+                 / 2147483648.0)
+        else:
+            raise NotImplementedError(f"{bits}-bit PCM not supported")
+    elif audio_fmt == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(f"{bits}-bit float not supported")
+    elif audio_fmt == 6:  # G.711 A-law
+        x = _alaw_decode(
+            np.frombuffer(data, dtype=np.uint8)
+        ).astype(np.float64) / 32768.0
+    elif audio_fmt == 7:  # G.711 μ-law
+        x = _mulaw_decode(
+            np.frombuffer(data, dtype=np.uint8)
+        ).astype(np.float64) / 32768.0
     else:
-        raise NotImplementedError(f"{bits}-bit PCM not supported")
+        raise NotImplementedError(
+            f"WAV format tag {audio_fmt} not supported (PCM/float/"
+            "G.711 only — compressed codecs need torchaudio/ffmpeg)"
+        )
     if n_ch > 1:
         x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
     return x, int(rate)

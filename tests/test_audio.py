@@ -91,3 +91,96 @@ def test_audio_features_fake_deterministic(spark):
     for k in a:
         assert a[k]["embedding"] == b[k]["embedding"]
         assert a[k]["duration_ms"] == b[k]["duration_ms"]
+
+
+# ---- G.711 / float / wide-PCM WAV variants --------------------------------
+
+
+def _wav(fmt_tag, bits, data: bytes, rate=8000, n_ch=1,
+         extensible=False) -> bytes:
+    import struct
+
+    if extensible:
+        sub = struct.pack("<H", fmt_tag) + b"\x00" * 14
+        body = struct.pack(
+            "<HHIIHH", 0xFFFE, n_ch, rate,
+            rate * n_ch * bits // 8, n_ch * bits // 8, bits,
+        ) + struct.pack("<HHI", 22, bits, 0) + sub
+    else:
+        body = struct.pack(
+            "<HHIIHH", fmt_tag, n_ch, rate,
+            rate * n_ch * bits // 8, n_ch * bits // 8, bits,
+        )
+    return (
+        b"RIFF" + struct.pack("<I", 20 + len(body) + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(body)) + body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _ulaw2linear_ref(u_val: int) -> int:
+    u_val = ~u_val & 0xFF
+    t = ((u_val & 0x0F) << 3) + 0x84
+    t <<= (u_val & 0x70) >> 4
+    return (0x84 - t) if (u_val & 0x80) else (t - 0x84)
+
+
+def _alaw2linear_ref(a_val: int) -> int:
+    a_val ^= 0x55
+    t = (a_val & 0x0F) << 4
+    seg = (a_val & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a_val & 0x80) else -t
+
+
+def test_g711_exhaustive_all_256_codes():
+    """Vectorized μ-law/A-law decode == the canonical scalar
+    reference on every possible byte value."""
+    codes = bytes(range(256))
+    for tag, ref in ((7, _ulaw2linear_ref), (6, _alaw2linear_ref)):
+        x, rate = _decode_wav_real(_wav(tag, 8, codes))
+        expect = np.array([ref(c) for c in range(256)]) / 32768.0
+        assert rate == 8000
+        assert np.allclose(x, expect, atol=0), (tag, x[:4], expect[:4])
+
+
+def test_float_and_wide_pcm_wav():
+    import struct
+
+    ref = np.sin(np.linspace(0, 20, 500))
+    x, _ = _decode_wav_real(
+        _wav(3, 32, ref.astype("<f4").tobytes())
+    )
+    assert np.allclose(x, ref, atol=1e-6)
+    x, _ = _decode_wav_real(_wav(3, 64, ref.astype("<f8").tobytes()))
+    assert np.array_equal(x, ref)
+    # 32-bit int PCM
+    i32 = (ref * 2147483647).astype("<i4")
+    x, _ = _decode_wav_real(_wav(1, 32, i32.tobytes()))
+    assert np.allclose(x, ref, atol=1e-8)
+    # 24-bit PCM incl. negative values (sign extension)
+    vals = np.array([0, 1, -1, 8388607, -8388608, 123456, -654321])
+    raw = b"".join(
+        struct.pack("<i", int(v) << 8)[1:] for v in vals
+    )
+    x, _ = _decode_wav_real(_wav(1, 24, raw))
+    assert np.array_equal(x * 8388608.0, vals.astype(float))
+
+
+def test_extensible_wav_header():
+    codes = bytes(range(256))
+    direct, _ = _decode_wav_real(_wav(7, 8, codes))
+    ext, _ = _decode_wav_real(_wav(7, 8, codes, extensible=True))
+    assert np.array_equal(direct, ext)
+
+
+def test_unsupported_codec_rejected():
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="format tag"):
+        _decode_wav_real(_wav(0x55, 16, b"\x00" * 32))  # mp3-in-wav
