@@ -99,11 +99,16 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
         from search_engine_spark.functions.png import decode_png
 
         return decode_png(bytes(payload))
+    if magic == b"GI":
+        from search_engine_spark.functions.gif import decode_gif
+
+        return decode_gif(bytes(payload))
     if magic not in (b"P6", b"P5"):
         raise NotImplementedError(
-            "real image decoding beyond PPM/PGM, PNG and baseline "
-            "JPEG requires Pillow/opencv — not available in this "
-            "environment; use decoder='fake' or extend this function"
+            "real image decoding beyond PPM/PGM, PNG, GIF and "
+            "baseline JPEG requires Pillow/opencv — not available in "
+            "this environment; use decoder='fake' or extend this "
+            "function"
         )
     # header: magic, then 3 decimal fields (w, h, maxval) separated by
     # whitespace/comments, then ONE whitespace byte, then the raster
