@@ -15,11 +15,14 @@ RecursiveWebParser.java:94-117, LemmaServiceImpl.java:103-115):
     vacuum                                physical rewrite, drop
                                           tombstones, re-arm WAND
     expire                                delete generation dirs
-                                          retired by the last commit
-                                          (snapshot retention cleanup
-                                          without running another op)
+                                          retired by earlier commits
+                                          (honors snapshot_retention)
+    retention --keep N                    keep the last N past
+                                          generations readable for
+                                          time-travel (open_index_at)
     status                                print the committed snapshot
-                                          descriptor summary
+                                          descriptor summary +
+                                          archived snapshot list
 
 Every op commits through the atomic stats.json snapshot flip
 (plans/incremental.py) — concurrent readers keep a consistent index.
@@ -54,6 +57,10 @@ def main(argv: list[str] | None = None) -> None:
     p_merge.add_argument("--min-epochs", type=int, default=2)
     sub.add_parser("vacuum")
     sub.add_parser("expire")
+    p_ret = sub.add_parser("retention")
+    p_ret.add_argument("--keep", type=int, required=True,
+                       help="past generations kept readable for "
+                            "open_index_at (0 = current only)")
     sub.add_parser("status")
     args = ap.parse_args(argv)
 
@@ -102,22 +109,15 @@ def main(argv: list[str] | None = None) -> None:
     elif args.op == "vacuum":
         res = vacuum(spark, out)
     elif args.op == "expire":
-        import os
+        from search_engine_spark.plans.incremental import expire_now
 
-        from search_engine_spark import fsutil
+        res = {"expired": expire_now(out)}
+    elif args.op == "retention":
         from search_engine_spark.plans.incremental import (
-            _commit,
-            _stats,
+            set_snapshot_retention,
         )
 
-        meta = _stats(out)
-        retired = list(meta.get("retired") or [])
-        for rel in retired:
-            fsutil.delete(os.path.join(out, rel))
-        meta["retired"] = []
-        if retired:
-            _commit(out, meta)
-        res = {"expired": retired}
+        res = set_snapshot_retention(out, args.keep)
     else:  # status
         meta = load_stats(spark, out)
         res = {
@@ -129,7 +129,13 @@ def main(argv: list[str] | None = None) -> None:
             "paths": meta.get("paths"),
             "retired": meta.get("retired"),
             "append_epoch": meta.get("append_epoch", 0),
+            "snapshot_retention": meta.get("snapshot_retention", 0),
         }
+        from search_engine_spark.plans.incremental import (
+            list_snapshots,
+        )
+
+        res["snapshots"] = list_snapshots(spark, out)
 
     meta = load_stats(spark, out)
     res["gen"] = meta.get("gen", 0)

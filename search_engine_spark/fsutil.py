@@ -90,6 +90,16 @@ def delete(path: str, spark: SparkSession | None = None) -> bool:
     return bool(jfs.delete(jpath, True))
 
 
+def listdir(path: str, spark: SparkSession | None = None) -> list[str]:
+    """Child names of a directory (non-recursive); raises if the
+    path does not exist."""
+    spark = _session(spark)
+    jfs, jpath = _fs(spark, path)
+    return [
+        s.getPath().getName() for s in jfs.listStatus(jpath)
+    ]
+
+
 def rename(src: str, dst: str, spark: SparkSession | None = None) -> None:
     spark = _session(spark)
     jfs, jsrc = _fs(spark, src)

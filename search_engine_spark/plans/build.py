@@ -191,39 +191,40 @@ def build_and_write(
             ]
             for f in futs:
                 f.result()
-        fsutil.write_text(
-            stats_path,
-            json.dumps(
-                {
-                    "n_docs": index.n_docs,
-                    "avg_len": index.avg_len,
-                    "blocks_avg_len": index.avg_len,
-                    "stoplist": list(index.stoplist),
-                    "analyzer": analyzer,
-                    "id_col": "url",
-                    "n_buckets": n_buckets,
-                    "block_size": config.block_size,
-                    "k1": config.bm25.k1,
-                    "b": config.bm25.b,
-                    "stoplist_size": config.stoplist_size,
-                    "shard_df_threshold": config.shard_df_threshold,
-                    # recorded so maintenance (vacuum / append) can
-                    # rebuild with the SAME salting/sharding params as
-                    # the original build (N1/N4 invariants survive)
-                    "postings_per_shard": postings_per_shard,
-                    "n_segments": n_segments,
-                    "doc_id_codec": config.doc_id_codec,
-                    # snapshot protocol (plans/incremental.py):
-                    # per-table data locations + visible delta epochs,
-                    # committed by atomic stats.json replacement
-                    "gen": 0,
-                    "paths": {},
-                    "delta_epochs": [],
-                    "retired": [],
-                },
-            ),
-            spark,
+        meta0 = {
+            "n_docs": index.n_docs,
+            "avg_len": index.avg_len,
+            "blocks_avg_len": index.avg_len,
+            "stoplist": list(index.stoplist),
+            "analyzer": analyzer,
+            "id_col": "url",
+            "n_buckets": n_buckets,
+            "block_size": config.block_size,
+            "k1": config.bm25.k1,
+            "b": config.bm25.b,
+            "stoplist_size": config.stoplist_size,
+            "shard_df_threshold": config.shard_df_threshold,
+            # recorded so maintenance (vacuum / append) can
+            # rebuild with the SAME salting/sharding params as
+            # the original build (N1/N4 invariants survive)
+            "postings_per_shard": postings_per_shard,
+            "n_segments": n_segments,
+            "doc_id_codec": config.doc_id_codec,
+            # snapshot protocol (plans/incremental.py):
+            # per-table data locations + visible delta epochs,
+            # committed by atomic stats.json replacement
+            "gen": 0,
+            "paths": {},
+            "delta_epochs": [],
+            "retired": [],
+        }
+        fsutil.write_text(stats_path, json.dumps(meta0), spark)
+        # time-travel anchor: gen-0 descriptor (open_index_at)
+        from search_engine_spark.plans.incremental import (
+            archive_snapshot,
         )
+
+        archive_snapshot(out_dir, meta0)
     mark("stats_tables")
 
     # prune to missing buckets BEFORE the term shuffle (resume path)

@@ -95,14 +95,74 @@ def _gen_rel(table: str, gen: int) -> str:
 
 
 def _expire_retired(out_dir: str, meta: dict) -> None:
-    """Delete data dirs retired by the PREVIOUS commit (snapshot
+    """Delete data dirs retired by PREVIOUS commits (default snapshot
     retention = one maintenance interval: a reader that loaded the
     pre-previous descriptor has had a full op's lifetime to finish).
     Runs at the START of every maintenance op, before any new write —
-    the Iceberg expire_snapshots analog."""
-    for rel in meta.get("retired") or []:
-        fsutil.delete(os.path.join(out_dir, rel))
-    meta["retired"] = []
+    the Iceberg expire_snapshots analog.
+
+    With ``snapshot_retention = N > 0`` (see
+    :func:`set_snapshot_retention`), dirs referenced by the last N
+    archived generation descriptors survive expiry, keeping those
+    generations readable via :func:`open_index_at`; they stay on the
+    ``retired`` list and are deleted once they age out of the
+    window."""
+    retired = list(meta.get("retired") or [])
+    if not retired:
+        meta["retired"] = []
+        return
+    keep = int(meta.get("snapshot_retention", 0))
+    referenced: set[str] = set()
+    if keep > 0:
+        cur_gen = int(meta.get("gen", 0))
+        for g in range(max(0, cur_gen - keep), cur_gen):
+            try:
+                m = json.loads(
+                    fsutil.read_text(
+                        os.path.join(
+                            out_dir, SNAPSHOT_DIR, f"gen-{g}.json"
+                        )
+                    )
+                )
+            except Exception:
+                continue
+            paths = m.get("paths") or {}
+            for t in (
+                "index", "docs", "term_stats", "site_stats",
+                "index_deltas", "tombstones",
+            ):
+                referenced.add(paths.get(t, t))
+    still = []
+    for rel in retired:
+        if rel in referenced:
+            still.append(rel)
+        else:
+            fsutil.delete(os.path.join(out_dir, rel))
+    meta["retired"] = still
+
+
+def expire_now(out_dir: str) -> list[str]:
+    """Run snapshot expiry immediately (the maintain CLI's ``expire``
+    op) instead of waiting for the next maintenance op.  Honors
+    ``snapshot_retention``.  Returns the dirs actually deleted."""
+    meta = _stats(out_dir)
+    before = list(meta.get("retired") or [])
+    _expire_retired(out_dir, meta)
+    gone = [r for r in before if r not in (meta.get("retired") or [])]
+    if gone:
+        _commit(out_dir, meta)
+    return gone
+
+
+def set_snapshot_retention(out_dir: str, keep: int) -> dict:
+    """Keep the last ``keep`` PAST generations readable for
+    :func:`open_index_at` (0 = only the current generation is
+    guaranteed — the default).  Commits a new generation so the
+    setting itself is snapshot-recorded."""
+    meta = _stats(out_dir)
+    meta["snapshot_retention"] = int(keep)
+    _commit(out_dir, meta)
+    return {"snapshot_retention": int(keep), "gen": meta["gen"]}
 
 
 def _commit(
@@ -127,6 +187,80 @@ def _commit(
         set(meta.get("retired") or []) | {r for r in retire if r}
     )
     _write_stats(out_dir, meta)
+    archive_snapshot(out_dir, meta)
+
+
+SNAPSHOT_DIR = "snapshots"
+
+
+def archive_snapshot(out_dir: str, meta: dict) -> None:
+    """Keep a per-generation copy of the committed descriptor
+    (``snapshots/gen-N.json``) — the Iceberg metadata-file analog.
+    Descriptors are tiny and kept forever; a generation stays READABLE
+    only until a later op's :func:`_expire_retired` deletes a data dir
+    it references (validated at :func:`snapshot_descriptor` time)."""
+    fsutil.write_text(
+        os.path.join(out_dir, SNAPSHOT_DIR, f"gen-{int(meta.get('gen', 0))}.json"),
+        json.dumps(meta),
+    )
+
+
+def snapshot_descriptor(out_dir: str, gen: int | None = None) -> dict:
+    """The committed descriptor of generation ``gen`` (current when
+    None), validated: every data dir the snapshot references must
+    still exist, else ``SnapshotExpiredError`` names what's gone."""
+    cur = _stats(out_dir)
+    if gen is None or int(gen) == int(cur.get("gen", 0)):
+        return cur
+    path = os.path.join(out_dir, SNAPSHOT_DIR, f"gen-{int(gen)}.json")
+    try:
+        meta = json.loads(fsutil.read_text(path))
+    except Exception:
+        raise SnapshotExpiredError(
+            f"no archived descriptor for generation {gen} "
+            f"(snapshots are archived from the first maintenance "
+            f"commit on; current gen is {cur.get('gen', 0)})"
+        ) from None
+    missing = []
+    for table in ("index", "docs", "term_stats", "site_stats"):
+        rel = (meta.get("paths") or {}).get(table, table)
+        if not fsutil.exists(os.path.join(out_dir, rel)):
+            missing.append(rel)
+    deltas_rel = (meta.get("paths") or {}).get(
+        "index_deltas", "index_deltas"
+    )
+    for ep in meta.get("delta_epochs") or []:
+        if not fsutil.exists(os.path.join(out_dir, deltas_rel, ep)):
+            missing.append(f"{deltas_rel}/{ep}")
+    if missing:
+        raise SnapshotExpiredError(
+            f"generation {gen} is expired: data dirs "
+            f"{sorted(missing)} were retired by a later maintenance "
+            f"op (retention = one maintenance interval)"
+        )
+    return meta
+
+
+class SnapshotExpiredError(RuntimeError):
+    """A time-travel read referenced a generation whose data dirs
+    have been expired (or never archived)."""
+
+
+def list_snapshots(spark: SparkSession, out_dir: str) -> list[int]:
+    """Archived generation numbers, ascending (current committed gen
+    is always implicitly readable even when not in this list)."""
+    import re as _re
+
+    try:
+        names = fsutil.listdir(os.path.join(out_dir, SNAPSHOT_DIR), spark)
+    except Exception:
+        return []
+    out = []
+    for n in names:
+        m = _re.fullmatch(r"gen-(\d+)\.json", n.rsplit("/", 1)[-1])
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
 
 
 def read_tombstones(
@@ -733,6 +867,39 @@ def open_index(spark: SparkSession, out_dir: str):
     straddle a concurrent maintenance commit and mix generations."""
     meta = _stats(out_dir)
     cidx = load_compact_index(spark, out_dir, meta)
+    tomb = read_tombstones(spark, out_dir, meta)
+    if tomb is not None:
+        cidx.tombstones = tomb
+        cidx.doc_map = cidx.doc_map.join(
+            F.broadcast(tomb.select("doc_id")), "doc_id", "left_anti"
+        )
+    return cidx
+
+
+def open_index_at(spark: SparkSession, out_dir: str, gen: int):
+    """Time-travel read: load the index exactly as generation ``gen``
+    committed it (Iceberg snapshot-read analog).
+
+    The archived descriptor pins every table path, the visible delta
+    epochs, n_docs/avg_len/stoplist and the tombstone set of that
+    generation.  Two in-place-additive structures need masking:
+
+    - ``docs`` rows appended AFTER the snapshot (their postings live
+      in epochs the descriptor doesn't list) are filtered by the
+      archived ``next_id_segment`` id cursor — every post-snapshot
+      doc_id sits in a segment at or above it;
+    - delta epoch dirs written after the snapshot are inside the same
+      deltas dir but absent from the descriptor's ``delta_epochs``
+      list, so :func:`read_segments` never reads them.
+
+    Raises :class:`SnapshotExpiredError` when a later op has expired
+    a data dir the snapshot references (retention = one maintenance
+    interval; vacuum/merge rewrite tables into fresh generation dirs
+    and retire the old ones)."""
+    meta = snapshot_descriptor(out_dir, gen)
+    cidx = load_compact_index(spark, out_dir, meta)
+    id_ceiling = int(meta.get("next_id_segment", 1 << 20)) << 40
+    cidx.doc_map = cidx.doc_map.filter(F.col("doc_id") < id_ceiling)
     tomb = read_tombstones(spark, out_dir, meta)
     if tomb is not None:
         cidx.tombstones = tomb
