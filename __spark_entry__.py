@@ -290,6 +290,14 @@ def _incremental_dir(spark: SparkSession, sf_dir: str) -> str:
         spark, base.drop("doc_id"), out,
         analyzer="tokens", config=config, n_segments=8,
     )
+    # keep every lifecycle generation readable: checkpoint 3 below
+    # time-travels back to gen 1 (the base corpus) after all
+    # mutations.  This is itself the commit that becomes gen 1.
+    from search_engine_spark.plans.incremental import (
+        set_snapshot_retention,
+    )
+
+    set_snapshot_retention(out, 16)
     for parity in (8, 9):
         append_pages(
             spark, out,
@@ -310,7 +318,7 @@ def _incremental_dir(spark: SparkSession, sf_dir: str) -> str:
 
     nat = F.regexp_extract(F.col("url"), r"([0-9]+)$", 1).cast("long")
 
-    def _nat_postings(segs, tomb=None):
+    def _nat_postings(segs, tomb=None, meta=None):
         # tombstones anti-join on the DENSE id (a reindexed url's old
         # and new versions share the natural id — only the old dense
         # id is dead), exactly as the query path applies them
@@ -324,8 +332,15 @@ def _incremental_dir(spark: SparkSession, sf_dir: str) -> str:
             table_path,
         )
 
-        docs_map = spark.read.parquet(
-            table_path(out, "docs", load_stats(spark, out))
+        if meta is None:
+            meta = load_stats(spark, out)
+        docs_map = spark.read.parquet(table_path(out, "docs", meta))
+        # time-travel mask: the docs table is additive in place, so a
+        # snapshot read filters by its archived id-segment cursor
+        # (open_index_at applies the same ceiling)
+        docs_map = docs_map.filter(
+            F.col("doc_id")
+            < (int(meta.get("next_id_segment", 1 << 20)) << 40)
         )
         return posts.join(docs_map.select("doc_id", "url"), "doc_id").select(
             nat.alias("doc_id"), "term",
@@ -344,6 +359,25 @@ def _incremental_dir(spark: SparkSession, sf_dir: str) -> str:
     _nat_postings(read_segments(spark, out)).write.mode(
         "overwrite"
     ).parquet(os.path.join(out, "check_postings_final"))
+
+    # checkpoint 3: TIME TRAVEL — generation 1 (base corpus, before
+    # any append/tombstone/reindex) read back through the archived
+    # snapshot descriptor AFTER all mutations ran.  snapshot_retention
+    # was raised right after the build, so vacuum's expiry kept the
+    # gen-1 dirs; the oracle recomputes postings from the ORIGINAL
+    # doc_id%10<8 corpus slice.
+    from search_engine_spark.plans.incremental import (
+        snapshot_descriptor,
+    )
+
+    meta1 = snapshot_descriptor(out, 1)
+    _nat_postings(
+        read_segments(spark, out, meta1),
+        read_tombstones(spark, out, meta1),
+        meta=meta1,
+    ).write.mode("overwrite").parquet(
+        os.path.join(out, "check_postings_gen1")
+    )
 
     _INCR_CACHE[key] = out
     return out
@@ -2229,6 +2263,20 @@ _INCR_POSTINGS_SQL = f"""
 WITH {_INCR_DOCS}, {_INCR_TOKS}
 SELECT doc_id, term, count(*) AS tf FROM itoks GROUP BY 1, 2
 """
+_TIME_TRAVEL_POSTINGS_SQL = f"""
+WITH base_docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+btoks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(
+             trim(regexp_replace(lower(text), '[^a-z\\s]', ' ', 'g')),
+             '\\s+'),
+           t -> t <> '')) AS term
+  FROM base_docs)
+SELECT doc_id, term, count(*) AS tf FROM btoks GROUP BY 1, 2
+"""
+
 _INCR_TSTATS_SQL = f"""
 WITH {_INCR_DOCS}, {_INCR_TOKS},
 ipostings AS (
@@ -3023,6 +3071,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _incremental_dir(spark, sf)
         return spark.read.parquet(
             os.path.join(out, "check_postings_final")
+        )
+
+    def time_travel_postings_q(spark, sf):
+        """Snapshot time travel (plans/incremental.open_index_at):
+        after the FULL maintenance lifecycle (append×2, tombstone,
+        reindex, merge, vacuum), generation 1 — the untouched base
+        corpus — is read back through its archived descriptor; the
+        oracle recomputes those postings from the original
+        doc_id%10<8 corpus slice.  Green means the snapshot masks
+        (archived paths + delta-epoch list + id-segment cursor +
+        per-gen tombstones) are exact."""
+        out = _incremental_dir(spark, sf)
+        return spark.read.parquet(
+            os.path.join(out, "check_postings_gen1")
         )
 
     def incremental_term_stats_q(spark, sf):
@@ -5510,6 +5572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets_assembly_cut": snippets_assembly_cut_q,
         "snippets_fixed_idf": snippets_fixed_idf_q,
         "incremental_postings": incremental_postings_q,
+        "time_travel_postings": time_travel_postings_q,
         "incremental_vacuum_postings": incremental_vacuum_postings_q,
         "incremental_term_stats": incremental_term_stats_q,
         "bm25_not_topk": bm25_not_topk,
@@ -6215,6 +6278,7 @@ def oracle_sql() -> dict[str, str]:
             lemma_terms, lemma_cte, "d.text", SNIP_FIXED_IDF
         ),
         "incremental_postings": _INCR_POSTINGS_SQL,
+        "time_travel_postings": _TIME_TRAVEL_POSTINGS_SQL,
         "incremental_vacuum_postings": _INCR_POSTINGS_SQL,
         "incremental_term_stats": _INCR_TSTATS_SQL,
         "bm25_not_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10, exclude=["window"]),

@@ -76,6 +76,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="attach highlighted snippets (requires --pages)")
     ap.add_argument("--pages", default=None,
                     help="corpus path (url, text, lang) for snippet text")
+    ap.add_argument("--at-gen", type=int, default=None,
+                    help="time-travel: query the index as of this "
+                         "committed generation (archived snapshot; "
+                         "retention via 'maintain_index retention')")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -95,6 +99,9 @@ def main(argv: list[str] | None = None) -> None:
         if args.ranker != "bm25" or args.bool_query or args.snippets:
             ap.error("federated (multiple --index) supports the "
                      "default bm25 ranker without --bool/--snippets")
+        if args.at_gen is not None:
+            ap.error("--at-gen reads one index (no federated "
+                     "time-travel)")
         analyzers = {cidx_analyzer(spark, d) for d in index_dirs}
         if len(analyzers) > 1:
             ap.error(f"indexes use different analyzers: {analyzers}")
@@ -111,7 +118,14 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     args.index = index_dirs[0]
-    cidx = load_compact_index(spark, args.index)
+    if args.at_gen is not None:
+        from search_engine_spark.plans.incremental import (
+            open_index_at,
+        )
+
+        cidx = open_index_at(spark, args.index, args.at_gen)
+    else:
+        cidx = load_compact_index(spark, args.index)
     if args.ranker != "bm25" and args.bool_query:
         ap.error("--bool composes with the default bm25 ranker only")
     if args.ranker == "maxscore":
