@@ -310,9 +310,12 @@ def test_cli_maintenance_lifecycle(spark, index_dir, tmp_path, capsys):
         return json.loads(out.strip().splitlines()[-1])
 
     st0 = run(["--index", idx, "status"])
+    # keep every lifecycle generation readable (itself one commit)
+    ret = run(["--index", idx, "retention", "--keep", "8"])
+    assert ret["snapshot_retention"] == 8
     appended = run(["--index", idx, "append", "--input", extra_path])
     assert appended["appended"] == 40
-    assert appended["gen"] == st0["gen"] + 1
+    assert appended["gen"] == st0["gen"] + 2
 
     urls_file = tmp_path / "dead.txt"
     dead = [
@@ -332,9 +335,12 @@ def test_cli_maintenance_lifecycle(spark, index_dir, tmp_path, capsys):
     st1 = run(["--index", idx, "status"])
     assert st1["n_docs"] == st0["n_docs"] + 40 - 4
     assert st1["retired"], "vacuum should leave a retired generation"
+    assert st1["snapshots"] == list(range(st1["gen"] + 1))
+    # retention --keep 8 covers every lifecycle generation: expire
+    # must delete nothing and gen 0 must stay readable (below)
     exp = run(["--index", idx, "expire"])
-    assert exp["expired"] == st1["retired"]
-    assert run(["--index", idx, "status"])["retired"] == []
+    assert exp["expired"] == []
+    assert run(["--index", idx, "status"])["retired"] == st1["retired"]
 
     # the maintained index still answers rank-identically to a direct
     # library query
@@ -350,3 +356,12 @@ def test_cli_maintenance_lifecycle(spark, index_dir, tmp_path, capsys):
             open_index(spark, idx), QUERY, limit=5, analyzer="tokens"
         ),
     )
+
+    # time-travel through the CLI: gen 0 predates the append, so no
+    # ?m=1 url can appear (current-gen results above may contain them)
+    tt = _run_search(
+        capsys,
+        ["--index", idx, "--query", QUERY, "--limit", "20",
+         "--at-gen", "0"],
+    )
+    assert tt and all("?m=1" not in r["url"] for r in tt)
