@@ -1473,6 +1473,54 @@ def _cms_md5_sql(toks_list: str, keys: list[str], depth: int = 5,
 """
 
 
+def _hll_md5_ctes(lg_k: int = 8) -> str:
+    """CTE chain ending in ``reg(lang, bucket, rho)`` — DuckDB mirror
+    of operators/sketches.hll_registers_md5 over the documents table:
+    bucket = top lg_k bits of the 60-bit md5-substring hash of
+    doc_id, rho = leading zeros of the remaining w bits + 1."""
+    w = 60 - lg_k
+    mask = (1 << w) - 1
+    return f"""
+            h AS (SELECT lang,
+                         ('0x' || substr(md5(doc_id::VARCHAR), 18, 15))
+                             ::BIGINT AS h
+                  FROM documents),
+            r AS (SELECT lang, h >> {w} AS bucket,
+                         CASE WHEN (h & {mask}) = 0 THEN {w + 1}
+                              ELSE {w} - length(bin(h & {mask})) + 1
+                         END AS rho
+                  FROM h),
+            reg AS (SELECT lang, bucket,
+                           CAST(max(rho) AS INTEGER) AS rho
+                    FROM r GROUP BY lang, bucket)
+"""
+
+
+def _hll_md5_estimate_sql(lg_k: int = 8) -> str:
+    """Estimator over the register CTE — the exact double constants
+    the Spark side uses (alpha·m² and 2.5·m inlined via repr) so both
+    engines run identical IEEE arithmetic."""
+    m = 1 << lg_k
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / m)) * m * m
+    return f"""
+            WITH {_hll_md5_ctes(lg_k)},
+            agg AS (SELECT lang,
+                           sum(power(2.0, -rho)) AS s,
+                           count(*) AS nz
+                    FROM reg GROUP BY lang),
+            raws AS (SELECT lang,
+                            {alpha_m2!r} / (s + ({m} - nz)) AS raw,
+                            {m} - nz AS zeros
+                     FROM agg)
+            SELECT lang,
+                   round(CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+                              THEN {float(m)!r}
+                                   * ln({float(m)!r} / zeros)
+                              ELSE raw END, 6) AS est
+            FROM raws
+"""
+
+
 def _simhash_md5_ctes(toks_list: str) -> str:
     """CTE chain ending in ``sig(doc_id, simhash)`` — DuckDB mirror
     of simhash_table(hash_method='md5'): 60-bit signatures from
@@ -5458,6 +5506,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang", F.col("est").cast("long").alias("est")
         )
 
+    def hll_registers_md5_q(spark, sf):
+        """SQL-reproducible HLL twin (Flajolet 2007 register table
+        over the CMS md5-substring hash idiom) — every register is
+        DuckDB-recomputed; the production DataSketches path above
+        keeps the same one-groupBy merge-by-MAX shape."""
+        from search_engine_spark.operators.sketches import (
+            hll_registers_md5,
+        )
+
+        docs = _read(spark, sf, "documents")
+        return hll_registers_md5(docs, "doc_id", ["lang"], lg_k=8)
+
+    def hll_estimate_md5_q(spark, sf):
+        """Distinct-count estimates from the md5 register table (raw
+        harmonic-mean estimator + linear-counting small-range
+        correction), hash-checked against DuckDB to 1e-6."""
+        from search_engine_spark.operators.sketches import (
+            hll_estimate_md5,
+            hll_registers_md5,
+        )
+
+        docs = _read(spark, sf, "documents")
+        reg = hll_registers_md5(docs, "doc_id", ["lang"], lg_k=8)
+        return hll_estimate_md5(reg, ["lang"], lg_k=8).select(
+            "lang", F.round("est", 6).alias("est")
+        )
+
     def boilerplate_lines(spark, sf):
         # synthesized multi-line docs: per-site recurring footer
         # (dropped), a corpus-wide banner recurring in every doc of
@@ -5724,6 +5799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": bpe_merges_q,
         "unigram_vocab": unigram_vocab_q,
         "hll_distinct_per_lang": hll_distinct_per_lang,
+        "hll_registers_md5": hll_registers_md5_q,
+        "hll_estimate_md5": hll_estimate_md5_q,
     }
 
 
@@ -6640,6 +6717,11 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
         "cms_counts_md5": _cms_md5_sql(
             toks_list, FLAGSHIP_TERMS + ["zzz_absent"]
         ),
+        "hll_registers_md5": f"""
+            WITH {_hll_md5_ctes(lg_k=8)}
+            SELECT lang, bucket, rho FROM reg
+        """,
+        "hll_estimate_md5": _hll_md5_estimate_sql(lg_k=8),
         "simhash_pairs_md5": _simhash_md5_pairs_sql(
             toks_list, bands=4, max_hamming=3
         ),

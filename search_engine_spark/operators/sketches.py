@@ -199,6 +199,88 @@ def hll_error_bound(lg_k: int = 12) -> float:
     return 1.04 / (2 ** (lg_k / 2))
 
 
+# --- SQL-reproducible HLL twin (Flajolet et al. 2007, md5 hashing) ---
+# The DataSketches sketches above are the production path (binary,
+# JVM-side), but their register layout is opaque to an external
+# oracle.  This twin keeps the exact same distributed shape — one
+# map-side-combined groupBy producing a ≤2^lg_k-row register table
+# that merges by MAX — while deriving bucket and rank from the same
+# md5-substring-integer idiom as cms_build(hash_method='md5'), so
+# DuckDB recomputes every register (and the estimate) bit-for-bit.
+
+HLL_HASH_BITS = 60  # 15 md5 hex chars, same substring as the CMS
+
+
+def hll_registers_md5(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    lg_k: int = 8,
+) -> DataFrame:
+    """``(*group_cols, bucket, rho)`` — classic HLL register table:
+    bucket = top ``lg_k`` bits of the 60-bit md5 hash, rho = leading
+    zeros of the remaining ``w`` bits + 1 (``w+1`` when they are all
+    zero).  Only occupied buckets appear (rho ≥ 1); estimators treat
+    absent buckets as empty registers."""
+    w = HLL_HASH_BITS - lg_k
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 18, 15),
+        16, 10,
+    ).cast("long")
+    v = h.bitwiseAND(F.lit((1 << w) - 1))
+    # bin() drops leading zeros in both Spark and DuckDB (bin(0)='0',
+    # hence the explicit v=0 branch): rho = w - bitlength(v) + 1
+    rho = F.when(v == 0, F.lit(w + 1)).otherwise(
+        F.lit(w) - F.length(F.bin(v)) + F.lit(1)
+    )
+    cells = df.select(
+        *(group_cols or []),
+        F.shiftright(h, w).alias("bucket"),
+        rho.cast("int").alias("rho"),
+    )
+    return cells.groupBy(*(group_cols or []), "bucket").agg(
+        F.max("rho").alias("rho")
+    )
+
+
+def hll_merge_md5(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merged register table — HLL registers merge by per-bucket MAX,
+    so per-segment partials roll up without re-scanning data."""
+    return (
+        a.unionByName(b)
+        .groupBy(*(group_cols or []), "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate_md5(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    lg_k: int = 8,
+    out_col: str = "est",
+) -> DataFrame:
+    """``(*group_cols, est: double)`` — the standard HLL estimator
+    over an ``hll_registers_md5`` table: raw = α·m²/Σ2^(−rho) (absent
+    buckets contribute 2^0), with Flajolet's linear-counting
+    correction m·ln(m/V) when raw ≤ 2.5·m and V>0 empty buckets
+    remain.  Pure column expressions — DuckDB mirrors it verbatim."""
+    m = 1 << lg_k
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = registers.groupBy(*(group_cols or [])).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_s"),
+        F.count(F.lit(1)).alias("_nz"),
+    )
+    zeros = F.lit(m) - F.col("_nz")
+    raw = F.lit(alpha * m * m) / (F.col("_s") + zeros)
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(*(group_cols or []), est.alias(out_col))
+
+
 # ---------------------------------------------------------------------------
 # dyadic Count-Min quantile sketches (Cormode & Muthukrishnan 2005 §4.2)
 # ---------------------------------------------------------------------------

@@ -192,3 +192,69 @@ def test_quantile_clamps_domain(spark):
     sk = quantile_build(df, "v")
     q = quantile_query(sk, [0.5])
     assert 0 <= q[0.5] <= (1 << 20) - 1
+
+
+# --- md5-register HLL twin (SQL-reproducible) ---
+
+
+def test_hll_md5_estimate_within_bound(spark):
+    import math
+
+    from search_engine_spark.operators.sketches import (
+        hll_estimate_md5,
+        hll_registers_md5,
+    )
+
+    n = 3000
+    df = spark.createDataFrame(
+        [(f"doc-{i}", "ru" if i % 3 else "en") for i in range(n)],
+        "key string, lang string",
+    )
+    reg = hll_registers_md5(df, "key", ["lang"], lg_k=8)
+    est = {
+        r["lang"]: r["est"]
+        for r in hll_estimate_md5(reg, ["lang"], lg_k=8).collect()
+    }
+    true = {"en": n // 3, "ru": n - n // 3}
+    rse = 1.04 / math.sqrt(256)
+    for lang, t in true.items():
+        assert abs(est[lang] - t) / t < 4 * rse, (lang, est[lang], t)
+
+
+def test_hll_md5_merge_equals_whole(spark):
+    from search_engine_spark.operators.sketches import (
+        hll_merge_md5,
+        hll_registers_md5,
+    )
+
+    rows = [(f"k{i}",) for i in range(1200)]
+    whole = spark.createDataFrame(rows, "key string")
+    a = spark.createDataFrame(rows[:700], "key string")
+    b = spark.createDataFrame(rows[500:], "key string")  # overlap
+    want = sorted(
+        (r["bucket"], r["rho"])
+        for r in hll_registers_md5(whole, "key", lg_k=6).collect()
+    )
+    got = sorted(
+        (r["bucket"], r["rho"])
+        for r in hll_merge_md5(
+            hll_registers_md5(a, "key", lg_k=6),
+            hll_registers_md5(b, "key", lg_k=6),
+        ).collect()
+    )
+    assert got == want
+
+
+def test_hll_md5_small_range_linear_counting_is_near_exact(spark):
+    from search_engine_spark.operators.sketches import (
+        hll_estimate_md5,
+        hll_registers_md5,
+    )
+
+    df = spark.createDataFrame(
+        [(f"u{i}",) for i in range(40)], "key string"
+    )
+    reg = hll_registers_md5(df, "key", lg_k=8)
+    (est,) = hll_estimate_md5(reg, lg_k=8).collect()
+    # linear-counting regime: tiny cardinality vs 256 registers
+    assert abs(est["est"] - 40) < 5
