@@ -2089,6 +2089,108 @@ FROM belief
 """
 
 
+# 0.5 · 2^60: fraction-0.5 cut on the 60-bit md5-substring doc hash
+# (plans/federate.REDDE_HASH_BITS idiom, same as the CMS/HLL twins)
+REDDE_THR = 576460752303423488
+_REDDE_SAMPLED = (
+    "('0x' || substr(md5(doc_id::VARCHAR), 18, 15))::BIGINT "
+    f"< {REDDE_THR}"
+)
+
+
+def _redde_sql(terms: list[str], n_csi: int = 20) -> str:
+    """DuckDB mirror of plans/federate.redde_csi + redde_shard_scores
+    over the doc_id-parity shard split: md5-hash 50% sample, BM25
+    top-``n_csi`` over the sample under the SAMPLE'S own
+    stats/stoplist (rarest-term candidates, same arithmetic as
+    _bm25_sql), votes scaled by each shard's inverse sampling rate
+    N_j/n_j, normalized over the voting shards."""
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return rf"""
+WITH samp AS (
+  SELECT doc_id, text FROM documents WHERE {_REDDE_SAMPLED}
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(
+             trim(regexp_replace(lower(text), '[^a-z\s]', ' ', 'g')),
+             '\s+'),
+           t -> t <> '')) AS term
+  FROM samp
+),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+lens AS (
+  SELECT s.doc_id, coalesce(t.c, 0) AS doc_len
+  FROM samp s
+  LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t
+  USING (doc_id)
+),
+tstats AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+stop AS (SELECT term FROM tstats
+         ORDER BY df DESC, term ASC LIMIT {STOPLIST_SIZE}),
+nn AS (SELECT (SELECT count(*) FROM samp) AS n,
+              (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*)
+               FROM lens) AS avg_len),
+qt AS (
+  SELECT ts.term, ts.df,
+         ln((nn.n - ts.df + 0.5) / (ts.df + 0.5)) AS idf
+  FROM tstats ts CROSS JOIN nn
+  WHERE ts.term IN ({term_list})
+    AND ts.term NOT IN (SELECT term FROM stop)
+    AND (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0
+),
+rarest AS (SELECT term FROM qt ORDER BY df ASC, term ASC LIMIT 1),
+cand AS (
+  SELECT p.doc_id FROM postings p JOIN rarest r ON p.term = r.term
+),
+scored AS (
+  SELECT c.doc_id,
+         sum(qt.idf * (p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+             / ((p.tf::DOUBLE / l.doc_len)
+                + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len)))
+           AS score
+  FROM cand c
+  JOIN postings p ON p.doc_id = c.doc_id
+  JOIN qt ON qt.term = p.term
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nn
+  GROUP BY c.doc_id
+),
+topn AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {n_csi}
+),
+sizes AS (
+  SELECT doc_id % 2 AS shard, count(*) AS n_docs,
+         count(*) FILTER (WHERE {_REDDE_SAMPLED}) AS n_sample
+  FROM documents GROUP BY 1
+),
+votes AS (
+  SELECT t.doc_id % 2 AS shard, count(*) AS votes
+  FROM topn t GROUP BY 1
+),
+est AS (
+  SELECT s.shard, coalesce(v.votes, 0) AS votes,
+         CASE WHEN s.n_sample > 0
+              THEN coalesce(v.votes, 0) * s.n_docs::DOUBLE / s.n_sample
+              ELSE 0.0 END AS est_rel
+  FROM sizes s LEFT JOIN votes v USING (shard)
+)
+SELECT CAST(shard AS INTEGER) AS shard,
+       CAST(votes AS BIGINT) AS votes,
+       round(est_rel, 6) AS est_rel,
+       round(CASE WHEN sum(est_rel) OVER () > 0
+                  THEN est_rel / sum(est_rel) OVER ()
+                  ELSE 0.0 END, 6) AS score
+FROM est
+ORDER BY shard
+"""
+
+
 # deterministic re-punctuation of the (punctuation-free) synthetic
 # corpus so T8 split / T12 ordering / T11 300-char assembly see real
 # multi-sentence inputs: fixed-width slices joined by terminators.
@@ -3043,6 +3145,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(
             [(int(i), round(float(b), 6)) for i, b in scores],
             "shard int, belief double",
+        )
+
+    def redde_shard_scores_q(spark, sf):
+        """ReDDE sample-based resource selection (plans/federate.
+        redde_csi + redde_shard_scores, Si & Callan SIGIR 2003) over
+        the two parity-split shards: md5-hash 50% sample into a
+        central sample index, BM25 top-20 votes scaled by each
+        shard's inverse sampling rate, normalized."""
+        from search_engine_spark.plans.federate import (
+            redde_csi,
+            redde_shard_scores,
+        )
+
+        docs = _docs_enriched(spark, sf)
+        shards = [
+            docs.filter(F.col("doc_id") % 2 == p) for p in (0, 1)
+        ]
+        csi, shard_of, sizes = redde_csi(
+            shards, fraction=0.5, id_col="doc_id", analyzer="tokens"
+        )
+        return redde_shard_scores(
+            csi, shard_of, sizes, FLAGSHIP_QUERY, n_csi=20,
+            analyzer="tokens",
         )
 
     def _taily_parity_stats(spark, sf):
@@ -5639,6 +5764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vsm_topk": vsm_topk_q,
         "bm25_federated_topk": bm25_federated_topk,
         "cori_shard_scores": cori_shard_scores_q,
+        "redde_shard_scores": redde_shard_scores_q,
         "taily_shard_scores": taily_shard_scores_q,
         "taily_shard_scores_erlang": taily_shard_scores_erlang_q,
         "taily_erlang_multiterm": taily_erlang_multiterm_q,
@@ -6336,6 +6462,7 @@ def oracle_sql() -> dict[str, str]:
         # monolithic build's, so the oracle is the same SQL
         "bm25_federated_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
         "cori_shard_scores": _cori_sql(FLAGSHIP_TERMS),
+        "redde_shard_scores": _redde_sql(FLAGSHIP_TERMS, n_csi=20),
         "taily_shard_scores_erlang": _taily_erlang_sql(
             TAILY_QUERY.split(), TAILY_SC
         ),

@@ -603,3 +603,172 @@ def select_shards_taily(
     scores = taily_shard_scores(stats, query, n_c, lang, analyzer)
     keep = [(i, s) for i, s in scores if s >= v]
     return [i for i, _ in sorted(keep, key=lambda t: (-t[1], t[0]))]
+
+
+# ---------------------------------------------------------------------------
+# ReDDE: sample-based resource selection (Si & Callan, SIGIR 2003)
+# ---------------------------------------------------------------------------
+
+# A doc is sampled into the central sample index (CSI) iff the 60-bit
+# md5-substring hash of its id is below fraction·2^60 — the same
+# SQL-reproducible hash idiom as operators/sketches (DuckDB twin:
+# ('0x' || substr(md5(id::VARCHAR), 18, 15))::BIGINT), so the whole
+# selection pipeline is oracle-checkable end to end.
+REDDE_HASH_BITS = 60
+
+
+def _md5_hash60(col: F.Column) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 18, 15), 16, 10
+    ).cast("long")
+
+
+def redde_csi(
+    shard_docs: list[DataFrame],
+    fraction: float,
+    id_col: str = "url",
+    analyzer: str = "lemma",
+    config=None,
+    shard_n_docs: list[int] | None = None,
+):
+    """Build ReDDE's central sample index over per-shard enriched
+    pages frames: a deterministic md5-hash sample of each shard
+    (every node agrees on membership with no coordination, and the
+    DuckDB oracle can replay the draw), unioned and indexed with the
+    unchanged :func:`~search_engine_spark.operators.postings.build_index`.
+
+    Returns ``(csi, shard_of, sizes)`` where ``shard_of`` maps each
+    sampled id to its source shard index and ``sizes`` is
+    ``[(n_docs_j, n_sample_j)]`` — ReDDE's per-shard scale factors.
+
+    Scale shape: the CSI is built ONCE offline over fraction·corpus
+    and reused across every query (Si & Callan §3.1's
+    query-independent sample database); pass ``shard_n_docs`` when
+    shard sizes are already known from build metadata to skip the
+    full-shard counts.  No reference counterpart (single-database
+    deployment); semantics follow the paper.
+    """
+    if not shard_docs:
+        raise ValueError("need at least one shard")
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError("fraction must be in (0, 1]")
+    from search_engine_spark.config import DEFAULT as _DEFAULT
+    from search_engine_spark.operators.postings import build_index
+
+    thr = int(fraction * (1 << REDDE_HASH_BITS))
+    samples, sizes = [], []
+    for j, docs in enumerate(shard_docs):
+        samp = docs.filter(_md5_hash60(F.col(id_col)) < F.lit(thr))
+        samp = samp.withColumn("_redde_shard", F.lit(j)).cache()
+        n_docs = (
+            shard_n_docs[j] if shard_n_docs is not None else docs.count()
+        )
+        sizes.append((int(n_docs), int(samp.count())))
+        samples.append(samp)
+    union = reduce(DataFrame.unionByName, samples)
+    shard_of = union.select(
+        F.col(id_col), F.col("_redde_shard").alias("shard")
+    )
+    csi = build_index(
+        union.drop("_redde_shard"),
+        id_col=id_col,
+        analyzer=analyzer,
+        config=config or _DEFAULT,
+    )
+    csi.cached = tuple(csi.cached) + tuple(samples)
+    return csi, shard_of, sizes
+
+
+def redde_shard_scores(
+    csi,
+    shard_of: DataFrame,
+    sizes: list[tuple[int, int]],
+    query: str,
+    n_csi: int = 100,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+) -> DataFrame:
+    """ReDDE resource ranking (Si & Callan, SIGIR 2003 §3.2):
+    retrieve the top-``n_csi`` sample docs for ``query`` from the
+    CSI with the engine's unchanged BM25 scorer, let each vote for
+    its source shard scaled by that shard's inverse sampling rate,
+
+        est_rel_j = votes_j · N_j / n_j
+        score_j   = est_rel_j / Σ_k est_rel_k   (0 when no votes)
+
+    Returns ``(shard, votes, est_rel, score)`` with EVERY shard
+    present (zero-filled), ordered by shard.
+
+    Scale shape: one CSI top-k (O(query-term postings of the sample),
+    TakeOrderedAndProject) + a broadcast join of the ≤ ``n_csi``-row
+    result against ``shard_of``; everything after is |shards|-row
+    metadata arithmetic — no full-shard postings are touched.
+    """
+    from pyspark.sql import Window
+
+    spark = shard_of.sparkSession
+    top = search(
+        csi, query, offset=0, limit=n_csi, lang=lang,
+        analyzer=analyzer, use_stoplist=use_stoplist,
+    )
+    id_col = csi.id_col
+    voted = (
+        F.broadcast(top.select(id_col))
+        .join(shard_of, id_col)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("votes"))
+    )
+    size_df = spark.createDataFrame(
+        [(j, int(nd), int(ns)) for j, (nd, ns) in enumerate(sizes)],
+        "shard int, n_docs long, n_sample long",
+    )
+    est = (
+        size_df.join(voted, "shard", "left")
+        .withColumn("votes", F.coalesce(F.col("votes"), F.lit(0)))
+        .withColumn(
+            "est_rel",
+            F.when(
+                F.col("n_sample") > 0,
+                F.col("votes").cast("double")
+                * F.col("n_docs")
+                / F.col("n_sample"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    # |shards|-row frame: the empty-frame window is metadata-scale
+    tot = F.sum("est_rel").over(Window.partitionBy())
+    return (
+        est.withColumn(
+            "score",
+            F.when(tot > 0, F.col("est_rel") / tot).otherwise(F.lit(0.0)),
+        )
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            F.col("votes"),
+            F.round("est_rel", 6).alias("est_rel"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("shard")
+    )
+
+
+def select_shards_redde(
+    csi,
+    shard_of: DataFrame,
+    sizes: list[tuple[int, int]],
+    query: str,
+    n_shards: int,
+    n_csi: int = 100,
+    lang: str = "english",
+    analyzer: str = "lemma",
+    use_stoplist: bool = True,
+) -> list[int]:
+    """Indexes of the ``n_shards`` highest-ReDDE-score shards
+    (score desc, shard index asc — deterministic)."""
+    rows = redde_shard_scores(
+        csi, shard_of, sizes, query, n_csi, lang, analyzer,
+        use_stoplist,
+    ).collect()
+    ranked = sorted(rows, key=lambda r: (-r["score"], r["shard"]))
+    return [int(r["shard"]) for r in ranked[: max(0, n_shards)]]
