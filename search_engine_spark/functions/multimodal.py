@@ -6,12 +6,14 @@ provides the Spark-side machinery — schemas, Arrow batch shapes,
 ``mapInPandas`` decode/feature/resize/frame-sample operators.  The
 ``decoder="real"`` paths genuinely decode the formats parseable in
 pure numpy/stdlib — binary PPM/PGM, baseline JPEG (functions/jpeg),
-PNG (functions/png, stdlib zlib) and RIFF/WAVE PCM audio — and
-compute real features (grayscale histograms, RMS/zero-crossings/
-spectral bands); the remaining compressed containers (progressive
-JPEG/mp3/mp4) raise ``NotImplementedError`` because the sandbox has
-no Pillow/torchaudio/PyAV — each is a one-function swap-in
-(`_decode_image_real`, `_decode_wav_real`).  ``decoder="fake"`` (default) derives
+PNG (functions/png, stdlib zlib), GIF (functions/gif), RIFF/WAVE PCM
+audio, and YUV4MPEG2 video (functions/y4m) — and compute real
+features (grayscale histograms, RMS/zero-crossings/spectral bands,
+per-timeline frame samples); the remaining compressed containers
+(progressive JPEG/mp3/mp4) raise ``NotImplementedError`` because the
+sandbox has no Pillow/torchaudio/PyAV — each is a one-function
+swap-in (`_decode_image_real`, `_decode_wav_real`,
+`sample_frames`).  ``decoder="fake"`` (default) derives
 deterministic pseudo-features from the bytes alone, for pipeline
 tests without media files.  Everything around the codecs — batching,
 schema, partitioning — is real and tested either way.
@@ -433,8 +435,17 @@ def sample_frames(
     media: DataFrame, every_ms: int = 1000, decoder: str = "fake"
 ) -> DataFrame:
     """Video → exploded frame rows (doc_id, frame_idx, frame bytes).
-    Fake decoder emits one deterministic pseudo-frame per sampled
-    timestamp based on duration_ms metadata."""
+
+    ``decoder="real"`` genuinely decodes YUV4MPEG2 payloads
+    (:mod:`search_engine_spark.functions.y4m`, pure numpy), picks one
+    frame per ``every_ms`` of real timeline from the stream's own fps,
+    and emits each as binary PPM — the same interchange bytes the
+    image operators consume, so sampled frames feed straight into
+    :func:`image_features`/:func:`resize_images`.  Compressed
+    containers (mp4/H.264) raise ``NotImplementedError`` — PyAV/ffmpeg
+    is the swap-in.  ``decoder="fake"`` emits one deterministic
+    pseudo-frame per sampled timestamp from duration_ms metadata, for
+    pipeline tests without media files."""
 
     def gen(batches):
         for pdf in batches:
@@ -444,7 +455,28 @@ def sample_frames(
             ):
                 data = bytes(payload)
                 if decoder == "real":
-                    _decode_image_real(data)
+                    if data[:9] != b"YUV4MPEG2":
+                        raise NotImplementedError(
+                            "real video decoding beyond YUV4MPEG2 "
+                            "(.y4m) requires PyAV/ffmpeg — not "
+                            "available in this environment; use "
+                            "decoder='fake' or extend sample_frames"
+                        )
+                    from search_engine_spark.functions.y4m import (
+                        decode_y4m,
+                    )
+
+                    frames, fps = decode_y4m(data)
+                    step = max(1, int(round(every_ms * fps / 1000.0)))
+                    for i, fi in enumerate(range(0, len(frames), step)):
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "frame_idx": i,
+                                "frame": encode_ppm(frames[fi]),
+                            }
+                        )
+                    continue
                 dur = int((meta or {}).get("duration_ms") or 0)
                 n_frames = max(1, dur // every_ms)
                 for i in range(n_frames):
