@@ -1473,6 +1473,55 @@ def _cms_md5_sql(toks_list: str, keys: list[str], depth: int = 5,
 """
 
 
+BLOOM_M, BLOOM_K = 4096, 5
+
+
+def _bloom_md5_bit(expr: str, i: int, m: int = BLOOM_M) -> str:
+    return (
+        f"(('0x' || substr(md5({expr} || '#{i}'), 18, 15))"
+        f"::BIGINT % {m})"
+    )
+
+
+def _bloom_md5_ctes(m: int = BLOOM_M, k: int = BLOOM_K) -> str:
+    """CTE chain ending in ``bits(bit)`` — DuckDB mirror of
+    operators/bloom.bloom_build(hash_method='md5') over the
+    doc_id%3==0 member set of the documents table."""
+    bit_rows = "\n              UNION ALL\n              ".join(
+        f"SELECT {_bloom_md5_bit('doc_id::VARCHAR', i, m)} AS bit "
+        "FROM members"
+        for i in range(k)
+    )
+    return f"""
+            members AS (SELECT doc_id FROM documents
+                        WHERE doc_id % 3 = 0),
+            bits AS (
+              SELECT DISTINCT bit FROM (
+              {bit_rows}))
+"""
+
+
+def _bloom_contains_sql(m: int = BLOOM_M, k: int = BLOOM_K) -> str:
+    """Mirror of bloom_contains: all k probe bits set ⇒ true."""
+    probe_rows = "\n              UNION ALL\n              ".join(
+        f"SELECT key, {_bloom_md5_bit('key', i, m)} AS bit FROM probes"
+        for i in range(k)
+    )
+    return f"""
+            WITH {_bloom_md5_ctes(m, k)},
+            probes AS (SELECT DISTINCT doc_id::VARCHAR AS key
+                       FROM documents),
+            pc AS (
+              {probe_rows})
+            SELECT pc.key,
+                   count(*) = sum(CASE WHEN b.bit IS NOT NULL
+                                       THEN 1 ELSE 0 END)
+                     AS might_contain
+            FROM pc LEFT JOIN bits b USING (bit)
+            GROUP BY pc.key
+"""
+
+
 def _hll_md5_ctes(lg_k: int = 8) -> str:
     """CTE chain ending in ``reg(lang, bucket, rho)`` — DuckDB mirror
     of operators/sketches.hll_registers_md5 over the documents table:
@@ -5658,6 +5707,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang", F.round("est", 6).alias("est")
         )
 
+    def bloom_bits_md5_q(spark, sf):
+        """Bloom filter (operators/bloom.bloom_build, md5 twin) over
+        the doc_id%3==0 member set: the distinct set-bit table IS the
+        filter artifact, every bit DuckDB-recomputed."""
+        from search_engine_spark.operators.bloom import bloom_build
+
+        members = _read(spark, sf, "documents").filter(
+            F.col("doc_id") % 3 == 0
+        )
+        return bloom_build(
+            members, "doc_id", m_bits=BLOOM_M, k=BLOOM_K,
+            hash_method="md5",
+        )
+
+    def bloom_contains_md5_q(spark, sf):
+        """Membership probes of ALL doc_ids against the doc_id%3==0
+        Bloom filter: members must read true (no false negatives),
+        non-members read true only on hash collisions — the exact
+        collision set is hash-checked against the DuckDB replay."""
+        from search_engine_spark.operators.bloom import (
+            bloom_build,
+            bloom_contains,
+        )
+
+        docs = _read(spark, sf, "documents")
+        bloom = bloom_build(
+            docs.filter(F.col("doc_id") % 3 == 0), "doc_id",
+            m_bits=BLOOM_M, k=BLOOM_K, hash_method="md5",
+        )
+        return bloom_contains(
+            bloom, docs, "doc_id", m_bits=BLOOM_M, k=BLOOM_K,
+            hash_method="md5",
+        )
+
     def boilerplate_lines(spark, sf):
         # synthesized multi-line docs: per-site recurring footer
         # (dropped), a corpus-wide banner recurring in every doc of
@@ -5927,6 +6010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_per_lang": hll_distinct_per_lang,
         "hll_registers_md5": hll_registers_md5_q,
         "hll_estimate_md5": hll_estimate_md5_q,
+        "bloom_bits_md5": bloom_bits_md5_q,
+        "bloom_contains_md5": bloom_contains_md5_q,
     }
 
 
@@ -6849,6 +6934,10 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             SELECT lang, bucket, rho FROM reg
         """,
         "hll_estimate_md5": _hll_md5_estimate_sql(lg_k=8),
+        "bloom_bits_md5": f"""
+            WITH {_bloom_md5_ctes()}
+            SELECT bit FROM bits""",
+        "bloom_contains_md5": _bloom_contains_sql(),
         "simhash_pairs_md5": _simhash_md5_pairs_sql(
             toks_list, bands=4, max_hamming=3
         ),
