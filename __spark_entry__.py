@@ -43,6 +43,7 @@ ROBOTS_BODY = (
 )
 FLAGSHIP_TERMS = ["dup", "fast", "key"]
 FLAGSHIP_QUERY = " ".join(FLAGSHIP_TERMS)
+MLT_SRC_DOC = 7  # more_like_this contract source document
 # lemma-analyzer flagship: "data" exercises the exception table
 # (data -> datum), "dup" is the rare candidate-generation term
 FLAGSHIP_LEMMA_QUERY = "data dup line"
@@ -2138,6 +2139,78 @@ FROM belief
 """
 
 
+def _mlt_sql(src: int, n_terms: int = 8, k: int = 10) -> str:
+    """DuckDB mirror of plans/search.more_like_this: the source doc's
+    top tf·idf terms (pool limited to n_terms+stoplist BEFORE the
+    stop/df>1 filter, exactly like the Spark collect), then the
+    union-candidate BM25 ranking with the source excluded and the
+    ORIGINAL ranks kept (no renumbering after the exclusion)."""
+    pool = n_terms + STOPLIST_SIZE
+    return f"""
+WITH {_TOKS}, {_POSTINGS}, {_LENS}, {_TSTATS}, {_STOP},
+nn AS (SELECT (SELECT count(*) FROM documents) AS n,
+              (SELECT CAST(sum(doc_len) AS DOUBLE) / count(*)
+               FROM lens) AS avg_len),
+src_terms AS (
+  SELECT p.term, ts.df,
+         p.tf * CASE WHEN (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0
+                     THEN ln((nn.n - ts.df + 0.5) / (ts.df + 0.5))
+                END AS w
+  FROM postings p JOIN tstats ts USING (term) CROSS JOIN nn
+  WHERE p.doc_id = {src}
+),
+pool AS (
+  SELECT term, df, w FROM (
+    SELECT term, df, w,
+           row_number() OVER (ORDER BY w DESC NULLS LAST, term ASC)
+             AS prn
+    FROM src_terms
+  ) WHERE prn <= {pool}
+),
+mlt AS (
+  SELECT term FROM (
+    SELECT term,
+           row_number() OVER (ORDER BY w DESC NULLS LAST, term ASC)
+             AS rk
+    FROM pool
+    WHERE df > 1 AND term NOT IN (SELECT term FROM stop)
+  ) WHERE rk <= {n_terms}
+),
+qt AS (
+  SELECT ts.term, ts.df,
+         ln((nn.n - ts.df + 0.5) / (ts.df + 0.5)) AS idf
+  FROM tstats ts CROSS JOIN nn
+  WHERE ts.term IN (SELECT term FROM mlt)
+    AND (nn.n - ts.df + 0.5) / (ts.df + 0.5) > 0
+),
+cand AS (
+  SELECT DISTINCT p.doc_id FROM postings p JOIN qt ON p.term = qt.term
+),
+scored AS (
+  SELECT c.doc_id,
+         sum(qt.idf * (p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+             / ((p.tf::DOUBLE / l.doc_len)
+                + {K1} * (1 - {B} + {B} * l.doc_len / nn.avg_len)))
+           AS score
+  FROM cand c
+  JOIN postings p ON p.doc_id = c.doc_id
+  JOIN qt ON qt.term = p.term
+  JOIN lens l ON l.doc_id = c.doc_id
+  CROSS JOIN nn
+  GROUP BY c.doc_id
+),
+ranked AS (
+  SELECT doc_id, round(score, 6) AS score,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS INTEGER) AS rn
+  FROM scored
+)
+SELECT doc_id, score, rn FROM ranked
+WHERE rn <= {k + 1} AND doc_id <> {src}
+ORDER BY rn ASC LIMIT {k}
+"""
+
+
 # 0.5 · 2^60: fraction-0.5 cut on the 60-bit md5-substring doc hash
 # (plans/federate.REDDE_HASH_BITS idiom, same as the CMS/HLL twins)
 REDDE_THR = 576460752303423488
@@ -3102,6 +3175,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bm25_topk(spark, sf):
         return _search_docs(spark, sf, FLAGSHIP_QUERY, limit=10)
+
+    def more_like_this_q(spark, sf):
+        """Lucene-style More-Like-This (plans/search.more_like_this):
+        the source doc's top-8 tf·idf non-stop df>1 index terms drive
+        a union-candidate BM25 ranking with the source excluded —
+        term selection, pool-before-filter quirk, and original rank
+        preservation all hash-checked against the DuckDB replay."""
+        from search_engine_spark.plans.search import more_like_this
+
+        idx = _docs_index(spark, sf)
+        res = more_like_this(idx, MLT_SRC_DOC, k=10, n_terms=8)
+        return res.select(
+            "doc_id", F.round("score", 6).alias("score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
 
     def impact_topk_q(spark, sf):
         """Anytime ranking by 8-bit quantized impacts
@@ -5839,6 +5927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stoplist": stoplist_q,
         "query_idf": idf_q,
         "bm25_topk": bm25_topk,
+        "more_like_this_topk": more_like_this_q,
         "impact_topk": impact_topk_q,
         "bm25_topk_pruned": bm25_topk_pruned_q,
         "bm25_rescore_topk": bm25_rescore_topk_q,
@@ -6493,6 +6582,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE term IN ({", ".join(f"'{t}'" for t in FLAGSHIP_TERMS)})
         """,
         "bm25_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
+        "more_like_this_topk": _mlt_sql(MLT_SRC_DOC, n_terms=8, k=10),
         "impact_topk": _impact_topk_sql(FLAGSHIP_TERMS, bits=8,
                                         limit=10),
         "bm25_topk_pruned": _bm25_pruned_sql(FLAGSHIP_TERMS, keep=20,
