@@ -1523,6 +1523,72 @@ def _bloom_contains_sql(m: int = BLOOM_M, k: int = BLOOM_K) -> str:
 """
 
 
+QSK_BITS, QSK_DEPTH, QSK_WIDTH = 12, 3, 256
+QSK_PROBES = [64, 256, 1024, 3000]
+
+
+def _qsk_bucket(key_expr: str, row: int, width: int = QSK_WIDTH) -> str:
+    return (
+        f"(('0x' || substr(md5(({key_expr})::VARCHAR || '#{1000 + row}'),"
+        f" 18, 15))::BIGINT % {width})"
+    )
+
+
+def _qsk_cells_cte() -> str:
+    """CTE ``qcells(lvl, row, col, cnt)`` — DuckDB mirror of
+    operators/sketches.quantile_build(hash_method='md5') over
+    documents.n_chars (clamped to [0, 2^bits))."""
+    clamp = f"least(greatest(n_chars, 0), {(1 << QSK_BITS) - 1})"
+    branches = "\n              UNION ALL\n              ".join(
+        f"SELECT {lvl} AS lvl, {row} AS row, "
+        f"{_qsk_bucket(f'{clamp} >> {lvl}', row)} AS col FROM documents"
+        for lvl in range(QSK_BITS)
+        for row in range(QSK_DEPTH)
+    )
+    return f"""
+            qcells AS (
+              SELECT lvl, row, col, CAST(count(*) AS BIGINT) AS cnt
+              FROM (
+              {branches})
+              GROUP BY lvl, row, col)
+"""
+
+
+def _qsk_ranks_sql(probes: list[int]) -> str:
+    """Rank estimates for literal probe values: for each set bit b of
+    v the dyadic node (lvl=b, key=(v>>b)^1), node count = CMS min
+    over rows, rank = sum of node counts — the exact arithmetic of
+    sketches._rank_from_cells, with every md5 bucket recomputed by
+    DuckDB from the (lvl, key, row) triple."""
+    node_rows = []
+    for v in probes:
+        vc = max(0, min(int(v), (1 << QSK_BITS) - 1))
+        for b in range(QSK_BITS):
+            if (vc >> b) & 1:
+                key = (vc >> b) ^ 1
+                for row in range(QSK_DEPTH):
+                    node_rows.append(f"({v}, {b}, {row}, {key})")
+    values = ",\n              ".join(node_rows)
+    return f"""
+            WITH {_qsk_cells_cte()},
+            pn AS (SELECT * FROM (VALUES
+              {values}) AS t(v, lvl, row, key)),
+            nodes AS (
+              SELECT pn.v, pn.lvl, pn.key,
+                     min(coalesce(c.cnt, 0)) AS node_cnt
+              FROM pn LEFT JOIN qcells c
+                ON c.lvl = pn.lvl AND c.row = pn.row
+               AND c.col = CASE pn.row
+                     {" ".join(f"WHEN {r} THEN {_qsk_bucket('pn.key', r)}"
+                               for r in range(QSK_DEPTH))}
+                   END
+              GROUP BY pn.v, pn.lvl, pn.key)
+            SELECT CAST(v AS BIGINT) AS value,
+                   CAST(sum(node_cnt) AS BIGINT) AS rank_est
+            FROM nodes GROUP BY v
+"""
+
+
 def _hll_md5_ctes(lg_k: int = 8) -> str:
     """CTE chain ending in ``reg(lang, bucket, rho)`` — DuckDB mirror
     of operators/sketches.hll_registers_md5 over the documents table:
@@ -5795,6 +5861,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang", F.round("est", 6).alias("est")
         )
 
+    def quantile_cells_md5_q(spark, sf):
+        """Dyadic-CMS quantile sketch with the SQL-reproducible md5
+        bucket hash: the (lvl,row,col,cnt) cell table over
+        documents.n_chars, every bucket DuckDB-recomputed (the
+        xxhash64 twin above stays the fast default, rows-only)."""
+        from search_engine_spark.operators.sketches import (
+            quantile_build,
+        )
+
+        docs = _read(spark, sf, "documents")
+        return quantile_build(
+            docs, "n_chars", bits=QSK_BITS, depth=QSK_DEPTH,
+            width=QSK_WIDTH, hash_method="md5",
+        )
+
+    def quantile_ranks_md5_q(spark, sf):
+        """Rank estimates (count of docs with n_chars < v) from the
+        md5 sketch for fixed probe values — dyadic cover + CMS-min +
+        sum, hash-checked against the full DuckDB replay."""
+        from search_engine_spark.operators.sketches import (
+            quantile_build,
+            quantile_ranks,
+        )
+
+        docs = _read(spark, sf, "documents")
+        sk = quantile_build(
+            docs, "n_chars", bits=QSK_BITS, depth=QSK_DEPTH,
+            width=QSK_WIDTH, hash_method="md5",
+        )
+        ranks = quantile_ranks(
+            sk, QSK_PROBES, bits=QSK_BITS, depth=QSK_DEPTH,
+            width=QSK_WIDTH, hash_method="md5",
+        )
+        return spark.createDataFrame(
+            sorted(ranks.items()), "value long, rank_est long"
+        )
+
     def bloom_bits_md5_q(spark, sf):
         """Bloom filter (operators/bloom.bloom_build, md5 twin) over
         the doc_id%3==0 member set: the distinct set-bit table IS the
@@ -6099,6 +6202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_per_lang": hll_distinct_per_lang,
         "hll_registers_md5": hll_registers_md5_q,
         "hll_estimate_md5": hll_estimate_md5_q,
+        "quantile_cells_md5": quantile_cells_md5_q,
+        "quantile_ranks_md5": quantile_ranks_md5_q,
         "bloom_bits_md5": bloom_bits_md5_q,
         "bloom_contains_md5": bloom_contains_md5_q,
     }
@@ -7024,6 +7129,10 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             SELECT lang, bucket, rho FROM reg
         """,
         "hll_estimate_md5": _hll_md5_estimate_sql(lg_k=8),
+        "quantile_cells_md5": f"""
+            WITH {_qsk_cells_cte()}
+            SELECT lvl, row, col, cnt FROM qcells""",
+        "quantile_ranks_md5": _qsk_ranks_sql(QSK_PROBES),
         "bloom_bits_md5": f"""
             WITH {_bloom_md5_ctes()}
             SELECT bit FROM bits""",

@@ -306,12 +306,51 @@ QUANTILE_DEPTH = 4
 QUANTILE_WIDTH = 512
 
 
+def _dyadic_bucket(key_col, row: int, width: int,
+                   hash_method: str = "xxhash64"):
+    """Bucket of one dyadic node: xxhash64 (fast default) or the
+    SQL-reproducible md5-substring idiom shared with the CMS/HLL/
+    Bloom twins (DuckDB replays ``md5(key || '#' || (1000+row))``)."""
+    if hash_method == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", key_col.cast("string"),
+                        F.lit(str(1000 + row)),
+                    )
+                ),
+                18, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        return F.pmod(h, F.lit(width))
+    if hash_method != "xxhash64":  # pragma: no cover - guarded API
+        raise ValueError(f"unknown quantile hash {hash_method!r}")
+    return F.pmod(F.xxhash64(key_col, F.lit(1000 + row)), F.lit(width))
+
+
+def _md5_bucket_py(key: int, row: int, width: int) -> int:
+    import hashlib
+
+    return (
+        int(
+            hashlib.md5(f"{key}#{1000 + row}".encode()).hexdigest()[
+                17:32
+            ],
+            16,
+        )
+        % width
+    )
+
+
 def quantile_build(
     df: DataFrame,
     value_col: str,
     bits: int = QUANTILE_BITS,
     depth: int = QUANTILE_DEPTH,
     width: int = QUANTILE_WIDTH,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """``(lvl, row, col, cnt)`` dyadic-CMS cells for the non-negative
     integer ``value_col`` (values ≥ 2^bits are clamped to the top
@@ -327,11 +366,8 @@ def quantile_build(
                 F.struct(
                     F.lit(lvl).alias("lvl"),
                     F.lit(row).alias("row"),
-                    F.pmod(
-                        F.xxhash64(
-                            F.shiftright(v, lvl), F.lit(1000 + row)
-                        ),
-                        F.lit(width),
+                    _dyadic_bucket(
+                        F.shiftright(v, lvl), row, width, hash_method
                     ).alias("col"),
                 )
                 for lvl in range(bits)
@@ -408,20 +444,25 @@ def _dyadic_cells(sketch: DataFrame) -> dict:
 
 
 def _rank_from_cells(
-    cells: dict, v: int, bits: int, depth: int, width: int
+    cells: dict, v: int, bits: int, depth: int, width: int,
+    hash_method: str = "xxhash64",
 ) -> int:
     """Estimated count of items < v: the dyadic cover of [0, v) is,
     for each set bit b of v, the level-b node with key (v >> b) ^ 1;
     each node's count is the CMS min over rows."""
     v = max(0, min(int(v), (1 << bits) - 1))
+    if hash_method == "md5":
+        def bucket(key, row):
+            return _md5_bucket_py(key, row, width)
+    else:
+        def bucket(key, row):
+            return xxhash64_py(key, 1000 + row) % width
     rank = 0
     for b in range(bits):
         if (v >> b) & 1:
             key = (v >> b) ^ 1
             rank += min(
-                cells.get(
-                    (b, row, xxhash64_py(key, 1000 + row) % width), 0
-                )
+                cells.get((b, row, bucket(key, row)), 0)
                 for row in range(depth)
             )
     return rank
@@ -433,12 +474,14 @@ def quantile_ranks(
     bits: int = QUANTILE_BITS,
     depth: int = QUANTILE_DEPTH,
     width: int = QUANTILE_WIDTH,
+    hash_method: str = "xxhash64",
 ) -> dict[int, int]:
     """Estimated rank (count of items < value) per probe value —
     driver-side over the collected (bounded-size) cells."""
     cells = _dyadic_cells(sketch)
     return {
-        int(v): _rank_from_cells(cells, v, bits, depth, width)
+        int(v): _rank_from_cells(cells, v, bits, depth, width,
+                                 hash_method)
         for v in values
     }
 
@@ -449,6 +492,7 @@ def quantile_query(
     bits: int = QUANTILE_BITS,
     depth: int = QUANTILE_DEPTH,
     width: int = QUANTILE_WIDTH,
+    hash_method: str = "xxhash64",
 ) -> dict[float, int]:
     """Estimated q-quantiles: smallest v with rank(v+1) > q·N.
     Binary search over the value domain — ≤ bits rounds of pure
@@ -465,7 +509,7 @@ def quantile_query(
         while lo < hi:
             mid = (lo + hi) // 2
             if _rank_from_cells(cells, mid + 1, bits, depth,
-                                width) > target:
+                                width, hash_method) > target:
                 hi = mid
             else:
                 lo = mid + 1

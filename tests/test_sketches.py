@@ -258,3 +258,50 @@ def test_hll_md5_small_range_linear_counting_is_near_exact(spark):
     (est,) = hll_estimate_md5(reg, lg_k=8).collect()
     # linear-counting regime: tiny cardinality vs 256 registers
     assert abs(est["est"] - 40) < 5
+
+
+def test_quantile_md5_twin_matches_python_replay(spark):
+    """md5 quantile sketch: Spark cells == pure-python bucket replay,
+    and rank/quantile probes through hash_method='md5' stay within
+    the same dyadic-CMS error bound as the xxhash64 default."""
+    import hashlib
+
+    from search_engine_spark.operators.sketches import (
+        quantile_build,
+        quantile_query,
+        quantile_ranks,
+    )
+
+    bits, depth, width = 10, 3, 128
+    vals = [(i * 37) % 1000 for i in range(400)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    cells = {
+        (r["lvl"], r["row"], r["col"]): r["cnt"]
+        for r in quantile_build(
+            df, "x", bits, depth, width, hash_method="md5"
+        ).collect()
+    }
+    want: dict = {}
+    for v in vals:
+        vc = max(0, min(v, (1 << bits) - 1))
+        for lvl in range(bits):
+            for row in range(depth):
+                col = int(
+                    hashlib.md5(
+                        f"{vc >> lvl}#{1000 + row}".encode()
+                    ).hexdigest()[17:32], 16,
+                ) % width
+                want[(lvl, row, col)] = want.get((lvl, row, col), 0) + 1
+    assert cells == want
+
+    sk = quantile_build(df, "x", bits, depth, width, hash_method="md5")
+    ranks = quantile_ranks(sk, [100, 500], bits, depth, width,
+                           hash_method="md5")
+    for v, est in ranks.items():
+        true = sum(1 for x in vals if x < v)
+        assert true <= est <= true + 60  # one-sided CMS overcount
+    med = quantile_query(sk, [0.5], bits, depth, width,
+                         hash_method="md5")[0.5]
+    svals = sorted(vals)
+    assert abs(svals.index(min(svals, key=lambda x: abs(x - med)))
+               - len(vals) // 2) < 60
