@@ -4415,6 +4415,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qs = emb.filter(F.col("vec_id") < 3)
         return cosine_topk_lsh(emb, qs, k=5)
 
+    def ann_cosine_lsh_md5(spark, sf):
+        """SRP-LSH ANN with the SQL-reproducible md5-grid hyperplanes
+        (operators/similarity._hyperplanes_md5): DuckDB regenerates
+        the planes, the sign buckets, the banded candidate join and
+        the exact rescoring — the approximate index itself is
+        hash-checked, not just its brute-force twin.  The gaussian
+        path above stays the production default (rows-only)."""
+        emb = _read(spark, sf, "embeddings")
+        qs = emb.filter(F.col("vec_id") < 3)
+        return cosine_topk_lsh(emb, qs, k=5, plane_method="md5")
+
     def ann_cosine_ivfpq(spark, sf):  # rows-only (PQ-compressed ANN)
         from search_engine_spark.operators.similarity import (
             cosine_topk_ivfpq,
@@ -6112,6 +6123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_pairs": simhash_pairs,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_lsh": ann_cosine_lsh,
+        "ann_cosine_lsh_md5": ann_cosine_lsh_md5,
         "ann_cosine_ivfpq": ann_cosine_ivfpq,
         "hybrid_rrf": hybrid_rrf,
         "mmr_diversify": mmr_diversify,
@@ -7153,6 +7165,55 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
                               AND a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 2
+        """,
+        "ann_cosine_lsh_md5": """
+            WITH planes AS (
+              SELECT t.range AS t, i.range AS i, d.range AS d,
+                     ((('0x' || substr(md5(
+                         t.range::VARCHAR || '#' || i.range::VARCHAR
+                         || '#' || d.range::VARCHAR), 18, 15))::BIGINT
+                       % 2001) - 1000) / 1000.0 AS val
+              FROM range(4) t, range(6) i, range(64) d
+            ),
+            vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+            dots AS (
+              SELECT vecs.vec_id, p.t, p.i,
+                     sum(vecs.v[p.d + 1] * p.val) AS dot
+              FROM vecs, planes p
+              GROUP BY vecs.vec_id, p.t, p.i
+            ),
+            buckets AS (
+              SELECT vec_id, t,
+                     sum(CASE WHEN dot > 0 THEN 1 << i ELSE 0 END)
+                       AS bucket
+              FROM dots GROUP BY vec_id, t
+            ),
+            qb AS (SELECT * FROM buckets WHERE vec_id < 3),
+            cand AS (
+              SELECT DISTINCT qb.vec_id AS query_id,
+                              cb.vec_id AS neighbor_id
+              FROM qb JOIN buckets cb
+                ON cb.t = qb.t AND cb.bucket = qb.bucket
+              WHERE cb.vec_id <> qb.vec_id
+            ),
+            scored AS (
+              SELECT c.query_id, c.neighbor_id,
+                     round(list_cosine_similarity(q.v, n.v), 6) AS sim
+              FROM cand c
+              JOIN vecs q ON q.vec_id = c.query_id
+              JOIN vecs n ON n.vec_id = c.neighbor_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS INTEGER)
+                       AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, sim, rank
+            FROM ranked WHERE rank <= 5
         """,
         "ann_cosine_topk": """
             WITH qs AS (SELECT vec_id AS query_id,

@@ -86,6 +86,38 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.randn(n_planes, dim).astype(float).tolist()
 
 
+def _hyperplanes_md5(
+    dim: int, n_planes: int, table: int
+) -> list[list[float]]:
+    """SQL-reproducible hyperplanes: each component is the
+    md5-substring integer of ``"table#plane#dim"`` mapped to a
+    uniform grid on [-1, 1] — the same idiom as the CMS/HLL/Bloom/
+    quantile twins, so a DuckDB oracle regenerates the planes, the
+    SRP buckets, and the final top-k bit-exactly.  Uniform components
+    are a valid SRP family (any symmetric distribution preserves the
+    sign-agreement/angle relation up to constants); the gaussian
+    :func:`_hyperplanes` stays the production default."""
+    import hashlib
+
+    return [
+        [
+            (
+                int(
+                    hashlib.md5(
+                        f"{table}#{i}#{d}".encode()
+                    ).hexdigest()[17:32],
+                    16,
+                )
+                % 2001
+                - 1000
+            )
+            / 1000.0
+            for d in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
 def srp_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-random-projection bucket id (long) for one LSH table."""
     bucket = F.lit(0).cast("long")
@@ -107,6 +139,7 @@ def cosine_topk_lsh(
     n_tables: int = 4,
     seed: int = 1234,
     multi_probe: bool = False,
+    plane_method: str = "gauss",
 ) -> DataFrame:
     """Approximate cosine top-k: candidates share an SRP bucket in at
     least one of ``n_tables`` hash tables; exact rescoring on the
@@ -117,10 +150,20 @@ def cosine_topk_lsh(
     n_planes extra probe rows per query per table, corpus side
     untouched.  Equal-or-better recall lets ``n_tables`` shrink (the
     corpus-side bucketing, the expensive half at 100 TB, scales with
-    n_tables; query-side probes are queries-sized — cheap)."""
-    tables = [
-        _hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
-    ]
+    n_tables; query-side probes are queries-sized — cheap).
+
+    ``plane_method="md5"`` swaps the gaussian planes for the
+    SQL-reproducible md5-grid family (:func:`_hyperplanes_md5`) so a
+    DuckDB oracle replays the whole pipeline."""
+    if plane_method == "md5":
+        tables = [
+            _hyperplanes_md5(dim, n_planes, t) for t in range(n_tables)
+        ]
+    else:
+        tables = [
+            _hyperplanes(dim, n_planes, seed + t)
+            for t in range(n_tables)
+        ]
 
     def bucketize(
         df: DataFrame, idname: str, vecname: str, probe: bool = False
