@@ -116,6 +116,14 @@ AUDITED = [
     "ppl_buckets",
     "query_clarity",
     "taily_shard_scores",
+    # round-3 additions
+    "redde_shard_scores",
+    "bloom_bits_md5",
+    "bloom_contains_md5",
+    "more_like_this_topk",
+    "quantile_cells_md5",
+    "quantile_ranks_md5",
+    "ann_cosine_lsh_md5",
 ]
 
 
