@@ -223,6 +223,12 @@ def main() -> None:
         "event_hourly_window",
         "snippets_topk",
         "taily_shard_scores_erlang",
+        # round-3 operators
+        "redde_shard_scores",
+        "more_like_this_topk",
+        "bloom_contains_md5",
+        "quantile_ranks_md5",
+        "ann_cosine_lsh_md5",
     ]
     # warm the documents indexes once (cache), report as own lines —
     # so the bm25_* lines below measure query latency, not one-time

@@ -293,3 +293,75 @@ def test_windowed_crawl_stats_batch_semantics(spark):
 
     src = inspect.getsource(windowed_crawl_stats)
     assert "withWatermark" in src  # streaming twin declares lateness
+
+
+def test_streaming_ingest_checkpoint_recovery(spark, tmp_path):
+    """Exactly-once across a mid-stream stop: drain file 1 with
+    max_files_per_trigger=1, stop the query (simulated crash),
+    restart from the SAME checkpoint — file 2 is ingested once, file
+    1 never re-appended, and the result equals the one-shot build."""
+    import time as _time
+
+    from search_engine_spark.config import EngineConfig
+    from search_engine_spark.operators.compact import decode_segments
+    from search_engine_spark.plans.build import build_and_write
+    from search_engine_spark.plans.incremental import open_index
+    from search_engine_spark.sources.fixtures import pages_df
+    from search_engine_spark.streaming.ingest import start_index_ingest
+
+    cfg = EngineConfig(block_size=32, index_buckets=8)
+    all_pages = pages_df(spark, 90, n_sites=3, seed=7).cache()
+    base = all_pages.limit(30)
+    incoming = all_pages.subtract(base).cache()
+
+    idx_dir = str(tmp_path / "ridx")
+    build_and_write(spark, base, idx_dir, analyzer="lemma", config=cfg,
+                    n_segments=8)
+
+    stream_src = str(tmp_path / "arrivals")
+    first = incoming.limit(30)
+    first.coalesce(1).write.parquet(stream_src)
+    incoming.subtract(first).coalesce(1).write.mode("append").parquet(
+        stream_src
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: process exactly one file, then "crash"
+    q = start_index_ingest(
+        spark, stream_src, idx_dir, checkpoint_dir=ckpt,
+        max_files_per_trigger=1,
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        prog = q.lastProgress
+        if prog and prog["numInputRows"] > 0:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    n_mid = open_index(spark, idx_dir).n_docs
+    assert 30 < n_mid <= 90  # some but maybe not all arrived
+
+    # phase 2: restart from the SAME checkpoint, drain the rest
+    q2 = start_index_ingest(
+        spark, stream_src, idx_dir, checkpoint_dir=ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination(300)
+
+    from search_engine_spark.operators.postings import build_index
+    from search_engine_spark.sources.pages import enrich_pages
+
+    cidx = open_index(spark, idx_dir)
+    assert cidx.n_docs == 90
+    id2url = {r["doc_id"]: r["url"] for r in cidx.doc_map.collect()}
+    got = {
+        (r["term"], id2url[r["doc_id"]], r["tf"])
+        for r in decode_segments(cidx.segments).collect()
+    }
+    want_idx = build_index(enrich_pages(all_pages), analyzer="lemma")
+    want = {
+        (r["term"], r["url"], r["tf"])
+        for r in want_idx.postings.collect()
+    }
+    assert got == want
