@@ -11,7 +11,12 @@ RecursiveWebParser.java:94-117, LemmaServiceImpl.java:103-115):
                                           version, append new
     tombstone --url U [--url U ...] | --urls-file F
                                           logical delete + df decrement
-    merge     [--min-epochs 2]            consolidate LSM delta epochs
+    merge     [--min-epochs 2] [--policy all|tiered]
+              [--tier-ratio 10] [--max-merge 10]
+                                          consolidate LSM delta epochs
+                                          (tiered: only the smallest
+                                          size tier — bounded write
+                                          amplification)
     vacuum                                physical rewrite, drop
                                           tombstones, re-arm WAND
     expire                                delete generation dirs
@@ -55,6 +60,10 @@ def main(argv: list[str] | None = None) -> None:
     p_tomb.add_argument("--urls-file", default=None)
     p_merge = sub.add_parser("merge")
     p_merge.add_argument("--min-epochs", type=int, default=2)
+    p_merge.add_argument("--policy", default="all",
+                         choices=["all", "tiered"])
+    p_merge.add_argument("--tier-ratio", type=float, default=10.0)
+    p_merge.add_argument("--max-merge", type=int, default=10)
     sub.add_parser("vacuum")
     sub.add_parser("expire")
     p_ret = sub.add_parser("retention")
@@ -104,7 +113,9 @@ def main(argv: list[str] | None = None) -> None:
         res = tombstone_urls(spark, out, urls)
     elif args.op == "merge":
         res = merge_delta_epochs(
-            spark, out, min_epochs=args.min_epochs
+            spark, out, min_epochs=args.min_epochs,
+            policy=args.policy, tier_ratio=args.tier_ratio,
+            max_merge_at_once=args.max_merge,
         )
     elif args.op == "vacuum":
         res = vacuum(spark, out)

@@ -55,6 +55,14 @@ def exists(path: str, spark: SparkSession | None = None) -> bool:
     return bool(jfs.exists(jpath))
 
 
+def dir_size(path: str, spark: SparkSession | None = None) -> int:
+    """Total bytes under ``path`` (Hadoop getContentSummary — one
+    namenode call, no data read)."""
+    spark = _session(spark)
+    jfs, jpath = _fs(spark, path)
+    return int(jfs.getContentSummary(jpath).getLength())
+
+
 def read_text(path: str, spark: SparkSession | None = None) -> str:
     spark = _session(spark)
     jfs, jpath = _fs(spark, path)

@@ -132,6 +132,13 @@ def _expire_retired(out_dir: str, meta: dict) -> None:
                 "index_deltas", "tombstones",
             ):
                 referenced.add(paths.get(t, t))
+            # epoch-level references: tiered merges retire individual
+            # epoch SUBDIRS of a still-live deltas root — a retained
+            # generation whose delta_epochs names such an epoch must
+            # keep it readable
+            deltas_rel = paths.get("index_deltas", "index_deltas")
+            for e in m.get("delta_epochs") or []:
+                referenced.add(f"{deltas_rel}/{e}")
     still = []
     for rel in retired:
         if rel in referenced:
@@ -646,14 +653,60 @@ def reindex_pages(
     return {**t, **a}
 
 
+def plan_epoch_merge(
+    sizes: list[tuple[str, int]],
+    tier_ratio: float = 10.0,
+    min_merge: int = 2,
+    max_merge: int = 10,
+) -> list[str]:
+    """Size-tiered merge selection (the Lucene TieredMergePolicy /
+    Cassandra STCS shape): given ``(epoch_name, bytes)`` pairs, pick
+    the epochs worth merging NOW — the smallest tier, i.e. the
+    longest smallest-first prefix in which every epoch is within
+    ``tier_ratio``× of the smallest, capped at ``max_merge``.
+    Returns [] when the tier has fewer than ``min_merge`` members.
+
+    Why this bounds write amplification where merge-all does not:
+    with merge-all, every consolidation rewrites the total delta
+    volume, so N appends cost O(N²) bytes written; with size tiers a
+    posting is rewritten only when its epoch graduates a tier — at
+    ratio r that is O(log_r N) rewrites per posting.  At 100 TB the
+    difference is the feasibility of frequent appends.  Pure
+    function, deterministic (ties break on epoch name) — unit-tested
+    without Spark."""
+    if tier_ratio < 1.0:
+        raise ValueError("tier_ratio must be >= 1")
+    ordered = sorted(sizes, key=lambda t: (t[1], t[0]))
+    if len(ordered) < min_merge:
+        return []
+    smallest = max(1, ordered[0][1])
+    tier = [
+        name
+        for name, sz in ordered
+        if sz <= tier_ratio * smallest
+    ][: max(min_merge, max_merge)][:max_merge]
+    return tier if len(tier) >= min_merge else []
+
+
 def merge_delta_epochs(
     spark: SparkSession,
     out_dir: str,
     min_epochs: int = 2,
+    policy: str = "all",
+    tier_ratio: float = 10.0,
+    max_merge_at_once: int = 10,
 ) -> dict:
-    """Tiered (LSM-style) delta consolidation: rebuild ALL delta
-    epochs into ONE fresh epoch, leaving the base ``index/``
-    untouched.
+    """Tiered (LSM-style) delta consolidation: rebuild delta epochs
+    into ONE fresh epoch, leaving the base ``index/`` untouched.
+
+    ``policy="all"`` (default) consolidates every visible epoch —
+    right when deltas are few or a vacuum follows.  ``policy=
+    "tiered"`` sizes each epoch (one namenode call apiece, no data
+    read) and merges only the smallest size tier chosen by
+    :func:`plan_epoch_merge`; larger epochs keep their directories
+    and their place in ``delta_epochs``, so a huge old epoch is not
+    rewritten every time small fresh appends consolidate — bounded
+    write amplification, the LSM property merge-all lacks.
 
     Every append lands in its own ``index_deltas/epoch=N`` directory;
     unchecked, a long-lived index accumulates one query-time union
@@ -675,6 +728,31 @@ def merge_delta_epochs(
     dirs = delta_epoch_dirs(spark, out_dir, meta)
     if len(dirs) < min_epochs:
         return {"merged_epochs": 0}
+    if policy == "tiered":
+        sizes = [
+            (os.path.basename(d.rstrip("/")), fsutil.dir_size(d, spark))
+            for d in dirs
+        ]
+        chosen = set(
+            plan_epoch_merge(
+                sizes, tier_ratio=tier_ratio, min_merge=min_epochs,
+                max_merge=max_merge_at_once,
+            )
+        )
+        if not chosen:
+            return {"merged_epochs": 0}
+        keep_dirs = [
+            d for d in dirs
+            if os.path.basename(d.rstrip("/")) not in chosen
+        ]
+        dirs = [
+            d for d in dirs
+            if os.path.basename(d.rstrip("/")) in chosen
+        ]
+    elif policy == "all":
+        keep_dirs = []
+    else:
+        raise ValueError(f"unknown merge policy {policy!r}")
     _expire_retired(out_dir, meta)
     gen_next = int(meta.get("gen", 0)) + 1
     config = _config_from(meta)
@@ -705,33 +783,74 @@ def merge_delta_epochs(
         "shard", (F.col("shard") + F.lit(epoch << 16)).cast("int")
     ).withColumn("bucket", bucket_col(F.col("term"), n_buckets))
 
-    # the consolidated level lands in a FRESH deltas dir; the old
-    # level stays on disk for in-flight readers and is retired (the
-    # next op deletes it) — the whole flip is the one stats.json swap
     old_deltas_rel = (meta.get("paths") or {}).get(
         "index_deltas", "index_deltas"
     )
-    deltas_rel = _gen_rel("index_deltas", gen_next)
-    (
-        segs.repartition(F.col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(out_dir, deltas_rel, f"epoch={epoch}"))
-    )
+    if keep_dirs:
+        # tiered: the consolidated epoch lands as a NEW epoch subdir
+        # of the LIVE deltas root (the append pattern — invisible
+        # until the delta_epochs flip); unmerged epochs keep their
+        # dirs, merged epoch subdirs are retired individually (their
+        # paths are protected per-epoch by _expire_retired for
+        # retained generations)
+        (
+            segs.repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(
+                os.path.join(
+                    out_dir, old_deltas_rel, f"epoch={epoch}"
+                )
+            )
+        )
+        kept_names = [
+            os.path.basename(d.rstrip("/")) for d in keep_dirs
+        ]
+        merged_names = [
+            os.path.basename(d.rstrip("/")) for d in dirs
+        ]
+        meta["append_epoch"] = epoch
+        meta["delta_epochs"] = sorted(
+            kept_names + [f"epoch={epoch}"],
+            key=lambda n: int(n.split("=", 1)[1]),
+        )
+        _commit(
+            out_dir, meta,
+            retire=tuple(
+                f"{old_deltas_rel}/{n}" for n in merged_names
+            ),
+        )
+    else:
+        # merge-all: the consolidated level lands in a FRESH deltas
+        # dir; the old level stays on disk for in-flight readers and
+        # is retired (the next op deletes it) — the whole flip is the
+        # one stats.json swap
+        deltas_rel = _gen_rel("index_deltas", gen_next)
+        (
+            segs.repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(out_dir, deltas_rel,
+                                  f"epoch={epoch}"))
+        )
 
-    meta["append_epoch"] = epoch
-    meta["delta_epochs"] = [f"epoch={epoch}"]
-    _commit(
-        out_dir, meta,
-        new_paths={"index_deltas": deltas_rel},
-        retire=(old_deltas_rel,),
-    )
+        meta["append_epoch"] = epoch
+        meta["delta_epochs"] = [f"epoch={epoch}"]
+        _commit(
+            out_dir, meta,
+            new_paths={"index_deltas": deltas_rel},
+            retire=(old_deltas_rel,),
+        )
     spark.createDataFrame(
         [(None, "merge_deltas", len(dirs), None, time.time(),
           uuid.uuid4().hex[:12])],
         MANIFEST_SCHEMA,
     ).write.mode("append").parquet(os.path.join(out_dir, "manifest"))
-    return {"merged_epochs": len(dirs), "new_epoch": epoch}
+    return {
+        "merged_epochs": len(dirs),
+        "kept_epochs": len(keep_dirs),
+        "new_epoch": epoch,
+    }
 
 
 def vacuum(spark: SparkSession, out_dir: str) -> dict:
