@@ -3430,6 +3430,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "shard int, est_docs double",
         )
 
+    def tiered_merge_postings_q(spark, sf):
+        """Size-tiered LSM consolidation (plans/incremental.
+        merge_delta_epochs(policy='tiered')): base build + three
+        different-sized appends, then a tiered merge that rewrites
+        only the smallest size tier — the decoded live postings must
+        still equal the from-scratch recount of the whole corpus
+        (merge choice is a physical-layout decision; the logical
+        (term, doc, tf) multiset is invariant by construction)."""
+        import tempfile
+
+        from search_engine_spark.config import BM25Config, EngineConfig
+        from search_engine_spark.operators.compact import (
+            decode_segments,
+        )
+        from search_engine_spark.plans.build import (
+            build_and_write,
+            load_stats,
+            read_segments,
+            table_path,
+        )
+        from search_engine_spark.plans.incremental import (
+            append_pages,
+            merge_delta_epochs,
+        )
+
+        key = (id(spark), sf, "tiered")
+        if key not in _INCR_CACHE:
+            out = tempfile.mkdtemp(prefix="tiered_contract_")
+            pages = _docs_enriched(spark, sf).select(
+                "doc_id", "url", "text", "lang"
+            )
+            config = EngineConfig(
+                bm25=BM25Config(k1=K1, b=B), index_buckets=4
+            )
+            build_and_write(
+                spark, pages.filter(F.col("doc_id") % 10 < 8)
+                .drop("doc_id"),
+                out, analyzer="tokens", config=config, n_segments=4,
+            )
+            deltas = [
+                pages.filter(F.col("doc_id") % 10 == 8),      # big
+                pages.filter(
+                    (F.col("doc_id") % 10 == 9)
+                    & (F.col("doc_id") % 20 == 9)
+                ),                                            # small
+                pages.filter(
+                    (F.col("doc_id") % 10 == 9)
+                    & (F.col("doc_id") % 20 == 19)
+                ),                                            # small
+            ]
+            for d in deltas:
+                append_pages(spark, out, d.drop("doc_id"))
+            res = merge_delta_epochs(
+                spark, out, policy="tiered", tier_ratio=3.0
+            )
+            assert res["merged_epochs"] >= 2, res
+            meta = load_stats(spark, out)
+            nat = F.regexp_extract(
+                F.col("url"), r"([0-9]+)$", 1
+            ).cast("long")
+            docs_map = spark.read.parquet(
+                table_path(out, "docs", meta)
+            )
+            posts = decode_segments(read_segments(spark, out, meta))
+            (
+                posts.join(docs_map.select("doc_id", "url"), "doc_id")
+                .select(
+                    nat.alias("doc_id"), "term",
+                    F.col("tf").cast("long").alias("tf"),
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, "check_postings_tiered"))
+            )
+            _INCR_CACHE[key] = out
+        return spark.read.parquet(
+            os.path.join(_INCR_CACHE[key], "check_postings_tiered")
+        )
+
     def incremental_postings_q(spark, sf):
         """Live postings after build→append×2→tombstone→reindex→
         merge_delta_epochs (R10/R23–R25 + N3), tombstones applied the
@@ -6058,6 +6136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets_multisentence": snippets_multisentence_q,
         "snippets_assembly_cut": snippets_assembly_cut_q,
         "snippets_fixed_idf": snippets_fixed_idf_q,
+        "tiered_merge_postings": tiered_merge_postings_q,
         "incremental_postings": incremental_postings_q,
         "time_travel_postings": time_travel_postings_q,
         "incremental_vacuum_postings": incremental_vacuum_postings_q,
@@ -6773,6 +6852,10 @@ def oracle_sql() -> dict[str, str]:
         "snippets_fixed_idf": _snippets_sql(
             lemma_terms, lemma_cte, "d.text", SNIP_FIXED_IDF
         ),
+        "tiered_merge_postings": f"""
+            WITH {_TOKS}, {_POSTINGS}
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf
+            FROM postings""",
         "incremental_postings": _INCR_POSTINGS_SQL,
         "time_travel_postings": _TIME_TRAVEL_POSTINGS_SQL,
         "incremental_vacuum_postings": _INCR_POSTINGS_SQL,
