@@ -939,6 +939,76 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
             os.path.join(out_dir, docs_rel)
         )
 
+    # positional-index co-vacuum: appends/reindexes leave stale
+    # positional rows keyed by dead dense doc_ids (correct at query
+    # time — the live-doc_map join masks them — but unbounded space
+    # under churn).  Vacuum is the full-rewrite op, so rewrite the
+    # positions dir too, keeping only ids present in the post-vacuum
+    # docs table.  The dir sits at a FIXED path (not generation-
+    # tracked), so the flip is two renames; the missing-dir window is
+    # a clean retryable read, and the old dir is retired for deferred
+    # deletion like every other table.
+    pos_dir = out_dir.rstrip("/") + "/positions"
+    positions_dropped = None
+    pos_retired_rel = None
+    if fsutil.exists(pos_dir, spark):
+        import json as _json
+
+        from search_engine_spark.config import DEFAULT as _CFG
+        from search_engine_spark.operators.phrases import (
+            positional_meta,
+        )
+
+        pmeta = positional_meta(spark, pos_dir)
+        pos = spark.read.parquet(pos_dir)
+        # actual on-disk rows, not pmeta["rows"]: appends extend the
+        # dir without refreshing the meta counts (vacuum's rewrite is
+        # what brings them back in sync)
+        rows_before = pos.count()
+        live_ids = (live_docs if dead_ids else docs).select("doc_id")
+        kept = pos.join(live_ids, "doc_id", "left_semi")
+        new_rel = _gen_rel("positions", gen_next)
+        new_dir = os.path.join(out_dir, new_rel)
+        writer = (
+            kept.repartition(F.col("bucket"))
+            .sortWithinPartitions("bucket", "term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+        )
+        if _CFG.write_term_bloom:
+            writer = writer.option(
+                "parquet.bloom.filter.enabled#term", "true"
+            ).option(
+                "parquet.bloom.filter.expected.ndv#term",
+                str(_CFG.term_bloom_ndv),
+            )
+        writer.parquet(new_dir)
+        stats = (
+            spark.read.parquet(new_dir)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.length("pos_blob")).alias("blob_bytes"),
+                F.sum("n").alias("positions"),
+            )
+            .collect()[0]
+        )
+        fsutil.write_text(
+            new_dir.rstrip("/") + "/_positions_meta.json",
+            _json.dumps({
+                **pmeta,
+                "rows": int(stats["rows"] or 0),
+                "blob_bytes": int(stats["blob_bytes"] or 0),
+                "positions": int(stats["positions"] or 0),
+            }),
+            spark,
+        )
+        positions_dropped = rows_before - int(stats["rows"] or 0)
+        pos_retired_rel = f"positions_retired_g{gen_next}"
+        fsutil.rename(
+            pos_dir, os.path.join(out_dir, pos_retired_rel), spark
+        )
+        fsutil.rename(new_dir, pos_dir, spark)
+
     ss_rel = _gen_rel("site_stats", gen_next)
     new_paths = {
         "index": idx_rel,
@@ -973,8 +1043,13 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
         retire.append(old_docs_rel)
     if tomb is not None:
         retire.append(old_paths.get("tombstones", "tombstones"))
+    if pos_retired_rel is not None:
+        retire.append(pos_retired_rel)
     _commit(out_dir, meta, new_paths=new_paths, retire=retire)
-    return {"vacuumed": len(dead_ids)}
+    out = {"vacuumed": len(dead_ids)}
+    if positions_dropped is not None:
+        out["positions_rows_dropped"] = positions_dropped
+    return out
 
 
 def open_index(spark: SparkSession, out_dir: str):

@@ -234,3 +234,90 @@ def test_positional_append_and_reindex_liveness(
     # both words still co-occur loosely -> NEAR with a wide window
     # matches the NEW content only
     assert hits('"zebra quokka"~8') == {url}
+
+
+def test_vacuum_rewrites_positions_dropping_dead_rows(
+    spark, tmp_path_factory
+):
+    """vacuum physically drops stale positional rows (dead dense
+    doc_ids from reindex/tombstone churn): on-disk ids become a
+    subset of the live docs table, the meta is refreshed, and phrase
+    queries stay correct through the rewrite."""
+    from datetime import datetime, timezone
+
+    from search_engine_spark.plans.boolquery import (
+        search_boolean_compact,
+    )
+    from search_engine_spark.plans.build import build_and_write
+    from search_engine_spark.plans.incremental import (
+        append_pages,
+        open_index,
+        reindex_pages,
+        vacuum,
+    )
+    from search_engine_spark.operators.phrases import positional_meta
+
+    out = str(tmp_path_factory.mktemp("cpos_vac") / "idx")
+    pages = pages_df(spark, 50, n_sites=2, seed=5)
+    build_and_write(
+        spark, pages, out, analyzer="tokens", n_segments=4
+    )
+    pos_dir = out + "/positions"
+    doc_ids = spark.read.parquet(out + "/docs").select(
+        "doc_id", "url"
+    )
+    write_compact_positional_index(
+        enrich_pages(pages).join(doc_ids, "url"),
+        pos_dir, n_buckets=8, id_col="doc_id",
+    )
+
+    def mk(url, text):
+        return spark.createDataFrame(
+            [(url, datetime(2024, 1, 1, tzinfo=timezone.utc), b"",
+              text, "en")],
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        )
+
+    url = "https://zz.example/v1"
+    append_pages(spark, out,
+                 mk(url, "the walrus penguin dances at dawn"))
+    reindex_pages(spark, out,
+                  mk(url, "the walrus sleeps while the penguin swims"))
+    # actual on-disk rows: appends extend the dir without refreshing
+    # the meta count, so the meta is stale here by design
+    rows_before = spark.read.parquet(pos_dir).count()
+    stale_ids = {
+        r["doc_id"] for r in spark.read.parquet(pos_dir)
+        .select("doc_id").distinct().collect()
+    }
+
+    res = vacuum(spark, out)
+    assert res["positions_rows_dropped"] > 0
+
+    pmeta = positional_meta(spark, pos_dir)
+    assert pmeta["rows"] < rows_before
+    assert pmeta["n_buckets"] == 8
+    live = {
+        r["doc_id"] for r in open_index(spark, out)
+        .doc_map.select("doc_id").collect()
+    }
+    on_disk = {
+        r["doc_id"] for r in spark.read.parquet(pos_dir)
+        .select("doc_id").distinct().collect()
+    }
+    assert on_disk <= live
+    assert len(stale_ids - live) > 0  # there WAS something to drop
+
+    def hits(q):
+        cidx = open_index(spark, out)
+        return {
+            row["url"]
+            for row in search_boolean_compact(
+                cidx, q, positions_dir=pos_dir, positions_buckets=8,
+                limit=10, analyzer="tokens",
+            ).collect()
+        }
+
+    assert hits('"walrus penguin"') == set()   # old phrase gone
+    assert hits('"penguin swims"') == {url}    # new content matches
