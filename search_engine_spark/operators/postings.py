@@ -117,6 +117,10 @@ class InvertedIndex:
     avg_len: float
     stoplist: tuple[str, ...]    # R14: the `stoplist_size` most common
     id_col: str = "url"
+    # exact integer Σ doc_len — lets maintenance ops update avg_len
+    # arithmetically (O(1)) instead of rescanning the docs table;
+    # -1 = unknown (logical views that never persist a descriptor)
+    sum_len: int = -1
     config: EngineConfig = field(default_factory=lambda: DEFAULT)
     # frames .cache()d during build (for explicit release: Spark's SQL
     # cache matches by logical plan, so a leaked cache silently feeds
@@ -202,6 +206,7 @@ def build_index(
         avg_len=avg_len,
         stoplist=stop,
         id_col=id_col,
+        sum_len=int(agg["len_sum"] or 0),
         config=config,
         cached=(enriched, dl, tstats) if cache else (),
     )

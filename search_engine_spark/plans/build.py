@@ -194,6 +194,10 @@ def build_and_write(
         meta0 = {
             "n_docs": index.n_docs,
             "avg_len": index.avg_len,
+            # exact integer Σ doc_len: lets append/tombstone update
+            # n_docs/avg_len arithmetically (O(1)) instead of
+            # rescanning the docs table per maintenance op
+            "sum_len": index.sum_len,
             "blocks_avg_len": index.avg_len,
             "stoplist": list(index.stoplist),
             "analyzer": analyzer,

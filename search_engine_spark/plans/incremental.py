@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -139,6 +140,16 @@ def _expire_retired(out_dir: str, meta: dict) -> None:
             deltas_rel = paths.get("index_deltas", "index_deltas")
             for e in m.get("delta_epochs") or []:
                 referenced.add(f"{deltas_rel}/{e}")
+        # the positional index lives at a FIXED path (no descriptor
+        # names its generations), so vacuum's retired pre-rewrite dir
+        # is protected by its generation NUMBER: positions_retired_gG
+        # was the live positional data of every generation < G, and
+        # stays readable while any such generation is retained
+        cutoff = max(0, cur_gen - keep)
+        for rel in retired:
+            mnum = re.match(r"positions_retired_g(\d+)$", rel)
+            if mnum and int(mnum.group(1)) > cutoff:
+                referenced.add(rel)
     still = []
     for rel in retired:
         if rel in referenced:
@@ -303,14 +314,40 @@ def _recompute_scalar_stats(
     spark: SparkSession, out_dir: str, meta: dict
 ) -> dict:
     # meta's (possibly pending, pre-commit) paths decide which
-    # generation the recompute reads
+    # generation the recompute reads.  Full-scan path: used by vacuum
+    # (the one op that is O(corpus) by design) and as the bootstrap
+    # for legacy descriptors missing the exact ``sum_len`` — append/
+    # tombstone normally go through :func:`_apply_scalar_delta`.
     live = _live_docs(spark, out_dir, meta)
     agg = live.agg(
         F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
     ).collect()[0]
     n = int(agg["n"] or 0)
     meta["n_docs"] = n
+    meta["sum_len"] = int(agg["s"] or 0)
     meta["avg_len"] = (int(agg["s"]) / n) if n else 0.0
+    return meta
+
+
+def _apply_scalar_delta(
+    spark: SparkSession, out_dir: str, meta: dict, dn: int, dsum: int
+) -> dict:
+    """O(1) scalar-stats maintenance: n_docs/avg_len from the
+    committed exact ``sum_len`` plus this op's delta — no docs-table
+    scan.  Sound inductively: build seeds the exact integer sum,
+    append adds only genuinely-new live rows, tombstone subtracts
+    exactly the newly-dead rows, vacuum re-syncs from scratch.  At
+    10^12 docs this is the difference between O(delta) and O(corpus)
+    work per maintenance op.  Legacy descriptors (no ``sum_len``)
+    bootstrap through one full recompute, after which the exact sum
+    is carried forward."""
+    if "sum_len" not in meta:
+        return _recompute_scalar_stats(spark, out_dir, meta)
+    n = int(meta["n_docs"]) + int(dn)
+    s = int(meta["sum_len"]) + int(dsum)
+    meta["n_docs"] = n
+    meta["sum_len"] = s
+    meta["avg_len"] = (s / n) if n else 0.0
     return meta
 
 
@@ -379,7 +416,13 @@ def append_pages(
     # path tombstones the old version, then appends through here)
     existing = _live_docs(spark, out_dir, meta).select("url")
     fresh = enriched.join(existing, "url", "left_anti").cache()
-    n_new = fresh.count()
+    # one action materializes the cache AND yields the exact Σ doc_len
+    # the O(1) scalar-stats update below needs (no second agg job)
+    fagg = fresh.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
+    ).collect()[0]
+    n_new = int(fagg["n"])
+    dsum = int(fagg["s"] or 0)
     if n_new == 0:
         return {"build_id": build_id, "appended": 0}
 
@@ -500,14 +543,6 @@ def append_pages(
         os.path.join(out_dir, ts_rel)
     )
 
-    # docs append is ADDITIVE in place: rows for uncommitted doc_ids
-    # are inert for concurrent readers (their postings epoch is not
-    # in any committed delta_epochs list, and n_docs/avg_len flip
-    # only at commit)
-    doc_map.write.mode("append").parquet(
-        table_path(out_dir, "docs", meta)
-    )
-
     # pending view: the descriptor this commit will publish
     old_ss_rel = (meta.get("paths") or {}).get(
         "site_stats", "site_stats"
@@ -519,14 +554,35 @@ def append_pages(
         "term_stats": ts_rel,
         "site_stats": ss_rel,
     }
-    _write_site_stats(spark, out_dir, pending, ss_rel)
+    # O(delta) stats maintenance: per-site counts come from the
+    # (cached) delta itself; the committed site_stats table is merged
+    # (O(|sites|)), never the docs table rescanned.  Runs BEFORE the
+    # docs append below for the same reason term_stats does: doc_map
+    # descends from the anti-join against docs/, so a cache-evicted
+    # re-evaluation after the append would see the delta as empty.
+    _merge_site_stats(
+        spark, out_dir, meta,
+        doc_map.groupBy("site").agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        ),
+        ss_rel,
+    )
+
+    # docs append is ADDITIVE in place: rows for uncommitted doc_ids
+    # are inert for concurrent readers (their postings epoch is not
+    # in any committed delta_epochs list, and n_docs/avg_len flip
+    # only at commit)
+    doc_map.write.mode("append").parquet(
+        table_path(out_dir, "docs", meta)
+    )
 
     meta["next_id_segment"] = seg_base + delta_segments
     meta["append_epoch"] = epoch
     meta["delta_epochs"] = list(visible_epochs) + [f"epoch={epoch}"]
-    _recompute_scalar_stats(spark, out_dir, pending)
+    _apply_scalar_delta(spark, out_dir, pending, n_new, dsum)
     _recompute_stoplist(spark, out_dir, pending)
     meta["n_docs"] = pending["n_docs"]
+    meta["sum_len"] = pending["sum_len"]
     meta["avg_len"] = pending["avg_len"]
     meta["stoplist"] = pending["stoplist"]
     _commit(
@@ -563,7 +619,11 @@ def tombstone_urls(
 
     docs = spark.read.parquet(table_path(out_dir, "docs", meta))
     tomb = read_tombstones(spark, out_dir, meta)
-    dead = docs.filter(F.col("url").isin(urls)).select("doc_id", "url")
+    # site/doc_len ride along so the stats tables can be maintained
+    # from exactly the newly-dead rows (O(deleted)), not rescanned
+    dead = docs.filter(F.col("url").isin(urls)).select(
+        "doc_id", "url", "site", "doc_len"
+    )
     if tomb is not None:
         dead = dead.join(
             tomb.select("doc_id"), "doc_id", "left_anti"
@@ -624,10 +684,25 @@ def tombstone_urls(
         "tombstones": tomb_rel,
         "site_stats": ss_rel,
     }
-    _write_site_stats(spark, out_dir, pending, ss_rel)
-    _recompute_scalar_stats(spark, out_dir, pending)
+    # O(deleted) stats maintenance from the already-collected dead
+    # rows — no live-docs rescan (the rows were collected above to
+    # build the tombstone table, so this costs nothing extra)
+    from collections import Counter
+
+    site_dec = Counter(r["site"] for r in dead_rows)
+    delta_counts = spark.createDataFrame(
+        [(s, -int(c)) for s, c in sorted(site_dec.items())],
+        "site string, d long",
+    )
+    _merge_site_stats(spark, out_dir, meta, delta_counts, ss_rel)
+    _apply_scalar_delta(
+        spark, out_dir, pending,
+        -len(dead_rows),
+        -sum(int(r["doc_len"]) for r in dead_rows),
+    )
     _recompute_stoplist(spark, out_dir, pending)
     meta["n_docs"] = pending["n_docs"]
+    meta["sum_len"] = pending["sum_len"]
     meta["avg_len"] = pending["avg_len"]
     meta["stoplist"] = pending["stoplist"]
     _commit(
@@ -1026,6 +1101,7 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     _recompute_scalar_stats(spark, out_dir, pending)
     _recompute_stoplist(spark, out_dir, pending)
     meta["n_docs"] = pending["n_docs"]
+    meta["sum_len"] = pending["sum_len"]
     meta["avg_len"] = pending["avg_len"]
     meta["stoplist"] = pending["stoplist"]
     meta["blocks_avg_len"] = meta["avg_len"]
@@ -1125,9 +1201,44 @@ def _write_site_stats(
 ) -> None:
     """Recompute site_stats from the (pending) snapshot's live docs
     into a fresh generation dir — the committed dir is never touched,
-    so no tmp/swap dance is needed."""
+    so no tmp/swap dance is needed.  Full-scan path: vacuum only;
+    append/tombstone merge deltas via :func:`_merge_site_stats`."""
     live = _live_docs(spark, out_dir, meta)
     stats = live.groupBy("site").agg(F.count(F.lit(1)).alias("pages"))
     stats.write.mode("overwrite").parquet(
+        os.path.join(out_dir, dest_rel)
+    )
+
+
+def _merge_site_stats(
+    spark: SparkSession,
+    out_dir: str,
+    old_meta: dict,
+    delta_counts: DataFrame,
+    dest_rel: str,
+) -> None:
+    """site_stats' = site_stats ± this op's per-site delta — an
+    O(|sites| + |delta|) merge of the committed (site, pages) table,
+    never a scan of the live docs.  Inductively equal to the groupBy
+    over live docs (build seeds it exactly; append deltas count only
+    genuinely-new rows; tombstone deltas count exactly the newly-dead
+    rows; vacuum re-syncs from scratch).  ``delta_counts`` is
+    (site, d) with d signed; sites reaching 0 live pages drop out,
+    matching the recompute's semantics."""
+    old = spark.read.parquet(
+        table_path(out_dir, "site_stats", old_meta)
+    )
+    merged = (
+        old.join(delta_counts, "site", "full_outer")
+        .select(
+            "site",
+            (
+                F.coalesce(F.col("pages"), F.lit(0))
+                + F.coalesce(F.col("d"), F.lit(0))
+            ).cast("long").alias("pages"),
+        )
+        .filter(F.col("pages") > 0)
+    )
+    merged.write.mode("overwrite").parquet(
         os.path.join(out_dir, dest_rel)
     )

@@ -295,3 +295,80 @@ def test_statistics_compact_matches_logical(spark, corpora):
     idx = build_index(enrich_pages(base), analyzer="lemma")
     cidx = compact_index(idx, n_segments=8)
     assert statistics_report(cidx) == statistics_report(idx)
+
+
+def test_incremental_stats_match_full_recompute(
+    spark, corpora, tmp_path
+):
+    """append/tombstone maintain n_docs/avg_len/sum_len and the
+    site_stats table arithmetically from the op's own delta (O(delta),
+    no live-docs rescan) — each must equal the from-scratch recompute
+    after every mutation, including through a legacy descriptor with
+    no stored sum (bootstrap path)."""
+    import json
+
+    from search_engine_spark import fsutil
+    from search_engine_spark.plans.build import load_stats, table_path
+    from search_engine_spark.plans.incremental import _live_docs
+
+    base, extra = corpora
+    out = str(tmp_path / "idx")
+    build_and_write(
+        spark, base, out, analyzer="lemma",
+        config=EngineConfig(index_buckets=4), n_segments=4,
+    )
+
+    def check(step):
+        meta = load_stats(spark, out)
+        live = _live_docs(spark, out, meta)
+        agg = live.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
+        ).collect()[0]
+        n, s = int(agg["n"] or 0), int(agg["s"] or 0)
+        assert meta["n_docs"] == n, step
+        assert meta["sum_len"] == s, step
+        assert meta["avg_len"] == (s / n if n else 0.0), step
+        disk_ss = {
+            (r["site"], r["pages"])
+            for r in spark.read.parquet(
+                table_path(out, "site_stats", meta)
+            ).collect()
+        }
+        true_ss = {
+            (r["site"], r["pages"])
+            for r in live.groupBy("site")
+            .agg(F.count(F.lit(1)).alias("pages"))
+            .collect()
+        }
+        assert disk_ss == true_ss, step
+
+    check("build")
+    append_pages(spark, out, extra)
+    check("append")
+    dead = [r["url"] for r in base.select("url").limit(12).collect()]
+    tombstone_urls(spark, out, dead)
+    check("tombstone")
+    survivors_url = (
+        base.union(extra).filter(~F.col("url").isin(dead))
+    )
+    changed = survivors_url.limit(6).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" quorble"))
+    )
+    reindex_pages(spark, out, changed)
+    check("reindex")
+
+    # legacy descriptor: strip sum_len, next op must bootstrap via one
+    # full recompute and carry the exact sum forward again
+    sp = out + "/stats.json"
+    meta = json.loads(fsutil.read_text(sp))
+    del meta["sum_len"]
+    fsutil.write_text(sp, json.dumps(meta))
+    tombstone_urls(
+        spark, out,
+        [r["url"] for r in survivors_url.select("url")
+         .limit(20).collect()][6:9],
+    )
+    check("legacy-bootstrap")
+
+    vacuum(spark, out)
+    check("vacuum")
