@@ -58,6 +58,23 @@ class EngineConfig:
     # Payloads are tag-byte self-describing, so mixed-codec indexes
     # decode fine and the flag only affects NEW blocks.
     doc_id_codec: str = "adaptive"
+    # URL-membership Bloom filter over the live corpus (the visited-
+    # set scale path: the reference keeps an exact Redis set,
+    # RecursiveWebParser.java:164-169).  append_pages probes its delta
+    # against the filter: bloom-negative urls are DEFINITELY new (no
+    # false negatives) and skip the exact anti-join against the docs
+    # table — without the guard every append scans the corpus-sized
+    # url column.  Sizing is recorded in the index descriptor at
+    # creation, so later config changes never corrupt an existing
+    # filter; at real scale pick m via operators/bloom.bloom_optimal
+    # (≈1.2 GB of bits per 10^9 urls at 1% fpp).
+    url_bloom_enabled: bool = True
+    url_bloom_m_bits: int = 1 << 23
+    url_bloom_k: int = 5
+    # bloom-positive urls at or below this count probe the docs table
+    # through an IN-list predicate (parquet row-group pruning) instead
+    # of a full anti-join; above it, fall back to the exact join
+    url_bloom_maybe_cap: int = 100_000
 
 
 DEFAULT = EngineConfig()

@@ -130,7 +130,7 @@ def _expire_retired(out_dir: str, meta: dict) -> None:
             paths = m.get("paths") or {}
             for t in (
                 "index", "docs", "term_stats", "site_stats",
-                "index_deltas", "tombstones",
+                "index_deltas", "tombstones", "url_bloom",
             ):
                 referenced.add(paths.get(t, t))
             # epoch-level references: tiered merges retire individual
@@ -413,9 +413,59 @@ def append_pages(
         compute_tokens=(meta["analyzer"] != "lemma"),
     )
     # LIVE urls only: a tombstoned url is re-addable (the R25 upsert
-    # path tombstones the old version, then appends through here)
-    existing = _live_docs(spark, out_dir, meta).select("url")
-    fresh = enriched.join(existing, "url", "left_anti").cache()
+    # path tombstones the old version, then appends through here).
+    #
+    # Bloom guard (the visited-set scale path): without it every
+    # append anti-joins the delta against the corpus-sized docs url
+    # column — O(corpus) per append at 10^12 docs.  With the index's
+    # url_bloom, bloom-NEGATIVE urls are definitely new (no false
+    # negatives), so: zero bloom-positives → skip the join entirely;
+    # a small positive set (≤ maybe_cap: true re-adds + the fpp
+    # fraction) → probe docs through an IN-list predicate (parquet
+    # row-group pruning, O(delta)); a large one (filter saturated or
+    # a bulk re-crawl) → the exact anti-join, unchanged.  Every
+    # branch is exact — the guard only decides how much of the docs
+    # table the exactness check has to touch.
+    ub = meta.get("url_bloom")
+    if ub:
+        from search_engine_spark.operators.bloom import bloom_contains
+
+        m_b, k_b = int(ub["m_bits"]), int(ub["k"])
+        cap = int(ub.get("maybe_cap", 100_000))
+        bloom = spark.read.parquet(
+            table_path(out_dir, "url_bloom", meta)
+        )
+        maybe = [
+            r["key"]
+            for r in bloom_contains(
+                bloom, new_pages.select("url"), "url", m_b, k_b
+            )
+            .filter(F.col("might_contain"))
+            .select("key")
+            .limit(cap + 1)
+            .collect()
+        ]
+        if not maybe:
+            fresh = enriched.cache()
+        elif len(maybe) <= cap:
+            docs0 = spark.read.parquet(
+                table_path(out_dir, "docs", meta)
+            ).filter(F.col("url").isin(maybe)).select("doc_id", "url")
+            tomb0 = read_tombstones(spark, out_dir, meta)
+            if tomb0 is not None:
+                docs0 = docs0.join(
+                    F.broadcast(tomb0.select("doc_id")),
+                    "doc_id", "left_anti",
+                )
+            fresh = enriched.join(
+                docs0.select("url"), "url", "left_anti"
+            ).cache()
+        else:
+            existing = _live_docs(spark, out_dir, meta).select("url")
+            fresh = enriched.join(existing, "url", "left_anti").cache()
+    else:
+        existing = _live_docs(spark, out_dir, meta).select("url")
+        fresh = enriched.join(existing, "url", "left_anti").cache()
     # one action materializes the cache AND yields the exact Σ doc_len
     # the O(1) scalar-stats update below needs (no second agg job)
     fagg = fresh.agg(
@@ -568,6 +618,57 @@ def append_pages(
         ss_rel,
     )
 
+    # url-bloom maintenance: filter' = filter OR build(delta urls)
+    # (bloom_merge linearity) into a fresh generation dir; indexes
+    # without one bootstrap it here from the pre-append live urls ∪
+    # delta (one O(corpus) pass the anti-join was paying anyway).
+    # Runs BEFORE the docs append — same cache-eviction ordering rule
+    # as the other delta-derived writes above.
+    from search_engine_spark.config import DEFAULT as _DEF
+
+    bloom_commit = {}
+    bloom_retire = []
+    if ub or _DEF.url_bloom_enabled:
+        from search_engine_spark.operators.bloom import (
+            bloom_build,
+            bloom_merge,
+        )
+
+        if ub:
+            m_b, k_b = int(ub["m_bits"]), int(ub["k"])
+            new_bloom = bloom_merge(
+                spark.read.parquet(
+                    table_path(out_dir, "url_bloom", meta)
+                ),
+                bloom_build(fresh.select("url"), "url", m_b, k_b),
+            )
+            bloom_retire.append(
+                (meta.get("paths") or {}).get("url_bloom", "url_bloom")
+            )
+            n_keys = int(ub.get("n_keys", 0)) + n_new
+        else:
+            m_b, k_b = _DEF.url_bloom_m_bits, _DEF.url_bloom_k
+            new_bloom = bloom_build(
+                _live_docs(spark, out_dir, meta)
+                .select("url")
+                .unionByName(fresh.select("url")),
+                "url", m_b, k_b,
+            )
+            n_keys = int(meta.get("n_docs", 0)) + n_new
+        bloom_rel = _gen_rel("url_bloom", gen_next)
+        new_bloom.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, bloom_rel)
+        )
+        bloom_commit = {"url_bloom": bloom_rel}
+        meta["url_bloom"] = {
+            "m_bits": m_b,
+            "k": k_b,
+            "n_keys": n_keys,
+            "maybe_cap": int(
+                (ub or {}).get("maybe_cap", _DEF.url_bloom_maybe_cap)
+            ),
+        }
+
     # docs append is ADDITIVE in place: rows for uncommitted doc_ids
     # are inert for concurrent readers (their postings epoch is not
     # in any committed delta_epochs list, and n_docs/avg_len flip
@@ -587,8 +688,12 @@ def append_pages(
     meta["stoplist"] = pending["stoplist"]
     _commit(
         out_dir, meta,
-        new_paths={"term_stats": ts_rel, "site_stats": ss_rel},
-        retire=(old_ts_rel, old_ss_rel),
+        new_paths={
+            "term_stats": ts_rel,
+            "site_stats": ss_rel,
+            **bloom_commit,
+        },
+        retire=[old_ts_rel, old_ss_rel, *bloom_retire],
     )
 
     spark.createDataFrame(
@@ -1097,6 +1202,42 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     }
     pending = dict(meta)
     pending["paths"] = {**old_paths, **new_paths}
+    # url-bloom rebuild from the post-vacuum live urls: drops dead
+    # keys (the one op that can shrink the filter, keeping its fpp in
+    # step with the corpus) and creates it for pre-bloom indexes —
+    # vacuum is already a full scan, so this rides along free
+    from search_engine_spark.config import DEFAULT as _DEF
+
+    if meta.get("url_bloom") or _DEF.url_bloom_enabled:
+        from search_engine_spark.operators.bloom import bloom_build
+
+        ub0 = meta.get("url_bloom") or {}
+        m_b = int(ub0.get("m_bits", _DEF.url_bloom_m_bits))
+        k_b = int(ub0.get("k", _DEF.url_bloom_k))
+        bloom_rel = _gen_rel("url_bloom", gen_next)
+        bloom_build(
+            _live_docs(spark, out_dir, pending).select("url"),
+            "url", m_b, k_b,
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, bloom_rel)
+        )
+        if "url_bloom" in (old_paths or {}) or fsutil.exists(
+            os.path.join(out_dir, "url_bloom"), spark
+        ):
+            retire_bloom = old_paths.get("url_bloom", "url_bloom")
+        else:
+            retire_bloom = None
+        new_paths["url_bloom"] = bloom_rel
+        meta["url_bloom"] = {
+            "m_bits": m_b,
+            "k": k_b,
+            "n_keys": 0,  # refreshed from n_docs below
+            "maybe_cap": int(
+                ub0.get("maybe_cap", _DEF.url_bloom_maybe_cap)
+            ),
+        }
+    else:
+        retire_bloom = None
     _write_site_stats(spark, out_dir, pending, ss_rel)
     _recompute_scalar_stats(spark, out_dir, pending)
     _recompute_stoplist(spark, out_dir, pending)
@@ -1121,6 +1262,10 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
         retire.append(old_paths.get("tombstones", "tombstones"))
     if pos_retired_rel is not None:
         retire.append(pos_retired_rel)
+    if retire_bloom is not None:
+        retire.append(retire_bloom)
+    if meta.get("url_bloom"):
+        meta["url_bloom"]["n_keys"] = int(meta["n_docs"])
     _commit(out_dir, meta, new_paths=new_paths, retire=retire)
     out = {"vacuumed": len(dead_ids)}
     if positions_dropped is not None:

@@ -372,3 +372,57 @@ def test_incremental_stats_match_full_recompute(
 
     vacuum(spark, out)
     check("vacuum")
+
+
+def test_append_url_bloom_guard(spark, corpora, tmp_path):
+    """The url-bloom visited-set guard: every append maintains a
+    url_bloom table; re-adds of live urls are still rejected through
+    every guard branch (all-new / IN-list probe / exact fallback),
+    and tombstoned urls stay re-addable (no false 'present' that
+    matters: bloom positives go through the exact liveness check)."""
+    import os
+
+    from search_engine_spark.plans.build import load_stats, table_path
+
+    base, extra = corpora
+    out = str(tmp_path / "idx")
+    build_and_write(
+        spark, base, out, analyzer="lemma",
+        config=EngineConfig(index_buckets=4), n_segments=4,
+    )
+    # first append: bootstraps the filter, all urls genuinely new
+    assert append_pages(spark, out, extra)["appended"] == 80
+    meta = load_stats(spark, out)
+    assert meta["url_bloom"]["n_keys"] == 280
+    assert os.path.exists(
+        os.path.join(out, table_path(out, "url_bloom", meta))
+    ) or os.path.exists(table_path(out, "url_bloom", meta))
+
+    # re-add of already-live urls: bloom-positive -> IN-list probe ->
+    # exact rejection (the no-op semantics, now without a corpus scan)
+    assert append_pages(spark, out, extra.limit(9))["appended"] == 0
+    # mixed batch: only the genuinely-new rows land
+    more = pages_df(spark, 300, n_sites=4, seed=42).filter(
+        ~F.col("url").isin(
+            [r["url"] for r in base.select("url").collect()]
+            + [r["url"] for r in extra.select("url").collect()]
+        )
+    )
+    n_more = more.count()
+    mixed = more.union(extra.limit(5))
+    assert append_pages(spark, out, mixed)["appended"] == n_more
+
+    # tombstoned url is re-addable through the guard
+    dead = [r["url"] for r in base.select("url").limit(3).collect()]
+    tombstone_urls(spark, out, dead)
+    readd = base.filter(F.col("url").isin(dead)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" reborn"))
+    )
+    assert append_pages(spark, out, readd)["appended"] == 3
+
+    # vacuum rebuilds the filter from live urls and re-syncs n_keys
+    vacuum(spark, out)
+    meta2 = load_stats(spark, out)
+    assert meta2["url_bloom"]["n_keys"] == meta2["n_docs"]
+    # and the guard still rejects a full re-add afterwards
+    assert append_pages(spark, out, base.limit(20))["appended"] == 0
