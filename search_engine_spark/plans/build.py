@@ -164,6 +164,19 @@ def build_and_write(
             (index.term_stats, "term_stats"),
             (index.site_stats, "site_stats"),
         ]
+        if config.url_bloom_enabled:
+            # seed the visited-set url bloom here so the FIRST append
+            # doesn't pay a bootstrap corpus scan; ≤ m_bits rows,
+            # rides the same concurrent small-write pool
+            from search_engine_spark.operators.bloom import bloom_build
+
+            writes.append((
+                bloom_build(
+                    doc_map.select("url"), "url",
+                    config.url_bloom_m_bits, config.url_bloom_k,
+                ).coalesce(1),
+                "url_bloom",
+            ))
         # AQE partition coalescing ONLY for these three writes: the
         # tables are small relative to the corpus (stats/doc-map), so
         # an un-coalesced write emits shuffle.partitions tiny files
@@ -178,7 +191,7 @@ def build_and_write(
                 "spark.sql.adaptive.advisoryPartitionSizeInBytes":
                     "64m",
             },
-        ), ThreadPoolExecutor(max_workers=3) as pool:
+        ), ThreadPoolExecutor(max_workers=len(writes)) as pool:
             futs = [
                 pool.submit(
                     lambda df, name: df.write.mode("overwrite").parquet(
@@ -222,6 +235,13 @@ def build_and_write(
             "delta_epochs": [],
             "retired": [],
         }
+        if config.url_bloom_enabled:
+            meta0["url_bloom"] = {
+                "m_bits": config.url_bloom_m_bits,
+                "k": config.url_bloom_k,
+                "n_keys": index.n_docs,
+                "maybe_cap": config.url_bloom_maybe_cap,
+            }
         fsutil.write_text(stats_path, json.dumps(meta0), spark)
         # time-travel anchor: gen-0 descriptor (open_index_at)
         from search_engine_spark.plans.incremental import (

@@ -70,6 +70,36 @@ from search_engine_spark.sources.pages import enrich_pages
 TOMBSTONE_SCHEMA = "doc_id long, url string, removed_at double"
 
 
+def _with_maintenance_conf(fn):
+    """Run a maintenance op under AQE partition coalescing (the same
+    scoped conf the build uses for its small-table writes): every
+    shuffle inside these ops is delta- or stats-sized, so the static
+    ``shuffle.partitions`` fan-out turns each of the op's many small
+    jobs into a tiny-task + small-files storm — latency at fixture
+    scale, a commit/file-listing tax at real scale.  AQE's 64 MB
+    advisory only coalesces below-target partitions, so a genuinely
+    large delta (bulk append) keeps its width."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark, *args, **kwargs):
+        from search_engine_spark.util import scoped_conf
+
+        with scoped_conf(
+            spark,
+            **{
+                "spark.sql.adaptive.enabled": "true",
+                "spark.sql.adaptive.coalescePartitions.enabled":
+                    "true",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+                    "64m",
+            },
+        ):
+            return fn(spark, *args, **kwargs)
+
+    return wrapper
+
+
 def _stats(out_dir: str) -> dict:
     # fsutil (Hadoop FileSystem API) so maintenance works on
     # hdfs://- and s3a://-resident indexes, not only local paths
@@ -330,7 +360,12 @@ def _recompute_scalar_stats(
 
 
 def _apply_scalar_delta(
-    spark: SparkSession, out_dir: str, meta: dict, dn: int, dsum: int
+    spark: SparkSession,
+    out_dir: str,
+    meta: dict,
+    dn: int,
+    dsum: int,
+    recompute_includes_delta: bool = True,
 ) -> dict:
     """O(1) scalar-stats maintenance: n_docs/avg_len from the
     committed exact ``sum_len`` plus this op's delta — no docs-table
@@ -340,14 +375,51 @@ def _apply_scalar_delta(
     10^12 docs this is the difference between O(delta) and O(corpus)
     work per maintenance op.  Legacy descriptors (no ``sum_len``)
     bootstrap through one full recompute, after which the exact sum
-    is carried forward."""
+    is carried forward; ``recompute_includes_delta`` says whether the
+    tables that recompute reads already reflect this op's delta
+    (tombstone: yes — the pending tombstone table is written; append:
+    no — it runs before the docs append, so the delta is added on
+    top)."""
     if "sum_len" not in meta:
-        return _recompute_scalar_stats(spark, out_dir, meta)
+        _recompute_scalar_stats(spark, out_dir, meta)
+        if recompute_includes_delta:
+            return meta
+        dn, dsum = int(dn), int(dsum)
     n = int(meta["n_docs"]) + int(dn)
     s = int(meta["sum_len"]) + int(dsum)
     meta["n_docs"] = n
     meta["sum_len"] = s
     meta["avg_len"] = (s / n) if n else 0.0
+    return meta
+
+
+def _incremental_stoplist(
+    spark: SparkSession,
+    out_dir: str,
+    meta: dict,
+    delta_terms: DataFrame,
+    old_stoplist: list[str],
+) -> dict:
+    """Append-only stoplist maintenance (R14): every df delta is
+    non-negative, so the new top-K provably lies within old-top-K ∪
+    {terms whose df changed} — a term outside both kept its df while
+    each old top-K member's df only grew, and the (df desc, term asc)
+    tie-break is stable under weak increase.  Restricting the top-K
+    scan to that candidate set makes it O(delta + K) instead of
+    O(vocab); tombstone/vacuum (decrements — any term can be
+    promoted) keep the full :func:`_recompute_stoplist`."""
+    ts = spark.read.parquet(table_path(out_dir, "term_stats", meta))
+    old = spark.createDataFrame(
+        [(t,) for t in old_stoplist], "term string"
+    )
+    cand = ts.join(
+        delta_terms.select("term").unionByName(old).distinct(),
+        "term",
+        "left_semi",
+    )
+    meta["stoplist"] = list(
+        compute_stoplist(cand, meta["n_docs"], meta["stoplist_size"])
+    )
     return meta
 
 
@@ -384,6 +456,7 @@ def terms_of_docs(segments: DataFrame, doc_ids: list[int]) -> DataFrame:
     )
 
 
+@_with_maintenance_conf
 def append_pages(
     spark: SparkSession,
     out_dir: str,
@@ -669,6 +742,20 @@ def append_pages(
             ),
         }
 
+    # scalar + stoplist maintenance BEFORE the docs append: both are
+    # O(delta) (arithmetic / candidate-restricted top-K over delta_ts)
+    # and delta_ts descends from the anti-join against docs/, so this
+    # ordering removes the cache-eviction re-evaluation hazard
+    # entirely instead of depending on the caches holding
+    _apply_scalar_delta(
+        spark, out_dir, pending, n_new, dsum,
+        recompute_includes_delta=False,
+    )
+    _incremental_stoplist(
+        spark, out_dir, pending, delta_ts,
+        list(meta.get("stoplist") or []),
+    )
+
     # docs append is ADDITIVE in place: rows for uncommitted doc_ids
     # are inert for concurrent readers (their postings epoch is not
     # in any committed delta_epochs list, and n_docs/avg_len flip
@@ -680,8 +767,6 @@ def append_pages(
     meta["next_id_segment"] = seg_base + delta_segments
     meta["append_epoch"] = epoch
     meta["delta_epochs"] = list(visible_epochs) + [f"epoch={epoch}"]
-    _apply_scalar_delta(spark, out_dir, pending, n_new, dsum)
-    _recompute_stoplist(spark, out_dir, pending)
     meta["n_docs"] = pending["n_docs"]
     meta["sum_len"] = pending["sum_len"]
     meta["avg_len"] = pending["avg_len"]
@@ -707,6 +792,7 @@ def append_pages(
     }
 
 
+@_with_maintenance_conf
 def tombstone_urls(
     spark: SparkSession, out_dir: str, urls: list[str]
 ) -> dict:
@@ -868,6 +954,7 @@ def plan_epoch_merge(
     return tier if len(tier) >= min_merge else []
 
 
+@_with_maintenance_conf
 def merge_delta_epochs(
     spark: SparkSession,
     out_dir: str,
@@ -1033,6 +1120,7 @@ def merge_delta_epochs(
     }
 
 
+@_with_maintenance_conf
 def vacuum(spark: SparkSession, out_dir: str) -> dict:
     """Physically drop tombstoned postings and re-merge each term's
     segments; clears the tombstone table.

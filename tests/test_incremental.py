@@ -341,6 +341,20 @@ def test_incremental_stats_match_full_recompute(
             .collect()
         }
         assert disk_ss == true_ss, step
+        # stoplist: the candidate-restricted append path must equal
+        # the unrestricted top-K over the full maintained term_stats
+        from search_engine_spark.operators.postings import (
+            compute_stoplist,
+        )
+
+        full_stop = compute_stoplist(
+            spark.read.parquet(
+                table_path(out, "term_stats", meta)
+            ),
+            meta["n_docs"],
+            meta["stoplist_size"],
+        )
+        assert tuple(meta["stoplist"]) == full_stop, step
 
     check("build")
     append_pages(spark, out, extra)
