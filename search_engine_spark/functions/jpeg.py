@@ -1,4 +1,5 @@
-"""Baseline JFIF (SOF0) JPEG decoder in pure numpy.
+"""JFIF JPEG decoder in pure numpy — baseline (SOF0/1) and
+progressive (SOF2).
 
 The multimodal column operators (functions/multimodal.py) decode
 images inside ``mapInPandas`` batches; this sandbox has no
@@ -7,7 +8,8 @@ binary PPM/PGM.  Baseline sequential JPEG — by far the dominant
 format in Common-Crawl-style image payloads — is small enough to
 implement directly (ITU-T T.81):
 
-- marker parse: DQT / DHT / SOF0 / DRI / SOS (single interleaved scan)
+- marker parse: DQT / DHT / SOF0/1/2 / DRI / SOS (any number of
+  scans; Huffman tables snapshotted per scan)
 - canonical Huffman decode (mincode/maxcode/valptr, spec F.2.2.3)
   with byte destuffing (FF 00) and restart-marker segmentation
 - dequantize + de-zigzag, exact separable float IDCT (orthonormal
@@ -15,8 +17,13 @@ implement directly (ITU-T T.81):
 - chroma upsample (any h/v sampling factors incl. 4:2:0), JFIF
   YCbCr → RGB
 
+- progressive mode (T.81 annex G): spectral-selection bands,
+  successive approximation (DC first/refine, AC first/refine with
+  EOB-run coding and interleaved correction bits), non-interleaved
+  single-component scans over the effective block grid
+
 Unsupported (raise ``NotImplementedError``, never wrong pixels):
-progressive (SOF2), arithmetic coding, 12-bit precision, hierarchical.
+lossless/hierarchical SOFs, arithmetic coding, 12-bit precision.
 
 Scale note: decoding runs entirely inside the Arrow batch on the
 executor — the driver never sees pixels.  The per-segment Huffman
@@ -146,8 +153,120 @@ def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
     return [bytes(s) for s in segs], i
 
 
-def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline-sequential JFIF byte string to an
+def _decode_block_full(bits, blk, dc_tab, ac_tab, pred_box):
+    """Baseline DC+AC for one block (T.81 F.2.2)."""
+    t = _decode_symbol(bits, dc_tab)
+    pred_box[0] += _extend(bits.receive(t), t)
+    blk[0] = pred_box[0]
+    k = 1
+    while k < 64:
+        rs = _decode_symbol(bits, ac_tab)
+        r, sz = rs >> 4, rs & 0xF
+        if sz == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC index overrun")
+        blk[k] = _extend(bits.receive(sz), sz)
+        k += 1
+
+
+def _decode_block_dc_first(bits, blk, dc_tab, al, pred_box):
+    """Progressive DC, first pass (G.2): diff in the >>Al domain."""
+    t = _decode_symbol(bits, dc_tab)
+    pred_box[0] += _extend(bits.receive(t), t)
+    blk[0] = pred_box[0] << al
+
+
+def _decode_block_dc_refine(bits, blk, al):
+    """Progressive DC refinement: one appended magnitude bit."""
+    if bits.read_bit():
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _decode_block_ac_first(bits, blk, ac_tab, ss, se, al, state):
+    """Progressive AC, first pass (G.2.2) with EOB-run coding."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(bits, ac_tab)
+        r, sz = rs >> 4, rs & 0xF
+        if sz == 0:
+            if r < 15:  # EOBn: run of (1<<r)+ext blocks ending here
+                eob = 1 << r
+                if r:
+                    eob += bits.receive(r)
+                state["eobrun"] = eob - 1
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC band overrun")
+        blk[k] = _extend(bits.receive(sz), sz) << al
+        k += 1
+
+
+def _decode_block_ac_refine(bits, blk, ac_tab, ss, se, al, state):
+    """Progressive AC refinement (G.1.2.3 / F.2.4.3): newly
+    significant coefficients are ±1<<Al; already-significant ones
+    consume one interleaved correction bit apiece."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_symbol(bits, ac_tab)
+            r, sz = rs >> 4, rs & 0xF
+            val = 0
+            if sz == 0:
+                if r < 15:
+                    eob = 1 << r
+                    if r:
+                        eob += bits.receive(r)
+                    state["eobrun"] = eob
+                    break  # fall through to the EOB correction walk
+                # r == 15: ZRL — run of 16 zero-history positions
+            else:
+                if sz != 1:
+                    raise ValueError(
+                        "corrupt JPEG: refinement size != 1"
+                    )
+                val = p1 if bits.read_bit() else m1
+            # advance r zero-history positions, correcting nonzero-
+            # history coefficients along the way (they don't count)
+            while k <= se:
+                cur = int(blk[k])
+                if cur != 0:
+                    if bits.read_bit() and (cur & p1) == 0:
+                        blk[k] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        # block is inside an EOB run: only correction bits remain
+        while k <= se:
+            cur = int(blk[k])
+            if cur != 0:
+                if bits.read_bit() and (cur & p1) == 0:
+                    blk[k] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a JFIF byte string — baseline sequential (SOF0,
+    interleaved or multi-scan) or progressive (SOF2: spectral
+    selection + successive approximation, T.81 annex G) — to an
     ``(H, W, 3)`` uint8 RGB array (grayscale replicated to 3
     channels)."""
     if payload[:2] != b"\xff\xd8":
@@ -157,7 +276,7 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _Huff] = {}
     frame = None
     dri = 0
-    scan = None
+    scans = []  # every SOS with its entropy segments + table snapshot
     pos = 2
     data = payload
     while pos < len(data):
@@ -194,7 +313,7 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                     bits, vals
                 )
                 i += 17 + nvals
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("12-bit precision")
@@ -204,28 +323,37 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {
+                "h": h, "w": w, "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02X}) — "
-                "only baseline sequential (SOF0) is supported"
+                f"unsupported JPEG (SOF marker 0x{marker:02X}) — "
+                "baseline sequential (SOF0/1) and progressive "
+                "(SOF2) are supported"
             )
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = body[0]
-            scan = []
+            sel = []
             for s in range(ns):
                 cs, tables = body[1 + 2 * s], body[2 + 2 * s]
-                scan.append(
-                    {"cs": cs, "td": tables >> 4, "ta": tables & 0xF}
-                )
+                sel.append((cs, tables >> 4, tables & 0xF))
+            ss, se, a = body[1 + 2 * ns:4 + 2 * ns]
             segments, pos = _split_entropy(data, pos)
-            break
+            scans.append({
+                "sel": sel, "ss": ss, "se": se,
+                "ah": a >> 4, "al": a & 0xF,
+                "segments": segments, "dri": dri,
+                # tables are redefinable between scans — snapshot
+                "dc": dict(huff_dc), "ac": dict(huff_ac),
+            })
         # APPn / COM / others: skipped via seglen
-    if frame is None or scan is None:
-        raise ValueError("malformed JPEG: missing SOF0/SOS")
+    if frame is None or not scans:
+        raise ValueError("malformed JPEG: missing SOF/SOS")
 
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
@@ -233,57 +361,104 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
     mcux = -(-frame["w"] // (8 * hmax))
     mcuy = -(-frame["h"] // (8 * vmax))
     n_mcus = mcux * mcuy
-
     by_id = {c["id"]: c for c in comps}
-    order = []  # interleaved component order within an MCU
-    for s in scan:
-        c = by_id[s["cs"]]
-        c["td"], c["ta"] = s["td"], s["ta"]
-        order.append(c)
     for c in comps:
         c["bw"] = mcux * c["h"]  # blocks per row (padded to MCU grid)
         c["bh"] = mcuy * c["v"]
+        # effective (non-interleaved) block grid: ceil of the
+        # component's own sample dims, NOT padded to whole MCUs
+        cw = -(-(frame["w"] * c["h"]) // hmax)
+        ch = -(-(frame["h"] * c["v"]) // vmax)
+        c["ew"] = -(-cw // 8)
+        c["eh"] = -(-ch // 8)
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
 
-    mcu = 0
-    for seg in segments:
-        bits = _Bits(seg)
-        pred = {c["id"]: 0 for c in comps}
-        limit = mcu + dri if dri else n_mcus
-        while mcu < min(limit, n_mcus):
-            my, mx = divmod(mcu, mcux)
-            for c in order:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = np.zeros(64, dtype=np.int32)
-                        t = _decode_symbol(bits, huff_dc[c["td"]])
-                        diff = _extend(bits.receive(t), t)
-                        pred[c["id"]] += diff
-                        blk[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_symbol(
-                                bits, huff_ac[c["ta"]]
+    progressive = frame["progressive"]
+    for scan in scans:
+        order = []
+        for cs, td, ta in scan["sel"]:
+            c = by_id[cs]
+            order.append((c, td, ta))
+        ss, se = scan["ss"], scan["se"]
+        ah, al = scan["ah"], scan["al"]
+        sdri = scan["dri"]
+        dc_t = scan["dc"]
+        ac_t = scan["ac"]
+        if len(order) > 1:
+            if progressive and ss != 0:
+                raise ValueError(
+                    "corrupt JPEG: interleaved progressive AC scan"
+                )
+            # interleaved MCU walk (baseline full scans and
+            # progressive DC scans; also single-component baseline)
+            mcu = 0
+            for seg in scan["segments"]:
+                bits = _Bits(seg)
+                pred = {c["id"]: [0] for c, _, _ in order}
+                limit = mcu + sdri if sdri else n_mcus
+                while mcu < min(limit, n_mcus):
+                    my, mx = divmod(mcu, mcux)
+                    for c, td, ta in order:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                row = my * c["v"] + by
+                                col = mx * c["h"] + bx
+                                blk = c["coef"][row * c["bw"] + col]
+                                if not progressive:
+                                    _decode_block_full(
+                                        bits, blk, dc_t[td],
+                                        ac_t[ta], pred[c["id"]],
+                                    )
+                                elif ah == 0:
+                                    _decode_block_dc_first(
+                                        bits, blk, dc_t[td], al,
+                                        pred[c["id"]],
+                                    )
+                                else:
+                                    _decode_block_dc_refine(
+                                        bits, blk, al
+                                    )
+                    mcu += 1
+                if mcu >= n_mcus:
+                    break
+        else:
+            # single-component scan: ALWAYS non-interleaved (T.81
+            # A.2.2) — walk the component's effective block grid,
+            # not the MCU-padded one (baseline multi-scan files and
+            # all progressive AC scans land here)
+            (c, td, ta) = order[0]
+            nblk = c["ew"] * c["eh"]
+            blki = 0
+            for seg in scan["segments"]:
+                bits = _Bits(seg)
+                pred = [0]
+                state = {"eobrun": 0}
+                limit = blki + sdri if sdri else nblk
+                while blki < min(limit, nblk):
+                    row, col = divmod(blki, c["ew"])
+                    blk = c["coef"][row * c["bw"] + col]
+                    if not progressive:
+                        _decode_block_full(
+                            bits, blk, dc_t[td], ac_t[ta], pred
+                        )
+                    elif ss == 0:
+                        if ah == 0:
+                            _decode_block_dc_first(
+                                bits, blk, dc_t[td], al, pred
                             )
-                            r, sz = rs >> 4, rs & 0xF
-                            if sz == 0:
-                                if r == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError(
-                                    "corrupt JPEG: AC index overrun"
-                                )
-                            blk[k] = _extend(bits.receive(sz), sz)
-                            k += 1
-                        row = my * c["v"] + by
-                        col = mx * c["h"] + bx
-                        c["coef"][row * c["bw"] + col] = blk
-            mcu += 1
-        if mcu >= n_mcus:
-            break
+                        else:
+                            _decode_block_dc_refine(bits, blk, al)
+                    elif ah == 0:
+                        _decode_block_ac_first(
+                            bits, blk, ac_t[ta], ss, se, al, state
+                        )
+                    else:
+                        _decode_block_ac_refine(
+                            bits, blk, ac_t[ta], ss, se, al, state
+                        )
+                    blki += 1
+                if blki >= nblk:
+                    break
 
     # dequantize + de-zigzag + IDCT, one vectorized pass per component
     planes = []
@@ -315,3 +490,9 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# kept name: the multimodal operators and earlier tests imported the
+# decoder under its original baseline-only name; it now also decodes
+# progressive (SOF2) streams
+decode_baseline_jpeg = decode_jpeg

@@ -5,12 +5,13 @@ A large-scale training-data pipeline carries media next to text:
 provides the Spark-side machinery — schemas, Arrow batch shapes,
 ``mapInPandas`` decode/feature/resize/frame-sample operators.  The
 ``decoder="real"`` paths genuinely decode the formats parseable in
-pure numpy/stdlib — binary PPM/PGM, baseline JPEG (functions/jpeg),
-PNG (functions/png, stdlib zlib), GIF (functions/gif), RIFF/WAVE PCM
-audio, and YUV4MPEG2 video (functions/y4m) — and compute real
-features (grayscale histograms, RMS/zero-crossings/spectral bands,
-per-timeline frame samples); the remaining compressed containers
-(progressive JPEG/mp3/mp4) raise ``NotImplementedError`` because the
+pure numpy/stdlib — binary PPM/PGM, baseline AND progressive JPEG
+(functions/jpeg), PNG (functions/png, stdlib zlib), GIF
+(functions/gif), RIFF/WAVE PCM audio, and YUV4MPEG2 video
+(functions/y4m) — and compute real features (grayscale histograms,
+RMS/zero-crossings/spectral bands, per-timeline frame samples); the
+remaining compressed containers (mp3/mp4) raise
+``NotImplementedError`` because the
 sandbox has no Pillow/torchaudio/PyAV — each is a one-function
 swap-in (`_decode_image_real`, `_decode_wav_real`,
 `sample_frames`).  ``decoder="fake"`` (default) derives
@@ -85,11 +86,12 @@ def _fake_embedding(payload: bytes, dim: int) -> list[float]:
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
     """Real decode path, no external library: binary PPM/PGM
-    (``P6``/``P5``) parsed inline, baseline-sequential JPEG decoded
-    by :mod:`search_engine_spark.functions.jpeg` (pure-numpy T.81:
-    Huffman + dequant + IDCT + chroma upsample + YCbCr→RGB).  All
-    return ``(H, W, 3)`` uint8.  PNG / progressive JPEG still raise
-    ``NotImplementedError`` (Pillow/opencv is the swap-in there)."""
+    (``P6``/``P5``) parsed inline, JPEG — baseline sequential AND
+    progressive (SOF2) — decoded by
+    :mod:`search_engine_spark.functions.jpeg` (pure-numpy T.81:
+    Huffman + spectral/successive-approximation scans + dequant +
+    IDCT + chroma upsample + YCbCr→RGB).  All return ``(H, W, 3)``
+    uint8."""
     magic = bytes(payload[:2])
     if magic == b"\xff\xd8":
         from search_engine_spark.functions.jpeg import (

@@ -378,12 +378,13 @@ def test_restart_markers():
     assert np.array_equal(got, decode_baseline_jpeg(plain))
 
 
-def test_progressive_rejected_cleanly():
+def test_lossless_rejected_cleanly():
     img = _test_image(16, 16)
     payload, _ = encode_jpeg(img)
-    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
-    bad = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    # flip SOF0 -> SOF3 (lossless): must refuse, not mis-decode
+    # (progressive SOF2 is now a supported mode, tested below)
+    bad = payload.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(NotImplementedError, match="SOF"):
         decode_baseline_jpeg(bad)
 
 
@@ -406,3 +407,420 @@ def test_image_features_real_decoder_jpeg(spark):
     for i, img in enumerate(imgs):
         assert out[i]["height"] == img.shape[0]
         assert out[i]["width"] == img.shape[1]
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) encoder — spectral selection + successive
+# approximation, written from T.81 annex G inside this test (no code
+# shared with the decoder under test).
+# ---------------------------------------------------------------------------
+
+# one flat AC table covering every progressive symbol (EOBn for
+# n=0..14, ZRL, and (run, size) for size 1..10): all codes length 9 —
+# canonical, incomplete, and never the all-ones code (176 < 511)
+ACP = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
+def _quantize_all(padded, qts):
+    """Quantized zigzag coefficient vectors for every 8x8 block of
+    every (MCU-padded) component plane, indexed [ci][row][col]."""
+    out = []
+    for p, q in zip(padded, qts):
+        bh, bw = p.shape[0] // 8, p.shape[1] // 8
+        rows = []
+        for r in range(bh):
+            cols = []
+            for c in range(bw):
+                blk = p[r * 8:r * 8 + 8, c * 8:c * 8 + 8]
+                coef = DCT @ (blk - 128.0) @ DCT.T
+                cols.append(np.round(
+                    coef.reshape(64)[ZZ] / q.astype(float)[ZZ]
+                ).astype(int))
+            rows.append(cols)
+        out.append(rows)
+    return out
+
+
+def _sshift(v, al):
+    """T.81 G.1.2.1 point transform: sign * (|v| >> Al)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _enc_dc_first_scan(out, zzs, samps, mcux, mcuy, al, dc_tabs,
+                       restart_interval=0):
+    w = _Writer()
+    preds = [0] * len(zzs)
+    rst = mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.align()
+                out += bytes(w.out)
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                w.__init__()
+                preds = [0] * len(zzs)
+            mcu += 1
+            for ci, (sh, sv) in enumerate(samps):
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = int(zzs[ci][my * sv + by][mx * sh + bx][0])
+                        v >>= al  # arithmetic shift, two's complement
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        mag, t = abs(diff), 0
+                        while mag:
+                            mag >>= 1
+                            t += 1
+                        c, ln = dc_tabs[ci][t]
+                        w.put(c, ln)
+                        if t:
+                            w.put(
+                                diff if diff >= 0
+                                else diff + (1 << t) - 1, t,
+                            )
+    w.align()
+    out += w.out
+
+
+def _enc_dc_refine_scan(out, zzs, samps, mcux, mcuy, al,
+                        restart_interval=0):
+    w = _Writer()
+    rst = mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.align()
+                out += bytes(w.out)
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                w.__init__()
+            mcu += 1
+            for ci, (sh, sv) in enumerate(samps):
+                for by in range(sv):
+                    for bx in range(sh):
+                        v = int(zzs[ci][my * sv + by][mx * sh + bx][0])
+                        w.put((v >> al) & 1, 1)
+    w.align()
+    out += w.out
+
+
+def _blocks_noninterleaved(zzs_ci, ew, eh):
+    for r in range(eh):
+        for c in range(ew):
+            yield zzs_ci[r][c]
+
+
+def _enc_ac_first_scan(out, blocks, ss, se, al, ac_tab,
+                       restart_interval=0):
+    w = _Writer()
+    eobrun = 0
+    rst = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            c, ln = ac_tab[nbits << 4]
+            w.put(c, ln)
+            if nbits:
+                w.put(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for i, zz in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            flush()
+            w.align()
+            out_seg = bytes(w.out)
+            out += out_seg
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            w.__init__()
+        tv = [_sshift(int(zz[k]), al) for k in range(ss, se + 1)]
+        if not any(tv):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        r = 0
+        for t in tv:
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                c, ln = ac_tab[0xF0]
+                w.put(c, ln)
+                r -= 16
+            sz = abs(t).bit_length()
+            c, ln = ac_tab[(r << 4) | sz]
+            w.put(c, ln)
+            w.put(t if t >= 0 else t + (1 << sz) - 1, sz)
+            r = 0
+        if r > 0:
+            eobrun += 1
+    flush()
+    w.align()
+    out += w.out
+
+
+def _enc_ac_refine_scan(out, blocks, ss, se, al, ac_tab,
+                        restart_interval=0):
+    w = _Writer()
+    eobrun = 0
+    pending: list[int] = []
+    rst = 0
+
+    def flush():
+        nonlocal eobrun, pending
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            c, ln = ac_tab[nbits << 4]
+            w.put(c, ln)
+            if nbits:
+                w.put(eobrun - (1 << nbits), nbits)
+            for b in pending:
+                w.put(b, 1)
+            pending = []
+            eobrun = 0
+
+    for i, zz in enumerate(blocks):
+        if restart_interval and i and i % restart_interval == 0:
+            flush()
+            w.align()
+            out += bytes(w.out)
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            w.__init__()
+        band = [int(zz[k]) for k in range(ss, se + 1)]
+        absv = [_sshift(abs(v), 0) >> al for v in band]
+        eob_rel = -1
+        for j, t in enumerate(absv):
+            if t == 1:
+                eob_rel = j
+        r = 0
+        br: list[int] = []
+        for j, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and j <= eob_rel:
+                flush()
+                c, ln = ac_tab[0xF0]
+                w.put(c, ln)
+                r -= 16
+                for b in br:
+                    w.put(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            # newly significant (t == 1)
+            flush()
+            c, ln = ac_tab[(r << 4) | 1]
+            w.put(c, ln)
+            w.put(1 if band[j] >= 0 else 0, 1)
+            for b in br:
+                w.put(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+    w.align()
+    out += w.out
+
+
+def encode_progressive_jpeg(img: np.ndarray, gray=False,
+                            subsample=False,
+                            restart_interval=0) -> bytes:
+    """Progressive JFIF: DC first (Al=1) → per-component AC-first
+    band scans (Al=1, Y spectrally split) → DC refine → per-component
+    AC refine (Al=0).  Quantization identical to encode_jpeg, so the
+    decoded pixels must EQUAL the baseline decode of the same
+    image."""
+    h, w0 = img.shape[:2]
+    if gray:
+        planes = [img.mean(axis=2)]
+        samps = [(1, 1)]
+        qts = [QL]
+    else:
+        rgb = img.astype(np.float64)
+        y = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1]
+             + 0.114 * rgb[:, :, 2])
+        cb = 128.0 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] \
+            + 0.5 * rgb[:, :, 2]
+        cr = 128.0 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] \
+            - 0.081312 * rgb[:, :, 2]
+        if subsample:
+            def down(p):
+                hh = (p.shape[0] + 1) // 2 * 2
+                ww = (p.shape[1] + 1) // 2 * 2
+                pp = np.pad(p, ((0, hh - p.shape[0]),
+                                (0, ww - p.shape[1])), mode="edge")
+                return (pp[0::2, 0::2] + pp[1::2, 0::2]
+                        + pp[0::2, 1::2] + pp[1::2, 1::2]) / 4.0
+            planes = [y, down(cb), down(cr)]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samps = [(1, 1), (1, 1), (1, 1)]
+        qts = [QL, QC, QC]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w0 // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, samps):
+        ph, pw = mcuy * sv * 8, mcux * sh * 8
+        padded.append(np.pad(
+            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+            mode="edge"))
+    zzs = _quantize_all(padded, qts)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00])
+                + QL.reshape(64)[ZZ].astype(np.uint8).tobytes())
+    if not gray:
+        out += _seg(0xDB, bytes([0x01])
+                    + QC.reshape(64)[ZZ].astype(np.uint8).tobytes())
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w0, nc)
+    for i, (sh, sv) in enumerate(samps):
+        sof += bytes([i + 1, (sh << 4) | sv, 0 if i == 0 else 1])
+    out += _seg(0xC2, sof)  # SOF2: progressive
+    for cls, tid, (bits, vals) in (
+        (0, 0, DC_L), (0, 1, DC_C), (1, 0, ACP),
+    ):
+        if gray and tid == 1:
+            continue
+        out += _seg(
+            0xC4,
+            bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals),
+        )
+    dc_tabs = [_codes(*DC_L)] + [_codes(*DC_C)] * (nc - 1)
+    ac_tab = _codes(*ACP)
+
+    def sos(sel, ss, se, ah, al):
+        body = bytes([len(sel)])
+        for cs, td, ta in sel:
+            body += bytes([cs, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    def eff(ci):
+        sh, sv = samps[ci]
+        cw = -(-(w0 * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        return -(-cw // 8), -(-ch // 8)
+
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    # scan 1: DC first, interleaved, Al=1
+    out += sos([(i + 1, 0 if i == 0 else 1, 0) for i in range(nc)],
+               0, 0, 0, 1)
+    _enc_dc_first_scan(out, zzs, samps, mcux, mcuy, 1, dc_tabs,
+                       restart_interval)
+    # scans 2..: AC first per component, Al=1 (Y spectrally split)
+    bands = {0: [(1, 5), (6, 63)]}
+    for ci in range(nc):
+        ew, eh = eff(ci)
+        for (bs, be) in bands.get(ci, [(1, 63)]):
+            out += sos([(ci + 1, 0, 0)], bs, be, 0, 1)
+            _enc_ac_first_scan(
+                out, _blocks_noninterleaved(zzs[ci], ew, eh),
+                bs, be, 1, ac_tab, restart_interval,
+            )
+    # DC refine (Ah=1 -> Al=0), interleaved
+    out += sos([(i + 1, 0, 0) for i in range(nc)], 0, 0, 1, 0)
+    _enc_dc_refine_scan(out, zzs, samps, mcux, mcuy, 0,
+                        restart_interval)
+    # AC refine per component (Ah=1 -> Al=0)
+    for ci in range(nc):
+        ew, eh = eff(ci)
+        out += sos([(ci + 1, 0, 0)], 1, 63, 1, 0)
+        _enc_ac_refine_scan(
+            out, _blocks_noninterleaved(zzs[ci], ew, eh),
+            1, 63, 0, ac_tab, restart_interval,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("dims", [(16, 16), (17, 23), (8, 40)])
+def test_progressive_roundtrip_444(dims):
+    """Progressive decode must EQUAL the baseline decode of the same
+    image (identical quantization -> identical coefficients)."""
+    img = _test_image(*dims)
+    base = decode_baseline_jpeg(encode_jpeg(img)[0])
+    prog = decode_baseline_jpeg(encode_progressive_jpeg(img))
+    assert prog.shape == base.shape
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_roundtrip_420_subsampled():
+    img = _test_image(33, 41, seed=3)
+    base = decode_baseline_jpeg(encode_jpeg(img, subsample=True)[0])
+    prog = decode_baseline_jpeg(
+        encode_progressive_jpeg(img, subsample=True)
+    )
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_roundtrip_grayscale():
+    """Single-component frame: every scan (incl. DC) walks the
+    non-interleaved effective block grid."""
+    img = _test_image(24, 17, seed=9)
+    base = decode_baseline_jpeg(encode_jpeg(img, gray=True)[0])
+    prog = decode_baseline_jpeg(
+        encode_progressive_jpeg(img, gray=True)
+    )
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_restart_markers():
+    """RSTn inside non-interleaved AC scans: EOB runs must not cross
+    restart segments."""
+    img = _test_image(40, 32, seed=4)
+    base = decode_baseline_jpeg(encode_jpeg(img)[0])
+    prog = decode_baseline_jpeg(
+        encode_progressive_jpeg(img, restart_interval=3)
+    )
+    assert np.array_equal(prog, base)
+
+
+def test_image_features_real_decoder_progressive(spark):
+    """Spark-side plumbing with progressive payloads: identical
+    features to the baseline encoding of the same image."""
+    from search_engine_spark.functions.multimodal import image_features
+
+    imgs = [_test_image(16 + 8 * i, 24, seed=20 + i) for i in range(2)]
+    rows = [
+        (2 * i, "image", bytearray(encode_jpeg(img)[0]))
+        for i, img in enumerate(imgs)
+    ] + [
+        (2 * i + 1, "image",
+         bytearray(encode_progressive_jpeg(img)))
+        for i, img in enumerate(imgs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, kind string, payload binary"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in image_features(df, decoder="real").collect()
+    }
+    assert len(out) == 4
+    for i, img in enumerate(imgs):
+        b, p = out[2 * i], out[2 * i + 1]
+        assert p["height"] == b["height"] == img.shape[0]
+        assert p["width"] == b["width"] == img.shape[1]
+        assert p["embedding"] == b["embedding"]
