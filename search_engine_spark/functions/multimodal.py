@@ -7,8 +7,8 @@ provides the Spark-side machinery — schemas, Arrow batch shapes,
 ``decoder="real"`` paths genuinely decode the formats parseable in
 pure numpy/stdlib — binary PPM/PGM, baseline AND progressive JPEG
 (functions/jpeg), PNG (functions/png, stdlib zlib), GIF
-(functions/gif), RIFF/WAVE PCM audio, and YUV4MPEG2 video
-(functions/y4m) — and compute real features (grayscale histograms,
+(functions/gif), RIFF/WAVE PCM audio, YUV4MPEG2 video
+(functions/y4m), and MJPG AVI video (functions/avi) — and compute real features (grayscale histograms,
 RMS/zero-crossings/spectral bands, per-timeline frame samples); the
 remaining compressed containers (mp3/mp4) raise
 ``NotImplementedError`` because the
@@ -457,18 +457,27 @@ def sample_frames(
             ):
                 data = bytes(payload)
                 if decoder == "real":
-                    if data[:9] != b"YUV4MPEG2":
+                    if data[:9] == b"YUV4MPEG2":
+                        from search_engine_spark.functions.y4m import (
+                            decode_y4m,
+                        )
+
+                        frames, fps = decode_y4m(data)
+                    elif (data[:4] == b"RIFF"
+                          and data[8:12] == b"AVI "):
+                        from search_engine_spark.functions.avi import (
+                            decode_avi,
+                        )
+
+                        frames, fps = decode_avi(data)
+                    else:
                         raise NotImplementedError(
                             "real video decoding beyond YUV4MPEG2 "
-                            "(.y4m) requires PyAV/ffmpeg — not "
-                            "available in this environment; use "
-                            "decoder='fake' or extend sample_frames"
+                            "(.y4m) and MJPG AVI requires "
+                            "PyAV/ffmpeg — not available in this "
+                            "environment; use decoder='fake' or "
+                            "extend sample_frames"
                         )
-                    from search_engine_spark.functions.y4m import (
-                        decode_y4m,
-                    )
-
-                    frames, fps = decode_y4m(data)
                     step = max(1, int(round(every_ms * fps / 1000.0)))
                     for i, fi in enumerate(range(0, len(frames), step)):
                         rows.append(
