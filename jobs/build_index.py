@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> None:
                          "(adaptive = per-block smaller of varint/"
                          "Elias-Fano)")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--no-url-bloom", action="store_true",
+                    help="skip seeding the visited-set url bloom "
+                         "(appends then bootstrap it lazily)")
     ap.add_argument(
         "--positions", action="store_true",
         help="also write the compressed positional index "
@@ -105,6 +108,7 @@ def main(argv: list[str] | None = None) -> None:
         index_buckets=args.buckets,
         shard_df_threshold=args.shard_df_threshold,
         doc_id_codec=args.doc_id_codec,
+        url_bloom_enabled=not args.no_url_bloom,
     )
     from search_engine_spark.util import warm_python_workers
 

@@ -141,6 +141,7 @@ def main(argv: list[str] | None = None) -> None:
             "retired": meta.get("retired"),
             "append_epoch": meta.get("append_epoch", 0),
             "snapshot_retention": meta.get("snapshot_retention", 0),
+            "url_bloom": meta.get("url_bloom"),
         }
         from search_engine_spark.plans.incremental import (
             list_snapshots,
