@@ -1412,6 +1412,36 @@ def open_index_at(spark: SparkSession, out_dir: str, gen: int):
     return cidx
 
 
+def positions_dir_for(
+    spark: SparkSession, out_dir: str, gen: int | None = None
+) -> str:
+    """The positional-index directory valid at generation ``gen``
+    (None = current).  The positional index lives at a FIXED path and
+    is rewritten only by vacuum, which moves the pre-rewrite data to
+    ``positions_retired_gG`` (G = the vacuum's generation) — that dir
+    is the positional truth for every generation < G.  With multiple
+    vacuums, the data for ``gen`` sits in the EARLIEST rewrite after
+    it; if none, the live dir still holds it.  Pair with
+    :func:`open_index_at` so time-travel phrase/NEAR queries read
+    positions consistent with their snapshot (subject to the same
+    retention window — an expired retired dir means the snapshot's
+    positional data is gone, like any other expired table)."""
+    base = out_dir.rstrip("/") + "/positions"
+    if gen is None:
+        return base
+    retired = []
+    for name in fsutil.listdir(out_dir, spark):
+        m = re.match(r"positions_retired_g(\d+)$", name)
+        if m:
+            retired.append(int(m.group(1)))
+    after = sorted(g for g in retired if g > gen)
+    if after:
+        return os.path.join(
+            out_dir, f"positions_retired_g{after[0]}"
+        )
+    return base
+
+
 # ---------------------------------------------------------------------------
 
 

@@ -321,3 +321,82 @@ def test_vacuum_rewrites_positions_dropping_dead_rows(
 
     assert hits('"walrus penguin"') == set()   # old phrase gone
     assert hits('"penguin swims"') == {url}    # new content matches
+
+
+def test_time_travel_positions_resolution(spark, tmp_path_factory):
+    """positions_dir_for: after vacuum's positional rewrite, a
+    time-travel reader of a pre-vacuum generation resolves to the
+    retired dir (protected by retention) and phrase queries see the
+    SNAPSHOT's content, while the current index sees the new."""
+    from datetime import datetime, timezone
+
+    from search_engine_spark.plans.boolquery import (
+        search_boolean_compact,
+    )
+    from search_engine_spark.plans.build import build_and_write
+    from search_engine_spark.plans.incremental import (
+        open_index,
+        open_index_at,
+        positions_dir_for,
+        reindex_pages,
+        set_snapshot_retention,
+        vacuum,
+    )
+
+    out = str(tmp_path_factory.mktemp("cpos_tt") / "idx")
+    pages = pages_df(spark, 40, n_sites=2, seed=13)
+    url = pages.select("url").first()["url"]
+    pages = pages.withColumn(
+        "text",
+        F.when(F.col("url") == url,
+               F.lit("the quiet kudu grazes at noon"))
+        .otherwise(F.col("text")),
+    )
+    build_and_write(spark, pages, out, analyzer="tokens",
+                    n_segments=4)
+    set_snapshot_retention(out, 16)
+    doc_ids = spark.read.parquet(out + "/docs").select(
+        "doc_id", "url"
+    )
+    write_compact_positional_index(
+        enrich_pages(pages).join(doc_ids, "url"),
+        out + "/positions", n_buckets=8, id_col="doc_id",
+    )
+
+    def mk(u, text):
+        return spark.createDataFrame(
+            [(u, datetime(2024, 1, 1, tzinfo=timezone.utc), b"",
+              text, "en")],
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        )
+
+    gen_before = __import__("json").loads(
+        open(out + "/stats.json").read()
+    )["gen"]
+    reindex_pages(spark, out,
+                  mk(url, "the loud kudu sprints at dusk"))
+    vacuum(spark, out)
+
+    # current: new phrase only, via the live positions dir
+    cur = open_index(spark, out)
+    cur_dir = positions_dir_for(spark, out)
+    assert cur_dir.endswith("/positions")
+
+    def hits(cidx, pdir, q):
+        return {
+            r["url"] for r in search_boolean_compact(
+                cidx, q, positions_dir=pdir, positions_buckets=8,
+                limit=10, analyzer="tokens",
+            ).collect()
+        }
+
+    assert hits(cur, cur_dir, '"kudu sprints"') == {url}
+    assert hits(cur, cur_dir, '"quiet kudu"') == set()
+
+    # time travel to the pre-reindex generation: retired positions
+    old = open_index_at(spark, out, gen_before)
+    old_dir = positions_dir_for(spark, out, gen_before)
+    assert "positions_retired_g" in old_dir
+    assert hits(old, old_dir, '"quiet kudu"') == {url}
+    assert hits(old, old_dir, '"kudu sprints"') == set()
