@@ -384,6 +384,98 @@ def _incremental_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _incremental_pos_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Positional-index co-maintenance lifecycle (its own cached dir
+    so the headline `incremental_lifecycle` bench line stays
+    comparable across rounds): build + compressed positional index →
+    append (%10==8; positional rows co-appended) → reindex-upsert
+    (%9==4 of base, text+marker; stale rows become dead-id-keyed) →
+    tombstone (%9==0 of base) → vacuum (positional co-rewrite drops
+    every dead row).  The checkpoint decodes the ENTIRE post-vacuum
+    positional dir to (natural doc_id, term, pos); the DuckDB oracle
+    recomputes token positions from the logical final corpus with
+    unnest-with-ordinality.  Green means tokenize→delta-varint pack →
+    per-epoch co-append → vacuum co-rewrite is position-exact
+    end-to-end."""
+    import tempfile
+
+    key = (id(spark), sf_dir, "positions")
+    if key in _INCR_CACHE:
+        return _INCR_CACHE[key]
+
+    from search_engine_spark.functions.textproc import tokens_col
+    from search_engine_spark.operators.phrases import (
+        decode_positions,
+        write_compact_positional_index,
+    )
+    from search_engine_spark.plans.build import (
+        load_stats,
+        table_path,
+    )
+    from search_engine_spark.plans.incremental import (
+        append_pages,
+        reindex_pages,
+        tombstone_urls,
+        vacuum,
+    )
+
+    out = tempfile.mkdtemp(prefix="incr_pos_contract_")
+    pages = _docs_enriched(spark, sf_dir).select(
+        "doc_id", "url", "text", "lang"
+    )
+    base = pages.filter(F.col("doc_id") % 10 < 8)
+    from search_engine_spark.config import BM25Config, EngineConfig
+
+    config = EngineConfig(bm25=BM25Config(k1=K1, b=B), index_buckets=4)
+    from search_engine_spark.plans.build import build_and_write
+
+    build_and_write(
+        spark, base.drop("doc_id"), out,
+        analyzer="tokens", config=config, n_segments=4,
+    )
+    docs_map = spark.read.parquet(
+        table_path(out, "docs", load_stats(spark, out))
+    ).select("doc_id", "url")
+    pos_dir = out + "/positions"
+    write_compact_positional_index(
+        base.drop("doc_id")
+        .withColumn("tokens", tokens_col(F.col("text"), F.col("lang")))
+        .join(docs_map, "url"),
+        pos_dir, n_buckets=4, id_col="doc_id",
+    )
+    append_pages(
+        spark, out, pages.filter(F.col("doc_id") % 10 == 8).drop("doc_id")
+    )
+    modified = base.filter(F.col("doc_id") % 9 == 4).withColumn(
+        "text", F.concat(F.col("text"), F.lit(REINDEX_MARKER))
+    )
+    reindex_pages(spark, out, modified.drop("doc_id"))
+    dead_urls = [
+        r["url"]
+        for r in base.filter(F.col("doc_id") % 9 == 0)
+        .select("url").collect()
+    ]
+    tombstone_urls(spark, out, dead_urls)
+    vacuum(spark, out)
+
+    nat = F.regexp_extract(F.col("url"), r"([0-9]+)$", 1).cast("long")
+    docs_final = spark.read.parquet(
+        table_path(out, "docs", load_stats(spark, out))
+    ).select("doc_id", "url")
+    (
+        decode_positions(spark.read.parquet(pos_dir), id_col="doc_id")
+        .join(docs_final, "doc_id")
+        .select(
+            nat.alias("doc_id"), "term",
+            F.col("pos").cast("long").alias("pos"),
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "check_positions_final"))
+    )
+    _INCR_CACHE[key] = out
+    return out
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
@@ -2622,6 +2714,35 @@ ipostings AS (
 SELECT term, count(*) AS df FROM ipostings GROUP BY 1
 """
 
+# logical final corpus of the POSITIONAL lifecycle
+# (_incremental_pos_dir): base (%10<8) ∪ appended (%10==8), minus
+# tombstoned base (%9==0), with reindexed base (%9==4) modified —
+# %10==9 docs are never appended in that lifecycle
+_INCR_POSITIONS_SQL = f"""
+WITH ipos_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 < 8 AND doc_id % 9 = 4
+              THEN text || '{REINDEX_MARKER}'
+              ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 10 <> 9
+    AND NOT (doc_id % 10 < 8 AND doc_id % 9 = 0)),
+ipos AS (
+  SELECT doc_id,
+         unnest(toklist) AS term,
+         unnest(range(len(toklist))) AS pos
+  FROM (
+    SELECT doc_id,
+           list_filter(
+             string_split_regex(
+               trim(regexp_replace(lower(text), '[^a-z\\s]', ' ',
+                                   'g')),
+               '\\s+'),
+             t -> t <> '') AS toklist
+    FROM ipos_docs))
+SELECT doc_id, term, CAST(pos AS BIGINT) AS pos FROM ipos
+"""
+
 
 def _taily_erlang_sql(terms: list[str], s_c: float) -> str:
     """DuckDB mirror of plans/federate.taily_shard_scores_erlang over
@@ -3539,6 +3660,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _incremental_dir(spark, sf)
         return spark.read.parquet(
             os.path.join(out, "check_postings_gen1")
+        )
+
+    def incremental_positions_q(spark, sf):
+        """The compressed positional index after its full maintenance
+        lifecycle (build→append→reindex→tombstone→vacuum with
+        positional co-maintenance and co-vacuum) decoded in full —
+        the oracle recomputes (doc, term, pos) from the logical final
+        corpus with unnest-with-ordinality."""
+        out = _incremental_pos_dir(spark, sf)
+        return spark.read.parquet(
+            os.path.join(out, "check_positions_final")
         )
 
     def incremental_term_stats_q(spark, sf):
@@ -6138,6 +6270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets_fixed_idf": snippets_fixed_idf_q,
         "tiered_merge_postings": tiered_merge_postings_q,
         "incremental_postings": incremental_postings_q,
+        "incremental_positions": incremental_positions_q,
         "time_travel_postings": time_travel_postings_q,
         "incremental_vacuum_postings": incremental_vacuum_postings_q,
         "incremental_term_stats": incremental_term_stats_q,
@@ -6857,6 +6990,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, CAST(tf AS BIGINT) AS tf
             FROM postings""",
         "incremental_postings": _INCR_POSTINGS_SQL,
+        "incremental_positions": _INCR_POSITIONS_SQL,
         "time_travel_postings": _TIME_TRAVEL_POSTINGS_SQL,
         "incremental_vacuum_postings": _INCR_POSTINGS_SQL,
         "incremental_term_stats": _INCR_TSTATS_SQL,
