@@ -1272,6 +1272,13 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
         )
         positions_dropped = rows_before - int(stats["rows"] or 0)
         pos_retired_rel = f"positions_retired_g{gen_next}"
+        # recorded so positions_dir_for can resolve a generation to
+        # its positional data — and fail loudly (SnapshotExpiredError)
+        # when the retired dir has aged out, instead of silently
+        # serving post-rewrite positions to a pre-rewrite snapshot
+        meta["positions_rewrites"] = list(
+            meta.get("positions_rewrites") or []
+        ) + [gen_next]
         fsutil.rename(
             pos_dir, os.path.join(out_dir, pos_retired_rel), spark
         )
@@ -1429,17 +1436,22 @@ def positions_dir_for(
     base = out_dir.rstrip("/") + "/positions"
     if gen is None:
         return base
-    retired = []
-    for name in fsutil.listdir(out_dir, spark):
-        m = re.match(r"positions_retired_g(\d+)$", name)
-        if m:
-            retired.append(int(m.group(1)))
-    after = sorted(g for g in retired if g > gen)
-    if after:
-        return os.path.join(
-            out_dir, f"positions_retired_g{after[0]}"
+    meta = _stats(out_dir)
+    rewrites = sorted(
+        int(g) for g in meta.get("positions_rewrites") or []
+        if int(g) > gen
+    )
+    if not rewrites:
+        return base  # no rewrite since `gen`: live dir IS its data
+    want = os.path.join(out_dir, f"positions_retired_g{rewrites[0]}")
+    if not fsutil.exists(want, spark):
+        raise SnapshotExpiredError(
+            f"positional data for generation {gen} was retired by "
+            f"the vacuum at generation {rewrites[0]} and has been "
+            "expired; raise snapshot_retention before vacuuming to "
+            "keep it readable"
         )
-    return base
+    return want
 
 
 # ---------------------------------------------------------------------------

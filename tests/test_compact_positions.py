@@ -400,3 +400,56 @@ def test_time_travel_positions_resolution(spark, tmp_path_factory):
     assert "positions_retired_g" in old_dir
     assert hits(old, old_dir, '"quiet kudu"') == {url}
     assert hits(old, old_dir, '"kudu sprints"') == set()
+
+
+def test_expired_positions_fail_loudly(spark, tmp_path_factory):
+    """With retention 0, the retired positional dir ages out — a
+    time-travel resolution for a pre-vacuum generation must raise
+    SnapshotExpiredError, never silently serve post-rewrite
+    positions."""
+    from datetime import datetime, timezone
+
+    from search_engine_spark.plans.build import build_and_write
+    from search_engine_spark.plans.incremental import (
+        SnapshotExpiredError,
+        positions_dir_for,
+        reindex_pages,
+        tombstone_urls,
+        vacuum,
+    )
+
+    out = str(tmp_path_factory.mktemp("cpos_exp") / "idx")
+    pages = pages_df(spark, 30, n_sites=2, seed=17)
+    build_and_write(spark, pages, out, analyzer="tokens",
+                    n_segments=4)
+    doc_ids = spark.read.parquet(out + "/docs").select(
+        "doc_id", "url"
+    )
+    write_compact_positional_index(
+        enrich_pages(pages).join(doc_ids, "url"),
+        out + "/positions", n_buckets=4, id_col="doc_id",
+    )
+    url = pages.select("url").first()["url"]
+
+    def mk(u, text):
+        return spark.createDataFrame(
+            [(u, datetime(2024, 1, 1, tzinfo=timezone.utc), b"",
+              text, "en")],
+            "url string, warc_ts timestamp, html binary, "
+            "text string, lang string",
+        )
+
+    import json
+
+    gen0 = json.loads(open(out + "/stats.json").read())["gen"]
+    reindex_pages(spark, out, mk(url, "entirely new words here"))
+    vacuum(spark, out)
+    # default retention 0: the next op expires the retired dir
+    tombstone_urls(
+        spark, out,
+        [r["url"] for r in pages.select("url").collect()][1:2],
+    )
+    with pytest.raises(SnapshotExpiredError, match="positional"):
+        positions_dir_for(spark, out, gen0)
+    # current resolution still fine
+    assert positions_dir_for(spark, out).endswith("/positions")
