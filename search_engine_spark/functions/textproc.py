@@ -198,7 +198,7 @@ def _batch_lemma_counts(
 
 
 @pandas_udf(_LEMMA_COUNTS_TYPE)
-def lemma_counts_udf(tokens: pd.Series, lang: pd.Series) -> pd.Series:
+def lemma_counts_pandas_udf(tokens: pd.Series, lang: pd.Series) -> pd.Series:
     """tokens array + lang -> array<struct<term,tf>> per row."""
     _, terms_list, tfs_list = _batch_lemma_counts(
         list(tokens), list(lang)
@@ -212,6 +212,103 @@ def lemma_counts_udf(tokens: pd.Series, lang: pd.Series) -> pd.Series:
             for terms, tfs in zip(terms_list, tfs_list)
         ]
     )
+
+
+def _lemma_counts_batch_arrow(tokens, lang):
+    """Whole-batch T5–T7 over pre-tokenized rows, Arrow-kernel path.
+
+    Tokens are given (no tokenization, no guards needed): dictionary-
+    encode the flattened token stream, lemmatize each UNIQUE (token,
+    lang) once through the memo, count (row, lemma) pairs in numpy.
+    Exactly equivalent to the pandas path for any input.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    if isinstance(lang, pa.ChunkedArray):
+        lang = lang.combine_chunks()
+    n = len(tokens)
+    out_type = pa.list_(
+        pa.struct([("term", pa.string()), ("tf", pa.int32())])
+    )
+    if n == 0:
+        return pa.array([], type=out_type)
+    langs = np.asarray(
+        [lg or "english" for lg in lang.to_pylist()], dtype=object
+    )
+    flat = pc.list_flatten(tokens)
+    parent = (
+        pc.list_parent_indices(tokens)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    dic = pc.dictionary_encode(flat)
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = dic.dictionary.to_pylist()
+
+    memo = _lemmatize_memo
+    uniq_langs = pd.unique(langs)
+    # lemma string per (unique token, lang class), factorized together
+    per_lang = [
+        np.asarray(
+            [memo(w, lg) if w else "" for w in uniq], dtype=object
+        )
+        for lg in uniq_langs
+    ]
+    lcodes_all, luniq = pd.factorize(
+        np.concatenate(per_lang)
+        if per_lang else np.empty(0, dtype=object)
+    )
+    luniq = np.asarray(luniq, dtype=object)
+    n_uniq = len(uniq)
+    lcode_tok = np.empty(len(codes), dtype=np.int64)
+    for gi, lg in enumerate(uniq_langs):
+        mask = (langs == lg)[parent]
+        lcode_tok[mask] = lcodes_all[
+            gi * n_uniq: (gi + 1) * n_uniq
+        ][codes[mask]]
+
+    kept = (luniq != "")[lcode_tok] if len(luniq) else (
+        np.zeros(0, dtype=bool)
+    )
+    n_lemmas = max(len(luniq), 1)
+    key = parent[kept] * np.int64(n_lemmas) + lcode_tok[kept]
+    uk, tf = np.unique(key, return_counts=True)
+    out_doc = uk // n_lemmas
+    out_lemma = uk % n_lemmas
+    bounds = np.searchsorted(out_doc, np.arange(n + 1, dtype=np.int64))
+
+    lu_arr = pa.array(luniq, type=pa.string())
+    terms_vals = lu_arr.take(pa.array(out_lemma))
+    struct_vals = pa.StructArray.from_arrays(
+        [terms_vals, pa.array(tf.astype(np.int32))],
+        names=["term", "tf"],
+    )
+    return pa.ListArray.from_arrays(
+        pa.array(bounds.astype(np.int32)), struct_vals
+    )
+
+
+_LEMMA_COUNTS_TYPE_N = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), True),
+            T.StructField("tf", T.IntegerType(), True),
+        ]
+    )
+)
+
+try:
+    from pyspark.sql.functions import arrow_udf as _arrow_udf0
+
+    @_arrow_udf0(_LEMMA_COUNTS_TYPE_N)
+    def lemma_counts_udf(tokens, lang):
+        return _lemma_counts_batch_arrow(tokens, lang)
+except ImportError:  # pyspark < 4.0
+    lemma_counts_udf = lemma_counts_pandas_udf
 
 
 # T3+T4+T5+T6+T7 fully fused: text -> (doc_len, lemma counts) in ONE
@@ -237,7 +334,9 @@ _ANALYZED_TYPE = T.StructType(
 
 
 @pandas_udf(_ANALYZED_TYPE)
-def analyze_text_udf(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
+def analyze_text_pandas_udf(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
+    """Pandas twin of ``analyze_text_udf`` (kept as the reference
+    implementation the Arrow-kernel path is pinned against)."""
     tok_lists = [
         tokenize_py(txt, lg or "english")
         for txt, lg in zip(text, lang)
@@ -248,6 +347,228 @@ def analyze_text_udf(text: pd.Series, lang: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(
         {"doc_len": lens, "terms": terms_list, "tfs": tfs_list}
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-kernel analyzer: the same T3–T7 fusion with tokenization run by
+# Arrow's C++ string kernels (utf8_lower → RE2 class replace →
+# split_whitespace → dictionary_encode) instead of per-doc Python
+# re.sub/str.split.  Python then touches only the UNIQUE token set
+# (lemmatization) and fixed-width numpy arrays (counting) — ~5x less
+# worker CPU per page, which is the build's dominant cost
+# (BENCH_SPLIT.json: logical_index python_share 0.80).
+#
+# Equivalence to tokenize_py (Python semantics: str.lower() full case
+# mapping + unicode-aware \s) is exact only on guarded inputs, so docs
+# failing the guard take the pandas reference path:
+# - en: text containing U+0130 (İ) falls back — its full lowercase is
+#   "i"+U+0307 (two chars, yielding an extra "i" token) while Arrow's
+#   utf8proc applies the simple 1:1 map.  Every other codepoint either
+#   lowers 1:1 identically or lands outside [a-z] in both paths, and
+#   the \s semantic difference (RE2 ASCII-only) is unobservable: a
+#   whitespace char kept by Python's \s and a char replaced by " "
+#   both act as token separators.
+# - ru: any codepoint > U+045F falls back (conservative: all simple
+#   1:1 lowercase maps below that bound are identical).
+# ---------------------------------------------------------------------------
+
+_EN_UNSAFE_RE = "\\x{0130}"
+_RU_UNSAFE_RE = "[\\x{0460}-\\x{10FFFF}]"
+
+_ANALYZED_TYPE_N = T.StructType(
+    [
+        T.StructField("doc_len", T.IntegerType(), True),
+        T.StructField("terms", T.ArrayType(T.StringType(), True), True),
+        T.StructField("tfs", T.ArrayType(T.IntegerType(), True), True),
+    ]
+)
+
+
+def _analyze_group_arrow(sub, pattern: str, lemma_lang: str):
+    """(doc_len, terms, tfs) StructArray for one lang-uniform,
+    guard-passing, non-null subset of a batch."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    m = len(sub)
+    low = pc.utf8_lower(sub)
+    clean = pc.replace_substring_regex(
+        low, pattern=pattern, replacement=" "
+    )
+    toks = pc.utf8_split_whitespace(clean)
+    flat = pc.list_flatten(toks)
+    parent = (
+        pc.list_parent_indices(toks)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    dic = pc.dictionary_encode(flat)
+    codes = (
+        dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    uniq = dic.dictionary.to_pylist()
+
+    # T4 doc_len: token count pre-filtering; split_whitespace emits
+    # empty strings at string edges — those are not tokens
+    lens = np.bincount(parent, minlength=m)
+    try:
+        empty_code = uniq.index("")
+    except ValueError:
+        empty_code = -1
+    if empty_code >= 0:
+        em = codes == empty_code
+        lens = lens - np.bincount(parent[em], minlength=m)
+
+    memo = _lemmatize_memo
+    lemmas_u = np.asarray(
+        [memo(w, lemma_lang) if w else "" for w in uniq], dtype=object
+    )
+    lcodes_u, luniq = pd.factorize(lemmas_u)
+    luniq = np.asarray(luniq, dtype=object)
+    lcode_tok = lcodes_u[codes]
+    kept = (luniq != "")[lcode_tok]
+    n_lemmas = max(len(luniq), 1)
+    key = parent[kept] * np.int64(n_lemmas) + lcode_tok[kept]
+    uk, tf = np.unique(key, return_counts=True)
+    out_doc = uk // n_lemmas
+    out_lemma = uk % n_lemmas
+    bounds = np.searchsorted(out_doc, np.arange(m + 1, dtype=np.int64))
+
+    lu_arr = pa.array(luniq, type=pa.string())
+    offs = pa.array(bounds.astype(np.int32))
+    terms = pa.ListArray.from_arrays(
+        offs, lu_arr.take(pa.array(out_lemma))
+    )
+    tfs = pa.ListArray.from_arrays(offs, pa.array(tf.astype(np.int32)))
+    return pa.StructArray.from_arrays(
+        [pa.array(lens.astype(np.int32)), terms, tfs],
+        names=["doc_len", "terms", "tfs"],
+    )
+
+
+def _analyze_group_py(texts: list, langs: list):
+    """Reference-path (tokenize_py) analysis for guard-failing docs,
+    returned as the same StructArray shape."""
+    import numpy as np
+    import pyarrow as pa
+
+    toks = [
+        tokenize_py(t, lg or "english")
+        for t, lg in zip(texts, langs)
+    ]
+    lens, terms_list, tfs_list = _batch_lemma_counts(toks, langs)
+    counts = np.asarray([len(t) for t in terms_list], dtype=np.int64)
+    offs = pa.array(
+        np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    )
+    all_terms = (
+        np.concatenate(terms_list)
+        if counts.sum() else np.empty(0, dtype=object)
+    )
+    all_tfs = (
+        np.concatenate(tfs_list)
+        if counts.sum() else np.empty(0, dtype=np.int32)
+    )
+    terms = pa.ListArray.from_arrays(
+        offs, pa.array(all_terms, type=pa.string())
+    )
+    tfs = pa.ListArray.from_arrays(
+        offs, pa.array(all_tfs.astype(np.int32))
+    )
+    return pa.StructArray.from_arrays(
+        [pa.array(lens.astype(np.int32)), terms, tfs],
+        names=["doc_len", "terms", "tfs"],
+    )
+
+
+def _analyze_batch_arrow(text, lang):
+    """Whole-batch T3–T7: Arrow arrays in → StructArray out."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    if isinstance(lang, pa.ChunkedArray):
+        lang = lang.combine_chunks()
+    n = len(text)
+    if n == 0:
+        return pa.array(
+            [],
+            type=pa.struct(
+                [
+                    ("doc_len", pa.int32()),
+                    ("terms", pa.list_(pa.string())),
+                    ("tfs", pa.list_(pa.int32())),
+                ]
+            ),
+        )
+    langs = np.asarray(
+        [lg or "english" for lg in lang.to_pylist()], dtype=object
+    )
+    valid = pc.is_valid(text).to_numpy(zero_copy_only=False)
+
+    groups: list = []  # (positions int64 array, StructArray)
+    rest: list[np.ndarray] = []  # guard-failing positions per class
+    for lg in pd.unique(langs):
+        is_ru = lg.lower().startswith("ru")
+        cls = np.where((langs == lg) & valid)[0]
+        if not len(cls):
+            continue
+        sub = text.take(pa.array(cls))
+        unsafe = (
+            pc.match_substring_regex(
+                sub, _RU_UNSAFE_RE if is_ru else _EN_UNSAFE_RE
+            )
+            .to_numpy(zero_copy_only=False)
+        )
+        fast = cls[~unsafe]
+        if len(fast):
+            pattern = _RU_NONLETTER if is_ru else _EN_NONLETTER
+            groups.append(
+                (
+                    fast,
+                    _analyze_group_arrow(
+                        text.take(pa.array(fast)), pattern, lg
+                    ),
+                )
+            )
+        rest.append(cls[unsafe])
+    fb = np.concatenate(
+        [np.where(~valid)[0]] + rest
+    ) if rest or (~valid).any() else np.empty(0, dtype=np.int64)
+    if len(fb):
+        fb.sort()
+        texts_fb = [
+            text[int(i)].as_py() if valid[i] else None for i in fb
+        ]
+        groups.append(
+            (fb, _analyze_group_py(texts_fb, list(langs[fb])))
+        )
+
+    if len(groups) == 1 and len(groups[0][0]) == n:
+        pos = groups[0][0]
+        if pos[0] == 0 and pos[-1] == n - 1:
+            return groups[0][1]
+    order = np.concatenate([g[0] for g in groups])
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n, dtype=np.int64)
+    combined = pa.concat_arrays(
+        [g[1].combine_chunks() if hasattr(g[1], "combine_chunks")
+         else g[1] for g in groups]
+    )
+    return combined.take(pa.array(inv))
+
+
+try:
+    from pyspark.sql.functions import arrow_udf as _arrow_udf
+
+    @_arrow_udf(_ANALYZED_TYPE_N)
+    def analyze_text_udf(text, lang):
+        return _analyze_batch_arrow(text, lang)
+except ImportError:  # pyspark < 4.0: pandas path only
+    analyze_text_udf = analyze_text_pandas_udf
 
 
 # ---------------------------------------------------------------------------
