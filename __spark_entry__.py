@@ -237,6 +237,11 @@ def _docs_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lowercase letters only so both tokenizers see exactly 3 new tokens
 REINDEX_MARKER = " reindexed marker reindexed"
 _INCR_CACHE: dict = {}
+# per-step wall times of the last _incremental_dir run: bench.py
+# splits the headline `incremental_lifecycle` line into engine
+# maintenance ops vs contract-checkpoint materialization (the full-
+# index decodes written ONLY so DuckDB can hash-check each state)
+_INCR_TIMINGS: dict = {}
 
 
 def _incremental_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -282,6 +287,16 @@ def _incremental_dir(spark: SparkSession, sf_dir: str) -> str:
     )
 
     out = tempfile.mkdtemp(prefix="incr_contract_")
+    import time as _time
+
+    steps: dict = {}
+    _t = [_time.time()]
+
+    def _mark(name: str) -> None:
+        now = _time.time()
+        steps[name] = round(now - _t[0], 3)
+        _t[0] = now
+
     pages = _docs_enriched(spark, sf_dir).select(
         "doc_id", "url", "text", "lang"
     )
@@ -291,6 +306,7 @@ def _incremental_dir(spark: SparkSession, sf_dir: str) -> str:
         spark, base.drop("doc_id"), out,
         analyzer="tokens", config=config, n_segments=8,
     )
+    _mark("base_build")
     # keep every lifecycle generation readable: checkpoint 3 below
     # time-travels back to gen 1 (the base corpus) after all
     # mutations.  This is itself the commit that becomes gen 1.
@@ -304,18 +320,22 @@ def _incremental_dir(spark: SparkSession, sf_dir: str) -> str:
             spark, out,
             pages.filter(F.col("doc_id") % 10 == parity).drop("doc_id"),
         )
+    _mark("appends")
     dead_urls = [
         r["url"]
         for r in base.filter(F.col("doc_id") % 9 == 0)
         .select("url").collect()
     ]
     tombstone_urls(spark, out, dead_urls)
+    _mark("tombstone")
     modified = base.filter(F.col("doc_id") % 9 == 4).withColumn(
         "text", F.concat(F.col("text"), F.lit(REINDEX_MARKER))
     )
     reindex_pages(spark, out, modified.drop("doc_id"))
+    _mark("reindex")
     merged = merge_delta_epochs(spark, out)
     assert merged["merged_epochs"] >= 2, merged
+    _mark("lsm_merge")
 
     nat = F.regexp_extract(F.col("url"), r"([0-9]+)$", 1).cast("long")
 
@@ -354,12 +374,15 @@ def _incremental_dir(spark: SparkSession, sf_dir: str) -> str:
     ).write.mode("overwrite").parquet(
         os.path.join(out, "check_postings_merged")
     )
+    _mark("checkpoint_merged")
 
     vacuum(spark, out)
+    _mark("vacuum")
     # checkpoint 2: postings after the physical rewrite
     _nat_postings(read_segments(spark, out)).write.mode(
         "overwrite"
     ).parquet(os.path.join(out, "check_postings_final"))
+    _mark("checkpoint_final")
 
     # checkpoint 3: TIME TRAVEL — generation 1 (base corpus, before
     # any append/tombstone/reindex) read back through the archived
@@ -379,6 +402,17 @@ def _incremental_dir(spark: SparkSession, sf_dir: str) -> str:
     ).write.mode("overwrite").parquet(
         os.path.join(out, "check_postings_gen1")
     )
+    _mark("checkpoint_gen1")
+    ops = ("base_build", "appends", "tombstone", "reindex",
+           "lsm_merge", "vacuum")
+    steps["engine_ops_sec"] = round(
+        sum(v for k, v in steps.items() if k in ops), 3
+    )
+    steps["checkpoints_sec"] = round(
+        sum(v for k, v in steps.items()
+            if k.startswith("checkpoint_")), 3
+    )
+    _INCR_TIMINGS[key] = steps
 
     _INCR_CACHE[key] = out
     return out

@@ -246,6 +246,14 @@ def main() -> None:
     # read, not the maintenance path
     timed("incremental_lifecycle",
           lambda: qs["incremental_postings"](spark, sf_dir).collect())
+    # per-step split of that line: the checkpoint_* steps are full-
+    # index decodes materialized ONLY so the DuckDB oracle can
+    # hash-check each lifecycle state — contract scaffolding, not
+    # engine maintenance cost
+    incr_steps = (
+        next(iter(entrymod._INCR_TIMINGS.values()))
+        if getattr(entrymod, "_INCR_TIMINGS", None) else {}
+    )
     for name in bench_queries:
         fn = qs[name]
         timed_best(name, lambda fn=fn: fn(spark, sf_dir).collect())
@@ -271,6 +279,7 @@ def main() -> None:
         "n_postings": n_postings,
         "cpus": cpus,
         "query_runs_median_of": query_runs,
+        "incremental_lifecycle_steps": incr_steps,
     }
     # full detail line first (humans, BENCH_FULL.json), compact totals
     # line LAST: the driver keeps only the final ~2000 chars of stdout,

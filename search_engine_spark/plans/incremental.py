@@ -589,7 +589,7 @@ def append_pages(
     # INVISIBLE until commit: readers resolve epochs through the
     # descriptor's delta_epochs list, which doesn't name this one yet.
     (
-        segs.repartition(F.col("bucket"))
+        segs.repartition(n_buckets, F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(
@@ -634,7 +634,7 @@ def append_pages(
             positional_postings(pos_src, "doc_id"), "doc_id"
         ).withColumn("bucket", bucket_col(F.col("term"), nb_pos))
         (
-            packed.repartition(F.col("bucket"))
+            packed.repartition(nb_pos, F.col("bucket"))
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(pos_dir)
@@ -1061,7 +1061,7 @@ def merge_delta_epochs(
         # paths are protected per-epoch by _expire_retired for
         # retained generations)
         (
-            segs.repartition(F.col("bucket"))
+            segs.repartition(n_buckets, F.col("bucket"))
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(
@@ -1094,7 +1094,7 @@ def merge_delta_epochs(
         # one stats.json swap
         deltas_rel = _gen_rel("index_deltas", gen_next)
         (
-            segs.repartition(F.col("bucket"))
+            segs.repartition(n_buckets, F.col("bucket"))
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(os.path.join(out_dir, deltas_rel,
