@@ -193,7 +193,19 @@ def build_index(
     ).collect()[0]
     n_docs = int(agg["n"])
     avg_len = (int(agg["len_sum"]) / n_docs) if n_docs else 0.0
-    tstats = term_stats(post)
+    if "analyzed" in enriched.columns and analyzer == "lemma":
+        # fused path: df = one row per (doc, term), and terms are
+        # already unique per doc — count straight off the terms
+        # array, skipping the arrays_zip struct explode the full
+        # postings frame pays (term_stats(post) is row-identical;
+        # this just reads half the bytes out of the cached frame)
+        tstats = (
+            enriched.select(F.explode("analyzed.terms").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+    else:
+        tstats = term_stats(post)
     if cache:
         tstats = tstats.cache()
     stop = compute_stoplist(tstats, n_docs, config.stoplist_size)
