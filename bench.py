@@ -65,6 +65,10 @@ def main() -> None:
             "-Xms12g -XX:+AlwaysPreTouch -XX:+UseParallelGC -Xmn8g",
         )
         .config("spark.ui.enabled", "false")
+        # FAIR so the concurrent-serving section's per-thread pools
+        # round-robin instead of convoying FIFO; neutral for the
+        # single-threaded suite lines
+        .config("spark.scheduler.mode", "FAIR")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -267,6 +271,68 @@ def main() -> None:
     lat.sort()
     timings["bm25_topk_p95"] = round(lat[int(len(lat) * 0.95) - 1], 3)
 
+    # concurrent serving throughput: the serving shape the
+    # reference's Spring endpoint has.  The build corpus is written
+    # as a PERSISTED bucket-partitioned block-max index (each query
+    # reads only its terms' bucket dirs — parquet partition pruning),
+    # then N driver threads issue a mixed workload concurrently, one
+    # FAIR scheduler pool per thread so no query convoys behind
+    # another's stages.  Reported as qps + p95-under-concurrency;
+    # NOT added to the suite total (it is a rate, not a line).
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from search_engine_spark.plans.build import (
+        build_and_write,
+        load_compact_index,
+    )
+    from search_engine_spark.plans.wand import search_compact
+
+    serve_dir = tempfile.mkdtemp(prefix="bench_serve_")
+    build_and_write(
+        spark, pages, serve_dir, analyzer="lemma",
+        n_segments=cpus * 2, resume=False,
+    )
+    cidx = load_compact_index(spark, serve_dir)
+    workload = [
+        "crystal meadow", "falcon harbor", "lantern marble",
+        "nebula orchid", "quartz raven", "thunder velvet",
+        "willow zephyr", "amber breeze canyon",
+    ]
+
+    def one_query(q, pool_name="default"):
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", pool_name
+        )
+        t0 = time.time()
+        search_compact(cidx, q, limit=10).collect()
+        return time.time() - t0
+
+    for q in workload:  # plan/codegen/footer warmup off the clock
+        one_query(q)
+    lat_1 = sorted(one_query(q) for q in workload)  # single-stream
+    qps_threads = min(8, cpus)
+    reps = 5
+    work = [(q, f"serve{i % qps_threads}")
+            for i, q in enumerate(workload * reps)]
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=qps_threads) as pool:
+        lat_c = sorted(
+            pool.map(lambda a: one_query(*a), work)
+        )
+    qps_wall = time.time() - t0
+    qps_extra = {
+        "bm25_serve_p50_sec": round(lat_1[len(lat_1) // 2], 3),
+        "bm25_qps_concurrent": round(len(lat_c) / qps_wall, 2),
+        "bm25_qps_p95_sec": round(
+            lat_c[int(len(lat_c) * 0.95) - 1], 3
+        ),
+        "bm25_qps_threads": qps_threads,
+        "bm25_qps_queries": len(lat_c),
+    }
+    shutil.rmtree(serve_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_suite_seconds",
@@ -280,6 +346,7 @@ def main() -> None:
         "cpus": cpus,
         "query_runs_median_of": query_runs,
         "incremental_lifecycle_steps": incr_steps,
+        **qps_extra,
     }
     # full detail line first (humans, BENCH_FULL.json), compact totals
     # line LAST: the driver keeps only the final ~2000 chars of stdout,
