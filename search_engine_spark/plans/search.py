@@ -65,19 +65,47 @@ def query_term_idf(
         n = int(rows[0]["n"] or 0)
     else:
         n = index.n_docs
-    df_rows = (
-        index.term_stats.filter(F.col("term").isin(terms)).collect()
+    # per-index-object df memo: repeated-vocab queries skip the
+    # term-dictionary probe job entirely (serving path: one fewer
+    # Spark job per query).  df is GLOBAL (unaffected by `sites`), so
+    # the memo is valid across site restrictions; it dies with the
+    # index object, and maintenance ops hand back fresh objects
+    # (load_compact_index / open_index re-read the descriptor), so
+    # it can never serve stale df across a commit.
+    memo = getattr(index, "_df_memo", None)
+    if memo is None:
+        try:
+            memo = {}
+            object.__setattr__(index, "_df_memo", memo)
+        except Exception:  # frozen dataclass: just skip memoization
+            memo = None
+    missing = (
+        terms if memo is None
+        else [t for t in terms if t not in memo]
     )
+    if missing:
+        df_rows = (
+            index.term_stats.filter(F.col("term").isin(missing))
+            .collect()
+        )
+        found = {r["term"]: int(r["df"]) for r in df_rows}
+        if memo is not None:
+            for t in missing:
+                # 0 = definitely absent from the dictionary
+                memo[t] = found.get(t, 0)
+    lookup = memo if memo is not None else found
     out = {}
-    for r in df_rows:
-        df = int(r["df"])
+    for t in terms:
+        df = lookup.get(t, 0)
+        if df <= 0:
+            continue  # absent from the dictionary: dropped (R1)
         ratio = (n - df + 0.5) / (df + 0.5)
         # Normative: global df may exceed local N under a site
         # restriction (the quirk); the reference's Math.log(<=0) would
         # be NaN, poisoning all scores — we drop such terms instead.
         if ratio > 0:
-            out[r["term"]] = math.log(ratio)
-    return out  # terms absent from the dictionary are dropped (R1)
+            out[t] = math.log(ratio)
+    return out
 
 
 def bm25_term_score_col(
