@@ -49,6 +49,61 @@ def _segs_for_terms(cidx: CompactIndex, terms: list[str]) -> DataFrame:
     return segs.filter(F.col("term").isin(terms))
 
 
+def _meta_memo(cidx: CompactIndex, name: str) -> dict | None:
+    """Per-index-object metadata memo (same invalidation argument as
+    the query_term_idf df memo: block metadata is immutable for a
+    given index object — maintenance commits hand back fresh objects
+    via load_compact_index/open_index)."""
+    memo = getattr(cidx, name, None)
+    if memo is None:
+        try:
+            memo = {}
+            object.__setattr__(cidx, name, memo)
+        except Exception:
+            memo = None
+    return memo
+
+
+def _block_meta(cidx: CompactIndex, term: str) -> list:
+    """Collected (shard, block_id, count, max_u, min_u) rows of one
+    term — memoized so repeated-vocab serving queries skip the
+    metadata probe job."""
+    memo = _meta_memo(cidx, "_block_meta_memo")
+    if memo is not None and term in memo:
+        return memo[term]
+    rows = (
+        _segs_for_terms(cidx, [term])
+        .select("shard", "block_id", "count", "max_u", "min_u")
+        .collect()
+    )
+    if memo is not None:
+        memo[term] = rows
+    return rows
+
+
+def _term_bounds(cidx: CompactIndex, terms: list[str]) -> dict:
+    """{term: (max max_u, min min_u)} across each term's blocks,
+    memoized per index object."""
+    memo = _meta_memo(cidx, "_term_bounds_memo")
+    missing = (
+        [t for t in terms if t not in memo]
+        if memo is not None else list(terms)
+    )
+    found = {}
+    if missing:
+        rows = (
+            _segs_for_terms(cidx, missing)
+            .groupBy("term")
+            .agg(F.max("max_u").alias("mx"), F.min("min_u").alias("mn"))
+            .collect()
+        )
+        found = {r["term"]: (r["mx"], r["mn"]) for r in rows}
+        if memo is not None:
+            memo.update(found)
+    src = memo if memo is not None else found
+    return {t: src[t] for t in terms if t in src}
+
+
 def _term_ub(idf_t: float, max_u: float, min_u: float) -> float:
     """Upper bound of one term's contribution to any doc in a block.
 
@@ -173,11 +228,7 @@ def _wand_select_blocks(
         return None, None, stats
 
     # --- metadata-only WAND phase (no payload decode) ---------------
-    meta = (
-        _segs_for_terms(cidx, [rarest])
-        .select("shard", "block_id", "count", "max_u", "min_u")
-        .collect()
-    )
+    meta = _block_meta(cidx, rarest)
     stats["blocks_total"] = len(meta)
     stats["candidates_total"] = sum(r["count"] for r in meta)
     # pruning pays only on long posting lists: below this, the
@@ -193,15 +244,10 @@ def _wand_select_blocks(
         stats["reason"] = "short_postings"
     others = [t for t in terms if t != rarest]
     if others and meta:
-        om = (
-            _segs_for_terms(cidx, others)
-            .groupBy("term")
-            .agg(F.max("max_u").alias("mx"), F.min("min_u").alias("mn"))
-            .collect()
-        )
+        om = _term_bounds(cidx, others)
         other_ub = sum(
-            max(0.0, _term_ub(idf[r["term"]], r["mx"], r["mn"]))
-            for r in om
+            max(0.0, _term_ub(idf[t], mx, mn))
+            for t, (mx, mn) in om.items()
         )
     else:
         other_ub = 0.0
