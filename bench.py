@@ -322,6 +322,18 @@ def main() -> None:
             pool.map(lambda a: one_query(*a), work)
         )
     qps_wall = time.time() - t0
+    # batched serving — the 100 TB shape: the same workload as ONE
+    # search_many_compact job (per-query fixed orchestration cost is
+    # paid once for the whole batch, not once per query)
+    from search_engine_spark.plans.wand import search_many_compact
+
+    batch_queries = [q for q, _ in work]
+    search_many_compact(cidx, workload, limit=10).collect()  # warmup
+    t0 = time.time()
+    nrow = len(
+        search_many_compact(cidx, batch_queries, limit=10).collect()
+    )
+    batch_wall = time.time() - t0
     qps_extra = {
         "bm25_serve_p50_sec": round(lat_1[len(lat_1) // 2], 3),
         "bm25_qps_concurrent": round(len(lat_c) / qps_wall, 2),
@@ -330,6 +342,8 @@ def main() -> None:
         ),
         "bm25_qps_threads": qps_threads,
         "bm25_qps_queries": len(lat_c),
+        "bm25_qps_batched": round(len(batch_queries) / batch_wall, 2),
+        "bm25_batched_rows": nrow,
     }
     shutil.rmtree(serve_dir, ignore_errors=True)
 
