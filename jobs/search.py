@@ -2,6 +2,7 @@
 
     spark-submit --py-files search_engine_spark.zip jobs/search.py \
         --index /data/index_dir --query "free text query" \
+        [--queries-file q.txt]  # batch: all queries in ONE job \
         [--index /data/other_index ...]  # federated, exact global stats \
         [--site host1 --site host2] [--offset 0] [--limit 20] \
         [--no-prune]  # disable block-max WAND, exact reference path \
@@ -33,7 +34,13 @@ def main(argv: list[str] | None = None) -> None:
                          "search over several per-shard/per-crawl "
                          "indexes (exact merged global stats — "
                          "plans/federate.py; bm25 ranker only)")
-    ap.add_argument("--query", required=True)
+    ap.add_argument("--query", default=None)
+    ap.add_argument("--queries-file", default=None,
+                    help="batch mode: file with one query per line, "
+                         "all executed as ONE Spark job "
+                         "(search_many_compact — the high-throughput "
+                         "serving shape); prints rows with query_id "
+                         "+ query; default bm25 ranker only")
     ap.add_argument("--site", action="append", default=None)
     ap.add_argument("--offset", type=int, default=0)
     ap.add_argument("--limit", type=int, default=20)
@@ -94,7 +101,33 @@ def main(argv: list[str] | None = None) -> None:
     from search_engine_spark.plans.build import load_compact_index
     from search_engine_spark.plans.wand import search_compact
 
+    if bool(args.query) == bool(args.queries_file):
+        ap.error("exactly one of --query / --queries-file")
+
     index_dirs = args.index
+    if args.queries_file:
+        if (len(index_dirs) > 1 or args.ranker != "bm25"
+                or args.bool_query or args.snippets):
+            ap.error("--queries-file batch mode supports one --index "
+                     "with the default bm25 ranker, no --bool or "
+                     "--snippets")
+        with open(args.queries_file) as fh:
+            queries = [ln.strip() for ln in fh if ln.strip()]
+        if not queries:
+            ap.error(f"no queries in {args.queries_file}")
+        from search_engine_spark.plans.wand import search_many_compact
+
+        cidx = load_compact_index(spark, index_dirs[0])
+        result = search_many_compact(
+            cidx, queries, sites=args.site, limit=args.limit,
+            analyzer=cidx_analyzer(spark, index_dirs[0]),
+        )
+        for row in result.collect():
+            d = row.asDict()
+            d["query"] = queries[int(d["query_id"])]
+            print(json.dumps(d, default=str))
+        spark.stop()
+        return
     if len(index_dirs) > 1:
         if args.ranker != "bm25" or args.bool_query or args.snippets:
             ap.error("federated (multiple --index) supports the "

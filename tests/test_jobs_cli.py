@@ -245,6 +245,44 @@ def test_cli_rescore(spark, index_dir, cidx, capsys):
     )
 
 
+def test_cli_batch_queries_file(spark, index_dir, cidx, capsys,
+                                tmp_path):
+    """--queries-file: whole workload in one job, per-query rows
+    rank-identical to the single-query path."""
+    from search_engine_spark.plans.wand import search_compact
+
+    queries = [QUERY, "falcon harbor", "lantern marble"]
+    qf = tmp_path / "queries.txt"
+    qf.write_text("\n".join(queries) + "\n")
+    rows = _run_search(
+        capsys,
+        ["--index", index_dir, "--queries-file", str(qf),
+         "--limit", "5"],
+    )
+    assert {r["query"] for r in rows} <= set(queries)
+    for qid, q in enumerate(queries):
+        got = [r for r in rows if r["query_id"] == qid]
+        _assert_rank_identical(
+            got, search_compact(cidx, q, limit=5, analyzer="tokens")
+        )
+
+
+def test_cli_batch_requires_exactly_one_query_source(
+        spark, index_dir, capsys, tmp_path):
+    import pytest as _pytest
+
+    search = _load_job("search")
+    with _pytest.raises(SystemExit):
+        _no_stop(search.main, ["--index", index_dir])
+    qf = tmp_path / "q.txt"
+    qf.write_text("crystal\n")
+    with _pytest.raises(SystemExit):
+        _no_stop(search.main, [
+            "--index", index_dir, "--query", "x",
+            "--queries-file", str(qf),
+        ])
+
+
 def test_cli_bool(spark, index_dir, cidx, capsys):
     from search_engine_spark.plans.boolquery import search_boolean_compact
 
