@@ -4682,6 +4682,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             refine=4,
         )
 
+    def ann_cosine_ivfpq_md5(spark, sf):
+        """IVF-PQ with SQL-reproducible md5-grid quantizers
+        (operators/similarity.ivf_centroids_md5 / pq_codebooks_md5):
+        DuckDB regenerates the coarse centroids and codebooks and
+        replays the FULL compressed-ANN pipeline — argmax-dot list
+        assignment, per-subspace argmin PQ encoding, n_probe list
+        scan, ADC candidate ranking, and the exact-cosine rerank of
+        the ADC top k·refine.  The k-means-trained production path
+        above stays rows-only; this twin hash-checks the pipeline
+        itself, not just its brute-force shadow."""
+        from search_engine_spark.operators.similarity import (
+            cosine_topk_ivfpq,
+            ivf_centroids_md5,
+            pq_codebooks_md5,
+        )
+
+        emb = _read(spark, sf, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        qs = emb.filter(F.col("vec_id") < 3)
+        return cosine_topk_ivfpq(
+            emb, qs, k=5, n_lists=16, n_probe=8, m=8, n_codes=64,
+            refine=4,
+            centroids=ivf_centroids_md5(16, dim),
+            books=pq_codebooks_md5(8, 64, dim // 8),
+        )
+
     def hybrid_rrf(spark, sf):
         """Hybrid lexical+vector: BM25 top-50 over documents fused
         with cosine top-50 over embeddings (id-aligned doc_id=vec_id)
@@ -6370,6 +6396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_lsh": ann_cosine_lsh,
         "ann_cosine_lsh_md5": ann_cosine_lsh_md5,
+        "ann_cosine_ivfpq_md5": ann_cosine_ivfpq_md5,
         "ann_cosine_ivfpq": ann_cosine_ivfpq,
         "hybrid_rrf": hybrid_rrf,
         "mmr_diversify": mmr_diversify,
@@ -7462,6 +7489,132 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
                        ORDER BY sim DESC, neighbor_id ASC) AS INTEGER)
                        AS rank
               FROM scored
+            )
+            SELECT query_id, neighbor_id, sim, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "ann_cosine_ivfpq_md5": """
+            WITH cents0 AS (
+              SELECT l.range AS l, d.range AS d,
+                     ((('0x' || substr(md5(
+                         'ivf#' || l.range::VARCHAR || '#'
+                         || d.range::VARCHAR), 18, 15))::BIGINT
+                       % 2001) - 1000) / 1000.0 AS g
+              FROM range(16) l, range(64) d
+            ),
+            cnorm AS (
+              SELECT l, sqrt(sum(g * g)) AS nm FROM cents0 GROUP BY l
+            ),
+            cents AS (
+              SELECT c.l, c.d, c.g / n.nm AS val
+              FROM cents0 c JOIN cnorm n USING (l)
+            ),
+            vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+            vnorm AS (
+              SELECT vec_id,
+                     sqrt(list_sum(list_transform(v, x -> x * x)))
+                       AS nm
+              FROM vecs
+            ),
+            assign_dots AS (
+              SELECT vecs.vec_id, c.l,
+                     sum(vecs.v[c.d + 1] * c.val) AS dot
+              FROM vecs, cents c GROUP BY vecs.vec_id, c.l
+            ),
+            assign AS (
+              SELECT vec_id, l AS ivf_list FROM (
+                SELECT vec_id, l, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY dot DESC, l ASC) AS rn
+                FROM assign_dots) WHERE rn = 1
+            ),
+            books AS (
+              SELECT j.range AS j, c.range AS c, d.range AS d,
+                     ((('0x' || substr(md5(
+                         'pq#' || j.range::VARCHAR || '#'
+                         || c.range::VARCHAR || '#'
+                         || d.range::VARCHAR), 18, 15))::BIGINT
+                       % 2001) - 1000) / 4000.0 AS val
+              FROM range(8) j, range(64) c, range(8) d
+            ),
+            bnorm2 AS (
+              SELECT j, c, sum(val * val) AS c2
+              FROM books GROUP BY j, c
+            ),
+            enc_dots AS (
+              SELECT v.vec_id, b.j, b.c,
+                     sum((v.v[b.j * 8 + b.d + 1] / vn.nm) * b.val)
+                       AS dot
+              FROM vecs v
+              JOIN vnorm vn ON vn.vec_id = v.vec_id
+              CROSS JOIN books b
+              GROUP BY v.vec_id, b.j, b.c
+            ),
+            enc_d2 AS (
+              SELECT e.vec_id, e.j, e.c,
+                     -2.0 * e.dot + n2.c2 AS d2
+              FROM enc_dots e
+              JOIN bnorm2 n2 ON n2.j = e.j AND n2.c = e.c
+            ),
+            codes AS (
+              SELECT vec_id, j, c AS code FROM (
+                SELECT vec_id, j, c, row_number() OVER (
+                  PARTITION BY vec_id, j
+                  ORDER BY d2 ASC, c ASC) AS rn
+                FROM enc_d2) WHERE rn = 1
+            ),
+            qs AS (SELECT vec_id AS query_id, v AS qv
+                   FROM vecs WHERE vec_id < 3),
+            probe_dots AS (
+              SELECT q.query_id, c.l,
+                     sum(q.qv[c.d + 1] * c.val) AS dot
+              FROM qs q, cents c GROUP BY q.query_id, c.l
+            ),
+            probes AS (
+              SELECT query_id, l AS ivf_list FROM (
+                SELECT query_id, l, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY dot DESC, l ASC) AS rn
+                FROM probe_dots) WHERE rn <= 8
+            ),
+            cand AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id
+              FROM probes p JOIN assign a ON a.ivf_list = p.ivf_list
+              WHERE a.vec_id <> p.query_id
+            ),
+            adc AS (
+              SELECT cd.query_id, cd.neighbor_id,
+                     sum(b.val
+                         * (q.qv[b.j * 8 + b.d + 1] / qn.nm)) AS adc
+              FROM cand cd
+              JOIN codes co ON co.vec_id = cd.neighbor_id
+              JOIN books b ON b.j = co.j AND b.c = co.code
+              JOIN qs q ON q.query_id = cd.query_id
+              JOIN vnorm qn ON qn.vec_id = cd.query_id
+              GROUP BY cd.query_id, cd.neighbor_id
+            ),
+            shortlist AS (
+              SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY adc DESC, neighbor_id ASC) AS rn
+                FROM adc) WHERE rn <= 20
+            ),
+            exact AS (
+              SELECT s.query_id, s.neighbor_id,
+                     round(list_cosine_similarity(q.qv, n.v), 6)
+                       AS sim
+              FROM shortlist s
+              JOIN qs q ON q.query_id = s.query_id
+              JOIN vecs n ON n.vec_id = s.neighbor_id
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC) AS INTEGER)
+                       AS rank
+              FROM exact
             )
             SELECT query_id, neighbor_id, sim, rank
             FROM ranked WHERE rank <= 5

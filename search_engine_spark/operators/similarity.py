@@ -322,6 +322,71 @@ def cosine_near_dup_pairs_lsh(
 # ---------------------------------------------------------------------------
 
 
+def ivf_centroids_md5(n_lists: int, dim: int) -> "np.ndarray":
+    """SQL-reproducible coarse quantizer: each raw component is the
+    md5-grid value of ``"ivf#list#dim"`` (the same idiom as
+    :func:`_hyperplanes_md5`), rows normalized to unit length so
+    argmax-dot assignment partitions by direction.  Lets a DuckDB
+    oracle regenerate the quantizer and replay the FULL IVF-PQ
+    pipeline — the k-means :func:`train_ivf_centroids` stays the
+    production default (rows-only)."""
+    import hashlib
+
+    g = np.array(
+        [
+            [
+                (
+                    int(
+                        hashlib.md5(
+                            f"ivf#{lst}#{d}".encode()
+                        ).hexdigest()[17:32],
+                        16,
+                    )
+                    % 2001
+                    - 1000
+                )
+                / 1000.0
+                for d in range(dim)
+            ]
+            for lst in range(n_lists)
+        ],
+        dtype=np.float64,
+    )
+    return g / np.linalg.norm(g, axis=1, keepdims=True)
+
+
+def pq_codebooks_md5(m: int, n_codes: int, dsub: int) -> "np.ndarray":
+    """SQL-reproducible PQ codebooks: codeword components are the
+    md5-grid values of ``"pq#subspace#code#dim"`` scaled to
+    [-0.25, 0.25] (the component scale of unit-norm sub-vectors).
+    Production training (:func:`train_pq_codebooks`) stays default."""
+    import hashlib
+
+    return np.array(
+        [
+            [
+                [
+                    (
+                        int(
+                            hashlib.md5(
+                                f"pq#{j}#{c}#{d}".encode()
+                            ).hexdigest()[17:32],
+                            16,
+                        )
+                        % 2001
+                        - 1000
+                    )
+                    / 4000.0
+                    for d in range(dsub)
+                ]
+                for c in range(n_codes)
+            ]
+            for j in range(m)
+        ],
+        dtype=np.float64,
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_lists: int = 16,
