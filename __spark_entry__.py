@@ -4525,6 +4525,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _read(spark, sf, "embeddings"), threshold=0.4
         )
 
+    def embedding_near_dup_lsh_md5(spark, sf):
+        """The same banded SRP near-dup pipeline with md5-grid planes
+        — DuckDB regenerates the planes, the per-table sign buckets,
+        the bucket-collision candidate join and the thresholded exact
+        scoring, hash-checking the approximate pair set itself (the
+        gaussian production path above stays rows-only)."""
+        from search_engine_spark.operators.similarity import (
+            cosine_near_dup_pairs_lsh,
+        )
+
+        return cosine_near_dup_pairs_lsh(
+            _read(spark, sf, "embeddings"), threshold=0.4,
+            plane_method="md5",
+        )
+
     def dedup_exact(spark, sf):
         return exact_dedup_groups(
             _read(spark, sf, "documents"), "text", "doc_id"
@@ -5982,6 +5997,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a, b = _synth_rankings(spark, sf)
         return team_draft_interleave(a, b, k=10, seed=42)
 
+    def interleave_team_draft_md5_q(spark, sf):
+        """Team-draft with the md5-parity tie coin: a DuckDB
+        RECURSIVE CTE replays the sequential draft itself — per-step
+        next-unpicked selection from each team's list, fewer-picks-
+        first turn order, md5 coin on ties, exhausted-side fallback —
+        hash-checking the stateful interleaving end-to-end (the
+        xxhash production coin above stays rows-only)."""
+        from search_engine_spark.operators.interleave import (
+            team_draft_interleave,
+        )
+
+        a, b = _synth_rankings(spark, sf)
+        return team_draft_interleave(
+            a, b, k=10, seed=42, coin_method="md5"
+        )
+
     def rank_rbo_q(spark, sf):
         # truncated rank-biased overlap between the two synthetic
         # rankers (plans/eval.rank_compare) — the offline ranking
@@ -6381,6 +6412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_statistics": site_statistics_q,
         "embedding_near_dup": embedding_near_dup,
         "embedding_near_dup_lsh": embedding_near_dup_lsh,
+        "embedding_near_dup_lsh_md5": embedding_near_dup_lsh_md5,
         "dedup_exact": dedup_exact,
         "dedup_exact_normalized": dedup_exact_normalized,
         "ngram_jaccard_pairs": ngram_jaccard,
@@ -6423,6 +6455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleave_balanced": interleave_balanced_q,
         "interleave_outcome": interleave_outcome_q,
         "interleave_team_draft": interleave_team_draft_q,
+        "interleave_team_draft_md5": interleave_team_draft_md5_q,
         "rank_rbo": rank_rbo_q,
         "related_coclick": related_coclick_q,
         "query_transitions": query_transitions_q,
@@ -6805,6 +6838,28 @@ def _rbo_sql(k: int = 10, p: float = 0.9) -> str:
 # sentinel 2^40, the md5 leader coin, and the closed-form balanced
 # merge order (sort by min-rank, leader's doc first on ties) that the
 # pytest suite proves equivalent to the sequential pointer algorithm
+# team-draft recursive-CTE oracle building blocks (the repeated
+# expressions are composed here so the SQL stays consistent):
+# next unpicked doc per team, base turn (fewer-picks-first, md5 coin
+# parity on ties), exhausted-side fallback, and the picked doc.
+_TD_NXA = "list_filter(la.l, y -> NOT list_contains(s.picked, y))[1]"
+_TD_NXB = "list_filter(lb.l, y -> NOT list_contains(s.picked, y))[1]"
+_TD_T0 = (
+    "CASE WHEN s.na < s.nb THEN 'A' WHEN s.nb < s.na THEN 'B' "
+    "WHEN (('0x' || substr(md5(s.query_id::VARCHAR || '#' || "
+    "s.rnd::VARCHAR || '#42'), 18, 15))::BIGINT % 2) = 0 "
+    "THEN 'A' ELSE 'B' END"
+)
+_TD_TURN = (
+    f"CASE WHEN ({_TD_T0}) = 'A' AND ({_TD_NXA}) IS NULL THEN 'B' "
+    f"WHEN ({_TD_T0}) = 'B' AND ({_TD_NXB}) IS NULL THEN 'A' "
+    f"ELSE ({_TD_T0}) END"
+)
+_TD_DOC = (
+    f"CASE WHEN ({_TD_TURN}) = 'A' THEN ({_TD_NXA}) "
+    f"ELSE ({_TD_NXB}) END"
+)
+
 _INTERLEAVE_BASE = """q AS (
               SELECT doc_id AS query_id FROM documents
               WHERE doc_id < 10),
@@ -7338,6 +7393,45 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
                    round(list_cosine_similarity(a.v, b.v), 6) AS sim
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+        """,
+        "embedding_near_dup_lsh_md5": """
+            WITH planes AS (
+              SELECT t.range AS t, i.range AS i, d.range AS d,
+                     ((('0x' || substr(md5(
+                         t.range::VARCHAR || '#' || i.range::VARCHAR
+                         || '#' || d.range::VARCHAR), 18, 15))::BIGINT
+                       % 2001) - 1000) / 1000.0 AS val
+              FROM range(6) t, range(8) i, range(64) d
+            ),
+            vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+            dots AS (
+              SELECT vecs.vec_id, p.t, p.i,
+                     sum(vecs.v[p.d + 1] * p.val) AS dot
+              FROM vecs, planes p
+              GROUP BY vecs.vec_id, p.t, p.i
+            ),
+            buckets AS (
+              SELECT vec_id, t,
+                     sum(CASE WHEN dot > 0 THEN 1 << i ELSE 0 END)
+                       AS bucket
+              FROM dots GROUP BY vec_id, t
+            ),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM buckets a JOIN buckets b
+                ON b.t = a.t AND b.bucket = a.bucket
+              WHERE a.vec_id < b.vec_id
+            ),
+            scored AS (
+              SELECT c.id_a, c.id_b,
+                     round(list_cosine_similarity(va.v, vb.v), 6)
+                       AS sim
+              FROM cand c
+              JOIN vecs va ON va.vec_id = c.id_a
+              JOIN vecs vb ON vb.vec_id = c.id_b
+            )
+            SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.4
         """,
         "dedup_exact": """
             SELECT md5(text) AS fp, min(doc_id) AS keep_id,
@@ -8217,6 +8311,61 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             WITH {_INTERLEAVE_BASE}
             SELECT query_id, pos, doc_id, rank_a, rank_b
             FROM ranked WHERE pos <= 10
+        """,
+        "interleave_team_draft_md5": f"""
+            WITH RECURSIVE q AS (
+              SELECT doc_id AS query_id FROM documents
+              WHERE doc_id < 10),
+            iidx AS (
+              SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS i),
+            qa AS (
+              SELECT query_id,
+                     (query_id * 31 + i * 7) % 200 AS doc_id,
+                     i + 1 AS rn
+              FROM q CROSS JOIN iidx),
+            qb AS (
+              SELECT query_id,
+                     (query_id * 31 + i * 11 + 3) % 200 AS doc_id,
+                     i + 1 AS rn
+              FROM q CROSS JOIN iidx),
+            la AS (SELECT query_id, list(doc_id ORDER BY rn) AS l
+                   FROM qa GROUP BY 1),
+            lb AS (SELECT query_id, list(doc_id ORDER BY rn) AS l
+                   FROM qb GROUP BY 1),
+            step AS (
+              SELECT q.query_id,
+                     CAST([] AS BIGINT[]) AS picked,
+                     CAST([] AS VARCHAR[]) AS teams,
+                     0 AS na, 0 AS nb, 0 AS rnd
+              FROM q
+              UNION ALL
+              SELECT s.query_id,
+                     list_append(s.picked, {_TD_DOC}),
+                     list_append(s.teams, {_TD_TURN}),
+                     s.na + CASE WHEN ({_TD_TURN}) = 'A'
+                                 THEN 1 ELSE 0 END,
+                     s.nb + CASE WHEN ({_TD_TURN}) = 'B'
+                                 THEN 1 ELSE 0 END,
+                     s.rnd + 1
+              FROM step s
+              JOIN la ON la.query_id = s.query_id
+              JOIN lb ON lb.query_id = s.query_id
+              WHERE len(s.picked) < 10 AND ({_TD_DOC}) IS NOT NULL
+            ),
+            fl AS (
+              SELECT query_id, picked, teams,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY len(picked) DESC) AS rnk
+              FROM step),
+            final AS (SELECT query_id, picked, teams
+                      FROM fl WHERE rnk = 1)
+            SELECT f.query_id,
+                   CAST(u.i AS INTEGER) AS pos,
+                   f.picked[CAST(u.i AS INTEGER)] AS doc_id,
+                   f.teams[CAST(u.i AS INTEGER)] AS team
+            FROM final f,
+                 unnest(range(1, len(f.picked) + 1)) AS u(i)
         """,
         "interleave_outcome": f"""
             WITH {_INTERLEAVE_BASE},

@@ -205,6 +205,7 @@ def team_draft_interleave(
     query_col: str = "query_id",
     doc_col: str = "doc_id",
     rank_col: str = "rn",
+    coin_method: str = "xxhash",
 ) -> DataFrame:
     """``(query_id, pos, doc_id, team)`` — team-draft interleaving
     (Radlinski et al. 2008), top ``k`` per query.
@@ -216,8 +217,30 @@ def team_draft_interleave(
     coin hashes (query_id, round, seed) with the same pure-Python
     xxhash64 used by the sketch oracles, so results are independent
     of partitioning and replayable.
+
+    ``coin_method="md5"`` swaps the tie coin for the md5-substring
+    parity of ``"qid#round#seed"`` — the SQL-reproducible idiom the
+    other twins use, so a DuckDB recursive CTE can replay the whole
+    sequential draft.
     """
     from search_engine_spark.operators.sketches import xxhash64_py
+
+    if coin_method == "md5":
+        import hashlib
+
+        def _coin(qid: int, rnd: int) -> int:
+            return (
+                int(
+                    hashlib.md5(
+                        f"{qid}#{rnd}#{seed}".encode()
+                    ).hexdigest()[17:32],
+                    16,
+                )
+                & 1
+            )
+    else:
+        def _coin(qid: int, rnd: int) -> int:
+            return xxhash64_py(qid, rnd * 1_000_003 + seed) & 1
 
     def _draft(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -247,9 +270,7 @@ def team_draft_interleave(
                 elif nb < na:
                     turn = "B"
                 else:
-                    coin = xxhash64_py(
-                        int(qid), rnd * 1_000_003 + seed
-                    ) & 1
+                    coin = _coin(int(qid), rnd)
                     turn = "A" if coin == 0 else "B"
                 rnd += 1
                 if turn == "A" and not ia_left:

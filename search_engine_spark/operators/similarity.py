@@ -274,15 +274,26 @@ def cosine_near_dup_pairs_lsh(
     n_planes: int = 8,
     n_tables: int = 6,
     seed: int = 1234,
+    plane_method: str = "gauss",
 ) -> DataFrame:
     """Approximate near-dup pairs: only pairs sharing an SRP bucket in
     ≥1 table are scored — O(N) bucketing + per-bucket self-join
     instead of the O(N²) cross join.  High-cosine pairs collide with
     probability (1 − θ/π)^planes per table; misses are tunable via
-    n_planes / n_tables (recall vs cost)."""
-    tables = [
-        _hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)
-    ]
+    n_planes / n_tables (recall vs cost).
+
+    ``plane_method="md5"`` swaps the gaussian planes for the
+    SQL-reproducible md5-grid family (:func:`_hyperplanes_md5`) so a
+    DuckDB oracle replays bucketing, candidate join and scoring."""
+    if plane_method == "md5":
+        tables = [
+            _hyperplanes_md5(dim, n_planes, t) for t in range(n_tables)
+        ]
+    else:
+        tables = [
+            _hyperplanes(dim, n_planes, seed + t)
+            for t in range(n_tables)
+        ]
     buckets = F.array(
         *[
             F.struct(
