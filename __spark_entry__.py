@@ -6100,8 +6100,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def bpe_merges_q(spark, sf):
         """Distributed BPE learning (exact sequential algorithm, one
-        merge per round) — no SQL oracle (iterative argmax); pinned
-        against a pure-Python reference in tests/test_bpe.py."""
+        merge per round).  Oracle: a DuckDB RECURSIVE CTE replays the
+        training loop itself — freq-weighted adjacent-pair counts,
+        (count desc, a, b) argmax with the min-pair-count stop, and
+        the greedy leftmost-first merge application including the
+        overlapping-run semantics ('aaaa' + (a,a) → [aa, aa]) —
+        hash-checking the learned merge sequence end-to-end; also
+        pinned against a pure-Python reference in tests/test_bpe.py."""
         from search_engine_spark.operators.bpe import (
             learn_bpe,
             merges_table,
@@ -8228,6 +8233,78 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
                    md5(array_to_string(chunk, ' ')) AS chunk_fp,
                    CAST(len(chunk) AS BIGINT) AS n_tokens
             FROM ch
+        """,
+        "bpe_merges": f"""
+            WITH RECURSIVE lt AS (
+              SELECT {toks_list} AS tokens FROM documents),
+            wc AS (
+              SELECT t.word, count(*) AS cnt
+              FROM (SELECT unnest(tokens) AS word FROM lt) t
+              WHERE length(t.word) > 0 GROUP BY t.word),
+            base AS (
+              SELECT word, cnt, CAST(i AS INTEGER) AS pos,
+                     CASE WHEN i <= length(word) THEN word[i]
+                          ELSE chr(9601) END AS sym
+              FROM wc, unnest(range(1, length(word) + 2)) r(i)),
+            step AS (
+              SELECT 0 AS stp, word, cnt, pos, sym,
+                     CAST(NULL AS VARCHAR) AS ma,
+                     CAST(NULL AS VARCHAR) AS mb, 0 AS is_merge
+              FROM base
+              UNION ALL
+              (
+              WITH cur AS (SELECT * FROM step),
+              best AS (
+                SELECT a, b FROM (
+                  SELECT s1.sym AS a, s2.sym AS b,
+                         sum(s1.cnt) AS pc
+                  FROM cur s1 JOIN cur s2
+                    ON s2.word = s1.word AND s2.pos = s1.pos + 1
+                   AND s1.is_merge = 0 AND s2.is_merge = 0
+                  GROUP BY 1, 2)
+                WHERE pc >= 2
+                ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+              matches AS (
+                SELECT s1.word, s1.pos
+                FROM cur s1 JOIN cur s2
+                  ON s2.word = s1.word AND s2.pos = s1.pos + 1
+                JOIN best ON s1.sym = best.a AND s2.sym = best.b
+                WHERE s1.is_merge = 0 AND s2.is_merge = 0),
+              kept AS (
+                SELECT word, pos FROM (
+                  SELECT word, pos, row_number() OVER (
+                    PARTITION BY word, pos - rn ORDER BY pos) AS k
+                  FROM (SELECT word, pos, row_number() OVER (
+                          PARTITION BY word ORDER BY pos) AS rn
+                        FROM matches))
+                WHERE k % 2 = 1),
+              newrows AS (
+                SELECT c.word, c.cnt, row_number() OVER (
+                         PARTITION BY c.word ORDER BY c.pos) AS pos,
+                       CASE WHEN kp.pos IS NOT NULL
+                            THEN best.a || best.b
+                            ELSE c.sym END AS sym
+                FROM cur c
+                CROSS JOIN best
+                LEFT JOIN kept kp
+                  ON kp.word = c.word AND kp.pos = c.pos
+                LEFT JOIN kept kc
+                  ON kc.word = c.word AND kc.pos = c.pos - 1
+                WHERE c.is_merge = 0 AND kc.pos IS NULL)
+              SELECT s.stp + 1, n.word, n.cnt,
+                     CAST(n.pos AS INTEGER), n.sym,
+                     best.a, best.b, 0
+              FROM (SELECT DISTINCT stp FROM cur) s, newrows n, best
+              WHERE s.stp < 15
+              UNION ALL
+              SELECT s.stp + 1, NULL, NULL, NULL, NULL,
+                     best.a, best.b, 1
+              FROM (SELECT DISTINCT stp FROM cur) s, best
+              WHERE s.stp < 16
+              )
+            )
+            SELECT CAST(stp - 1 AS INTEGER) AS rank, ma AS a, mb AS b
+            FROM step WHERE is_merge = 1 ORDER BY stp
         """,
         "pack_sequences": f"""
             WITH lt AS (SELECT doc_id, {toks_list} AS tokens
