@@ -87,8 +87,49 @@ def main(argv: list[str] | None = None) -> None:
                     help="time-travel: query the index as of this "
                          "committed generation (archived snapshot; "
                          "retention via 'maintain_index retention')")
+    ap.add_argument("--local", action="store_true",
+                    help="driver-local serving fast path: score the "
+                         "query straight off the persisted parquet "
+                         "index with pyarrow+numpy — NO SparkSession, "
+                         "~ms latency (plans/local_serve.py; "
+                         "rank-identical to the Spark path). Default "
+                         "bm25 ranker only; composes with --site, "
+                         "--offset/--limit, --at-gen and "
+                         "--queries-file (looped per query)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
+
+    if bool(args.query) == bool(args.queries_file):
+        ap.error("exactly one of --query / --queries-file")
+
+    if args.local:
+        if (len(args.index) > 1 or args.ranker != "bm25"
+                or args.bool_query or args.snippets
+                or args.no_prune):
+            ap.error("--local supports one --index with the default "
+                     "bm25 ranker (no --bool/--snippets/--no-prune)")
+        from search_engine_spark.plans.local_serve import (
+            open_local_index,
+        )
+
+        lidx = open_local_index(args.index[0], gen=args.at_gen)
+        if args.queries_file:
+            with open(args.queries_file) as fh:
+                queries = [ln.strip() for ln in fh if ln.strip()]
+            if not queries:
+                ap.error(f"no queries in {args.queries_file}")
+        else:
+            queries = [args.query]
+        for qid, q in enumerate(queries):
+            out = lidx.search(
+                q, sites=args.site, offset=args.offset,
+                limit=args.limit,
+            )
+            for rec in out.to_dict("records"):
+                if args.queries_file:
+                    rec = {"query_id": qid, "query": q, **rec}
+                print(json.dumps(rec, default=str))
+        return
 
     from pyspark.sql import SparkSession
 
@@ -101,9 +142,6 @@ def main(argv: list[str] | None = None) -> None:
     from search_engine_spark.plans.build import load_compact_index
     from search_engine_spark.plans.wand import search_compact
 
-    if bool(args.query) == bool(args.queries_file):
-        ap.error("exactly one of --query / --queries-file")
-
     index_dirs = args.index
     if args.queries_file:
         if (len(index_dirs) > 1 or args.ranker != "bm25"
@@ -111,6 +149,12 @@ def main(argv: list[str] | None = None) -> None:
             ap.error("--queries-file batch mode supports one --index "
                      "with the default bm25 ranker, no --bool or "
                      "--snippets")
+        if args.at_gen is not None or args.offset != 0:
+            # search_many_compact always reads the CURRENT generation
+            # and has no offset — reject instead of silently ignoring
+            ap.error("--queries-file batch mode supports neither "
+                     "--at-gen nor --offset (use --local for both, "
+                     "or per-query jobs)")
         with open(args.queries_file) as fh:
             queries = [ln.strip() for ln in fh if ln.strip()]
         if not queries:

@@ -403,3 +403,69 @@ def test_cli_maintenance_lifecycle(spark, index_dir, tmp_path, capsys):
          "--at-gen", "0"],
     )
     assert tt and all("?m=1" not in r["url"] for r in tt)
+
+
+def test_cli_batch_rejects_at_gen_and_offset(
+        spark, index_dir, capsys, tmp_path):
+    """Batch mode has neither time-travel nor offset — it must error
+    (not silently ignore the flags and return wrong results)."""
+    import pytest as _pytest
+
+    search = _load_job("search")
+    qf = tmp_path / "q2.txt"
+    qf.write_text("crystal\n")
+    with _pytest.raises(SystemExit):
+        _no_stop(search.main, [
+            "--index", index_dir, "--queries-file", str(qf),
+            "--at-gen", "0",
+        ])
+    with _pytest.raises(SystemExit):
+        _no_stop(search.main, [
+            "--index", index_dir, "--queries-file", str(qf),
+            "--offset", "3",
+        ])
+
+
+def test_cli_local_serving(spark, index_dir, cidx, capsys, tmp_path):
+    """--local: the no-Spark serving fast path returns the same rows
+    and ranks as the Spark path, single-query and batch."""
+    from search_engine_spark.plans.wand import search_compact
+
+    rows = _run_search(
+        capsys,
+        ["--index", index_dir, "--query", QUERY, "--limit", "5",
+         "--local"],
+    )
+    _assert_rank_identical(
+        rows, search_compact(cidx, QUERY, limit=5, analyzer="tokens")
+    )
+
+    queries = [QUERY, "falcon harbor"]
+    qf = tmp_path / "q_local.txt"
+    qf.write_text("\n".join(queries) + "\n")
+    rows = _run_search(
+        capsys,
+        ["--index", index_dir, "--queries-file", str(qf),
+         "--limit", "5", "--local"],
+    )
+    for qid, q in enumerate(queries):
+        got = [r for r in rows if r["query_id"] == qid]
+        _assert_rank_identical(
+            got, search_compact(cidx, q, limit=5, analyzer="tokens")
+        )
+
+
+def test_cli_local_rejects_unsupported(spark, index_dir, capsys):
+    import pytest as _pytest
+
+    search = _load_job("search")
+    with _pytest.raises(SystemExit):
+        _no_stop(search.main, [
+            "--index", index_dir, "--query", "x", "--local",
+            "--ranker", "lm",
+        ])
+    with _pytest.raises(SystemExit):
+        _no_stop(search.main, [
+            "--index", index_dir, "--query", "x", "--local",
+            "--snippets",
+        ])
