@@ -456,6 +456,44 @@ def terms_of_docs(segments: DataFrame, doc_ids: list[int]) -> DataFrame:
     )
 
 
+def _driver_bloom_probe(
+    bloom_dir: str,
+    urls: list[str],
+    m_bits: int,
+    k: int,
+    cap: int,
+) -> list[str]:
+    """Bloom-positive urls of ``urls``, computed entirely on the
+    driver: pyarrow reads the set-bit table (≤ m_bits longs), the
+    XXH64 twin maps each url to its k bit positions, sorted-array
+    membership does the rest.  Zero Spark jobs; exact same positives
+    as :func:`operators.bloom.bloom_contains` by bit-parity."""
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    from search_engine_spark.functions.xxh64 import bloom_bits_py
+    from search_engine_spark.plans.local_serve import _fs_path
+
+    fs, root = _fs_path(bloom_dir)
+    bits = np.sort(
+        ds.dataset(root, filesystem=fs)
+        .to_table(columns=["bit"])
+        .column("bit")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    if bits.size == 0:
+        return []
+    probe = np.array(
+        [b for u in urls for b in bloom_bits_py(u, m_bits, k)],
+        dtype=np.int64,
+    ).reshape(len(urls), k)
+    pos = np.searchsorted(bits, probe)
+    pos[pos == bits.size] = 0
+    hit = (bits[pos] == probe).all(axis=1)
+    return [u for u, h in zip(urls, hit) if h][: cap + 1]
+
+
 @_with_maintenance_conf
 def append_pages(
     spark: SparkSession,
@@ -465,7 +503,18 @@ def append_pages(
     use_html: bool = False,
 ) -> dict:
     """Add not-yet-indexed docs.  Urls already present are ignored
-    (use :func:`reindex_pages` for R25 upsert semantics)."""
+    (use :func:`reindex_pages` for R25 upsert semantics).  The result
+    dict carries a ``phases`` wall-clock split (guard / analysis /
+    concurrent-writes / docs / commit) for maintenance-latency
+    attribution."""
+    phases: dict[str, float] = {}
+    _t_prev = [time.time()]
+
+    def _mark_phase(name: str) -> None:
+        now = time.time()
+        phases[name] = round(now - _t_prev[0], 3)
+        _t_prev[0] = now
+
     meta = _stats(out_dir)
     _expire_retired(out_dir, meta)
     gen_next = int(meta.get("gen", 0)) + 1
@@ -501,23 +550,63 @@ def append_pages(
     # table the exactness check has to touch.
     ub = meta.get("url_bloom")
     if ub:
-        from search_engine_spark.operators.bloom import bloom_contains
-
         m_b, k_b = int(ub["m_bits"]), int(ub["k"])
         cap = int(ub.get("maybe_cap", 100_000))
-        bloom = spark.read.parquet(
-            table_path(out_dir, "url_bloom", meta)
-        )
-        maybe = [
-            r["key"]
-            for r in bloom_contains(
-                bloom, new_pages.select("url"), "url", m_b, k_b
+        # Driver-local probe fast path: a latency-sized delta's
+        # membership question is milliseconds of hashing, but as a
+        # Spark job it costs a distinct + k-way union + broadcast +
+        # groupBy (~seconds of fixed orchestration — the measured
+        # bulk of append latency).  The bloom table is ≤ m_bits rows
+        # of bit positions: read it with pyarrow and probe with the
+        # bit-exact XXH64 twin (functions/xxh64.py, parity-pinned by
+        # tests/test_xxh64.py).  Bulk deltas (> probe_cap urls) and
+        # any local-read failure fall back to the distributed probe —
+        # identical answers either way, only the venue differs.
+        probe_cap = int(ub.get("driver_probe_cap", 20_000))
+        maybe = None
+        # overlap the two independent jobs: the enriched-delta cache
+        # materializes on a second driver thread (text analysis only)
+        # while this thread collects the delta's urls and probes the
+        # bloom locally — neither reads the other's output, and every
+        # later step needs both
+        from concurrent.futures import ThreadPoolExecutor
+
+        enriched = enriched.cache()
+        with ThreadPoolExecutor(max_workers=1) as pre:
+            enrich_fut = pre.submit(enriched.count)
+            url_sample = [
+                r["url"]
+                for r in new_pages.select("url").distinct()
+                .limit(probe_cap + 1).collect()
+            ]
+            if len(url_sample) <= probe_cap:
+                try:
+                    maybe = _driver_bloom_probe(
+                        table_path(out_dir, "url_bloom", meta),
+                        url_sample, m_b, k_b, cap,
+                    )
+                except Exception:
+                    maybe = None
+            enrich_fut.result()
+        if maybe is None:
+            from search_engine_spark.operators.bloom import (
+                bloom_contains,
             )
-            .filter(F.col("might_contain"))
-            .select("key")
-            .limit(cap + 1)
-            .collect()
-        ]
+
+            bloom = spark.read.parquet(
+                table_path(out_dir, "url_bloom", meta)
+            )
+            maybe = [
+                r["key"]
+                for r in bloom_contains(
+                    bloom, new_pages.select("url"), "url", m_b, k_b
+                )
+                .filter(F.col("might_contain"))
+                .select("key")
+                .limit(cap + 1)
+                .collect()
+            ]
+        _mark_phase("guard_bloom")
         if not maybe:
             fresh = enriched.cache()
         elif len(maybe) <= cap:
@@ -546,6 +635,7 @@ def append_pages(
     ).collect()[0]
     n_new = int(fagg["n"])
     dsum = int(fagg["s"] or 0)
+    _mark_phase("guard")
     if n_new == 0:
         return {"build_id": build_id, "appended": 0}
 
@@ -561,8 +651,20 @@ def append_pages(
         F.col("doc_id") + F.lit(seg_base << 40).cast("long"),
     ).cache()
 
-    post = build_postings(fresh, "url", meta["analyzer"])
+    # the delta postings feed the segment compaction AND the df
+    # merge; cached so the Arrow analysis UDF runs over the delta
+    # exactly ONCE (uncached it re-lemmatized the delta for the
+    # salt-factor broadcast and again for the main compaction scan)
+    post = build_postings(fresh, "url", meta["analyzer"]).cache()
     delta_ts = term_stats(post).cache()
+    # force-materialize every cache the concurrent writes below
+    # share, in dependency order (one analysis pass, one tiny agg):
+    # racing threads would otherwise each kick off the UDF pass
+    # before the first result lands in the block store
+    doc_map.count()
+    post.count()
+    delta_ts.count()
+    _mark_phase("analysis")
     # block metadata built with blocks_avg_len so every segment in the
     # index shares one metadata baseline (WAND gating, plans/wand.py)
     blocks_avg = meta.get("blocks_avg_len", meta["avg_len"])
@@ -570,7 +672,13 @@ def append_pages(
         post, doc_map, delta_ts, blocks_avg, "url", config,
         postings_per_shard,
     )
-    segs = merge_segments(segs, blocks_avg, config)
+    # delta_ts drives the same merge bypass a fresh build gets: a
+    # delta term under postings_per_shard has a single sorted run
+    # already (no shuffle + Python merge cycle for the whole tail)
+    segs = merge_segments(
+        segs, blocks_avg, config,
+        term_stats=delta_ts, postings_per_shard=postings_per_shard,
+    )
     # block identity must be unique across appends: delta shards would
     # otherwise restart at 0 and collide with existing (term, shard,
     # block_id) keys — ambiguous for WAND's packed selected-block
@@ -582,23 +690,25 @@ def append_pages(
         (F.col("shard") + F.lit(epoch << 16)).cast("int"),
     )
     segs = segs.withColumn("bucket", bucket_col(F.col("term"), n_buckets))
+
     # LSM-style: each append lands in its OWN epoch directory under
     # the deltas dir (never appended into the base index files), so
     # merge_delta_epochs can consolidate deltas proportionally to
     # delta size and vacuum/merges can drop whole directories.
     # INVISIBLE until commit: readers resolve epochs through the
     # descriptor's delta_epochs list, which doesn't name this one yet.
-    (
-        segs.repartition(n_buckets, F.col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(
-            os.path.join(
-                table_path(out_dir, "index_deltas", meta),
-                f"epoch={epoch}",
+    def _write_delta_segments() -> None:
+        (
+            segs.repartition(n_buckets, F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(
+                os.path.join(
+                    table_path(out_dir, "index_deltas", meta),
+                    f"epoch={epoch}",
+                )
             )
         )
-    )
 
     # positional-index co-maintenance: when the build wrote a
     # compressed positional index (jobs/build_index.py --positions),
@@ -607,8 +717,9 @@ def append_pages(
     # tombstoned ids and drop at the query-time liveness join, so
     # phrase/near correctness survives maintenance with no rewrite
     pos_dir = out_dir.rstrip("/") + "/positions"
-    appended_positions = False
-    if fsutil.exists(pos_dir, spark):
+    appended_positions = fsutil.exists(pos_dir, spark)
+
+    def _append_positions() -> None:
         from search_engine_spark.operators.phrases import (
             compact_positions,
             positional_meta,
@@ -639,7 +750,6 @@ def append_pages(
             .partitionBy("bucket")
             .parquet(pos_dir)
         )
-        appended_positions = True
 
     # derived stats: df = old + delta (R10 batch form), written to a
     # FRESH generation dir — the committed term_stats is never
@@ -662,9 +772,6 @@ def append_pages(
         )
     )
     ts_rel = _gen_rel("term_stats", gen_next)
-    merged.write.mode("overwrite").parquet(
-        os.path.join(out_dir, ts_rel)
-    )
 
     # pending view: the descriptor this commit will publish
     old_ss_rel = (meta.get("paths") or {}).get(
@@ -677,30 +784,47 @@ def append_pages(
         "term_stats": ts_rel,
         "site_stats": ss_rel,
     }
-    # O(delta) stats maintenance: per-site counts come from the
-    # (cached) delta itself; the committed site_stats table is merged
-    # (O(|sites|)), never the docs table rescanned.  Runs BEFORE the
-    # docs append below for the same reason term_stats does: doc_map
-    # descends from the anti-join against docs/, so a cache-evicted
-    # re-evaluation after the append would see the delta as empty.
-    _merge_site_stats(
-        spark, out_dir, meta,
-        doc_map.groupBy("site").agg(
-            F.count(F.lit(1)).cast("long").alias("d")
-        ),
-        ss_rel,
+
+    # O(1) scalar stats first (pure arithmetic off the committed
+    # sum_len + this delta's exact sums — no job): the stoplist
+    # top-K below scores candidates against the post-append n_docs
+    _apply_scalar_delta(
+        spark, out_dir, pending, n_new, dsum,
+        recompute_includes_delta=False,
     )
+
+    def _ts_then_stoplist() -> None:
+        # term_stats' = old + delta, then the candidate-restricted
+        # stoplist top-K — chained because the stoplist reads the
+        # NEW term_stats table through the pending descriptor
+        merged.write.mode("overwrite").parquet(
+            os.path.join(out_dir, ts_rel)
+        )
+        _incremental_stoplist(
+            spark, out_dir, pending, delta_ts,
+            list(meta.get("stoplist") or []),
+        )
+
+    def _write_site_stats() -> None:
+        # O(delta): per-site counts from the cached delta, merged
+        # into the committed (site, pages) table — never a docs scan
+        _merge_site_stats(
+            spark, out_dir, meta,
+            doc_map.groupBy("site").agg(
+                F.count(F.lit(1)).cast("long").alias("d")
+            ),
+            ss_rel,
+        )
 
     # url-bloom maintenance: filter' = filter OR build(delta urls)
     # (bloom_merge linearity) into a fresh generation dir; indexes
     # without one bootstrap it here from the pre-append live urls ∪
     # delta (one O(corpus) pass the anti-join was paying anyway).
-    # Runs BEFORE the docs append — same cache-eviction ordering rule
-    # as the other delta-derived writes above.
     from search_engine_spark.config import DEFAULT as _DEF
 
     bloom_commit = {}
     bloom_retire = []
+    bloom_task = None
     if ub or _DEF.url_bloom_enabled:
         from search_engine_spark.operators.bloom import (
             bloom_build,
@@ -729,9 +853,12 @@ def append_pages(
             )
             n_keys = int(meta.get("n_docs", 0)) + n_new
         bloom_rel = _gen_rel("url_bloom", gen_next)
-        new_bloom.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, bloom_rel)
-        )
+
+        def bloom_task() -> None:
+            new_bloom.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out_dir, bloom_rel)
+            )
+
         bloom_commit = {"url_bloom": bloom_rel}
         meta["url_bloom"] = {
             "m_bits": m_b,
@@ -742,19 +869,40 @@ def append_pages(
             ),
         }
 
-    # scalar + stoplist maintenance BEFORE the docs append: both are
-    # O(delta) (arithmetic / candidate-restricted top-K over delta_ts)
-    # and delta_ts descends from the anti-join against docs/, so this
-    # ordering removes the cache-eviction re-evaluation hazard
-    # entirely instead of depending on the caches holding
-    _apply_scalar_delta(
-        spark, out_dir, pending, n_new, dsum,
-        recompute_includes_delta=False,
-    )
-    _incremental_stoplist(
-        spark, out_dir, pending, delta_ts,
-        list(meta.get("stoplist") or []),
-    )
+    # the five delta-derived table writes (delta segments,
+    # term_stats→stoplist chain, site_stats, url_bloom, positions)
+    # are mutually independent — each reads only committed tables
+    # plus cached delta frames (fresh / doc_map / post / delta_ts,
+    # all force-materialized above) — so they are submitted on
+    # concurrent driver threads and Spark schedules them in parallel:
+    # ~5 sequential job barriers collapse into one.  The docs append
+    # below still waits for ALL of them, preserving the ordering
+    # hazard documented above: every one of these descends from the
+    # anti-join against docs/, so a cache-evicted re-evaluation after
+    # the append would see the delta as empty.
+    from concurrent.futures import ThreadPoolExecutor
+
+    tasks = [_write_delta_segments, _ts_then_stoplist,
+             _write_site_stats]
+    if bloom_task is not None:
+        tasks.append(bloom_task)
+    if appended_positions:
+        tasks.append(_append_positions)
+
+    def _timed_task(t):
+        def run():
+            t0 = time.time()
+            t()
+            phases[f"w_{t.__name__.strip('_')}"] = round(
+                time.time() - t0, 3
+            )
+        return run
+
+    with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+        futs = [pool.submit(_timed_task(t)) for t in tasks]
+        for f in futs:
+            f.result()
+    _mark_phase("concurrent_writes")
 
     # docs append is ADDITIVE in place: rows for uncommitted doc_ids
     # are inert for concurrent readers (their postings epoch is not
@@ -763,6 +911,7 @@ def append_pages(
     doc_map.write.mode("append").parquet(
         table_path(out_dir, "docs", meta)
     )
+    _mark_phase("docs")
 
     meta["next_id_segment"] = seg_base + delta_segments
     meta["append_epoch"] = epoch
@@ -785,10 +934,12 @@ def append_pages(
         [(None, "append", int(n_new), None, time.time(), build_id)],
         MANIFEST_SCHEMA,
     ).write.mode("append").parquet(os.path.join(out_dir, "manifest"))
+    _mark_phase("commit")
     return {
         "build_id": build_id,
         "appended": n_new,
         "appended_positions": appended_positions,
+        "phases": phases,
     }
 
 
@@ -843,9 +994,6 @@ def tombstone_urls(
         .filter(F.col("df") > 0)  # decrement-or-DELETE (R24)
     )
     ts_rel = _gen_rel("term_stats", gen_next)
-    new_ts.write.mode("overwrite").parquet(
-        os.path.join(out_dir, ts_rel)
-    )
 
     now = time.time()
     new_tomb = spark.createDataFrame(
@@ -860,9 +1008,6 @@ def tombstone_urls(
         else None
     )
     tomb_rel = _gen_rel("tombstones", gen_next)
-    new_tomb.write.mode("overwrite").parquet(
-        os.path.join(out_dir, tomb_rel)
-    )
 
     old_ss_rel = (meta.get("paths") or {}).get(
         "site_stats", "site_stats"
@@ -875,6 +1020,25 @@ def tombstone_urls(
         "tombstones": tomb_rel,
         "site_stats": ss_rel,
     }
+    # O(1) scalar stats first (arithmetic off the already-collected
+    # dead rows): the stoplist recompute below scores against the
+    # post-delete n_docs.  Legacy descriptors (no stored sum_len)
+    # bootstrap from the COMMITTED snapshot — the new tombstone table
+    # is written concurrently BELOW, so a recompute through the
+    # pending paths would find no tombstones at all and overcount;
+    # seeding the exact sum from the old generation and applying this
+    # op's delta arithmetically is equivalent and order-independent.
+    if "sum_len" not in pending:
+        boot = dict(meta)
+        boot["paths"] = dict(meta.get("paths") or {})
+        _recompute_scalar_stats(spark, out_dir, boot)
+        pending["n_docs"] = boot["n_docs"]
+        pending["sum_len"] = boot["sum_len"]
+    _apply_scalar_delta(
+        spark, out_dir, pending,
+        -len(dead_rows),
+        -sum(int(r["doc_len"]) for r in dead_rows),
+    )
     # O(deleted) stats maintenance from the already-collected dead
     # rows — no live-docs rescan (the rows were collected above to
     # build the tombstone table, so this costs nothing extra)
@@ -885,13 +1049,34 @@ def tombstone_urls(
         [(s, -int(c)) for s, c in sorted(site_dec.items())],
         "site string, d long",
     )
-    _merge_site_stats(spark, out_dir, meta, delta_counts, ss_rel)
-    _apply_scalar_delta(
-        spark, out_dir, pending,
-        -len(dead_rows),
-        -sum(int(r["doc_len"]) for r in dead_rows),
-    )
-    _recompute_stoplist(spark, out_dir, pending)
+
+    def _ts_then_stoplist() -> None:
+        # df decrement write, then the full stoplist recompute —
+        # chained because a decrement can promote ANY term, and the
+        # recompute reads the NEW term_stats via the pending paths
+        new_ts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, ts_rel)
+        )
+        _recompute_stoplist(spark, out_dir, pending)
+
+    def _write_tombstones() -> None:
+        new_tomb.write.mode("overwrite").parquet(
+            os.path.join(out_dir, tomb_rel)
+        )
+
+    def _write_site_stats() -> None:
+        _merge_site_stats(spark, out_dir, meta, delta_counts, ss_rel)
+
+    # the three generation writes are independent (each reads only
+    # committed tables + the collected dead rows) → concurrent
+    # driver threads, one barrier instead of three sequential ones
+    from concurrent.futures import ThreadPoolExecutor
+
+    tasks = [_ts_then_stoplist, _write_tombstones, _write_site_stats]
+    with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+        futs = [pool.submit(t) for t in tasks]
+        for f in futs:
+            f.result()
     meta["n_docs"] = pending["n_docs"]
     meta["sum_len"] = pending["sum_len"]
     meta["avg_len"] = pending["avg_len"]
@@ -1180,21 +1365,31 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     # flip is exactly one atomic stats.json replacement (_commit)
     old_paths = dict(meta.get("paths") or {})
     idx_rel = _gen_rel("index", gen_next)
-    (
-        rebuilt.repartition(F.col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(out_dir, idx_rel))
-    )
     ts_rel = _gen_rel("term_stats", gen_next)
-    live_ts.write.mode("overwrite").parquet(
-        os.path.join(out_dir, ts_rel)
-    )
-    live_ts.unpersist()
+    # materialize the live_ts cache ONCE up front (one decode+agg
+    # job): the index rebuild and the term_stats write consume it on
+    # CONCURRENT driver threads below — racing threads would each
+    # trigger the full old-index decode before the cache lands
+    live_ts.count()
+
+    def _write_index() -> None:
+        (
+            rebuilt.repartition(F.col("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(out_dir, idx_rel))
+        )
+
+    def _write_ts() -> None:
+        live_ts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, ts_rel)
+        )
 
     old_docs_rel = old_paths.get("docs", "docs")
     docs_rel = old_docs_rel
     docs = spark.read.parquet(table_path(out_dir, "docs", meta))
+    live_docs = docs
+    docs_task = None
     if dead_ids:
         # anti-JOIN, not a driver isin list: bulk deletes can carry
         # arbitrarily many ids, and a join keeps the predicate O(1)
@@ -1203,9 +1398,11 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
         )
         live_docs = docs.join(F.broadcast(dead_df), "doc_id", "left_anti")
         docs_rel = _gen_rel("docs", gen_next)
-        live_docs.write.mode("overwrite").parquet(
-            os.path.join(out_dir, docs_rel)
-        )
+
+        def docs_task() -> None:
+            live_docs.write.mode("overwrite").parquet(
+                os.path.join(out_dir, docs_rel)
+            )
 
     # positional-index co-vacuum: appends/reindexes leave stale
     # positional rows keyed by dead dense doc_ids (correct at query
@@ -1217,9 +1414,10 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     # a clean retryable read, and the old dir is retired for deferred
     # deletion like every other table.
     pos_dir = out_dir.rstrip("/") + "/positions"
-    positions_dropped = None
-    pos_retired_rel = None
-    if fsutil.exists(pos_dir, spark):
+    pos_out: dict = {"dropped": None, "retired_rel": None}
+    has_positions = fsutil.exists(pos_dir, spark)
+
+    def _rewrite_positions() -> None:
         import json as _json
 
         from search_engine_spark.config import DEFAULT as _CFG
@@ -1233,7 +1431,7 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
         # dir without refreshing the meta counts (vacuum's rewrite is
         # what brings them back in sync)
         rows_before = pos.count()
-        live_ids = (live_docs if dead_ids else docs).select("doc_id")
+        live_ids = live_docs.select("doc_id")
         kept = pos.join(live_ids, "doc_id", "left_semi")
         new_rel = _gen_rel("positions", gen_next)
         new_dir = os.path.join(out_dir, new_rel)
@@ -1270,8 +1468,8 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
             }),
             spark,
         )
-        positions_dropped = rows_before - int(stats["rows"] or 0)
-        pos_retired_rel = f"positions_retired_g{gen_next}"
+        pos_out["dropped"] = rows_before - int(stats["rows"] or 0)
+        pos_out["retired_rel"] = f"positions_retired_g{gen_next}"
         # recorded so positions_dir_for can resolve a generation to
         # its positional data — and fail loudly (SnapshotExpiredError)
         # when the retired dir has aged out, instead of silently
@@ -1280,9 +1478,30 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
             meta.get("positions_rewrites") or []
         ) + [gen_next]
         fsutil.rename(
-            pos_dir, os.path.join(out_dir, pos_retired_rel), spark
+            pos_dir, os.path.join(out_dir, pos_out["retired_rel"]),
+            spark,
         )
         fsutil.rename(new_dir, pos_dir, spark)
+
+    # the generation rewrites are mutually independent — each reads
+    # only the COMMITTED snapshot's files (never another rewrite's
+    # output) — so they run on concurrent driver threads; the
+    # stats/bloom recomputes below read the new tables via the
+    # pending paths and therefore wait for this barrier
+    from concurrent.futures import ThreadPoolExecutor
+
+    tasks = [_write_index, _write_ts]
+    if docs_task is not None:
+        tasks.append(docs_task)
+    if has_positions:
+        tasks.append(_rewrite_positions)
+    with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+        futs = [pool.submit(t) for t in tasks]
+        for f in futs:
+            f.result()
+    live_ts.unpersist()
+    positions_dropped = pos_out["dropped"]
+    pos_retired_rel = pos_out["retired_rel"]
 
     ss_rel = _gen_rel("site_stats", gen_next)
     new_paths = {
@@ -1310,12 +1529,15 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
         m_b = int(ub0.get("m_bits", _DEF.url_bloom_m_bits))
         k_b = int(ub0.get("k", _DEF.url_bloom_k))
         bloom_rel = _gen_rel("url_bloom", gen_next)
-        bloom_build(
-            _live_docs(spark, out_dir, pending).select("url"),
-            "url", m_b, k_b,
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, bloom_rel)
-        )
+
+        def bloom_task() -> None:
+            bloom_build(
+                _live_docs(spark, out_dir, pending).select("url"),
+                "url", m_b, k_b,
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out_dir, bloom_rel)
+            )
+
         if "url_bloom" in (old_paths or {}) or fsutil.exists(
             os.path.join(out_dir, "url_bloom"), spark
         ):
@@ -1333,9 +1555,27 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
         }
     else:
         retire_bloom = None
-    _write_site_stats(spark, out_dir, pending, ss_rel)
-    _recompute_scalar_stats(spark, out_dir, pending)
-    _recompute_stoplist(spark, out_dir, pending)
+        bloom_task = None
+
+    def _scalar_then_stoplist() -> None:
+        # chained: the stoplist top-K scores against the post-vacuum
+        # n_docs the scalar recompute just put into ``pending``
+        _recompute_scalar_stats(spark, out_dir, pending)
+        _recompute_stoplist(spark, out_dir, pending)
+
+    # second barrier: the recomputes all read the NEW tables through
+    # the pending paths (docs/term_stats written above) but are
+    # mutually independent → concurrent driver threads again
+    tasks2 = [
+        _scalar_then_stoplist,
+        lambda: _write_site_stats(spark, out_dir, pending, ss_rel),
+    ]
+    if bloom_task is not None:
+        tasks2.append(bloom_task)
+    with ThreadPoolExecutor(max_workers=len(tasks2)) as pool:
+        futs = [pool.submit(t) for t in tasks2]
+        for f in futs:
+            f.result()
     meta["n_docs"] = pending["n_docs"]
     meta["sum_len"] = pending["sum_len"]
     meta["avg_len"] = pending["avg_len"]
