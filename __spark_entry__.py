@@ -5447,6 +5447,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("link"),
         )
 
+    def _t1t2_html(spark, sf):
+        # T1/T2 fixture: html synthesized deterministically from the
+        # documents table (same construction as the DuckDB oracle) —
+        # a head with an entity-bearing <title> and a <script>, a
+        # comment, a tagged body paragraph built from the sanitized
+        # text, and an entity-bearing tail div.  The SPARK side runs
+        # the production extractors over it (functions/textproc
+        # extract_text_py/extract_title_py — the normative spec of
+        # the reference's Jsoup.parse().text()/title(), LemmaService
+        # Impl.java:36, SearchServiceImpl.java:305-307); the oracle
+        # states the EXPECTED extraction in SQL.
+        d = F.col("doc_id").cast("string")
+        body = F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            "[^A-Za-z0-9 .,]", " ",
+        )
+        html = F.concat(
+            F.lit("<html><head><title>Doc "), d,
+            F.lit(" &amp; "), F.col("source"),
+            F.lit("</title><script>var x = 1 < 2 && true;</script>"
+                  "</head><body><!-- hidden "), d,
+            F.lit(' --><p class="lead">intro '), body,
+            F.lit("</p><div>tail &lt;"), d,
+            F.lit("&gt;</div></body></html>"),
+        )
+        return _read(spark, sf, "documents").select(
+            "doc_id", F.encode(html, "UTF-8").alias("html")
+        )
+
+    def extract_text_roundtrip(spark, sf):
+        from search_engine_spark.functions.textproc import (
+            extract_text_udf,
+        )
+
+        return _t1t2_html(spark, sf).select(
+            "doc_id", extract_text_udf(F.col("html")).alias("text")
+        )
+
+    def extract_title(spark, sf):
+        from search_engine_spark.functions.textproc import (
+            extract_title_udf,
+        )
+
+        return _t1t2_html(spark, sf).select(
+            "doc_id", extract_title_udf(F.col("html")).alias("title")
+        )
+
     def _anchor_pages(spark, sf):
         # deterministically synthesized single-site HTML with anchor
         # text (same construction in the DuckDB _ANCHOR_HTML_SQL):
@@ -6500,6 +6547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assign_split": assign_split_q,
         "site_lang_rollup": site_lang_rollup,
         "extract_links": extract_links,
+        "extract_text_roundtrip": extract_text_roundtrip,
+        "extract_title": extract_title,
         "anchor_postings": anchor_postings_q,
         "bm25f_anchor_topk": bm25f_anchor_topk,
         "bm25f_topk": bm25f_topk_q,
@@ -9067,6 +9116,24 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
             FROM documents GROUP BY ROLLUP(source, lang)
         """,
         "extract_links": _extract_links_sql(),
+        # T1/T2: the oracle states the expected extraction over the
+        # same deterministic html the Spark side feeds the REAL
+        # extractors — comments/script/head (incl. title) removed,
+        # tags stripped, entities unescaped, whitespace collapsed
+        "extract_text_roundtrip": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     'intro ' || regexp_replace(coalesce(text, ''),
+                                  '[^A-Za-z0-9 .,]', ' ', 'g')
+                       || ' tail <' || doc_id || '>',
+                     '\\s+', ' ', 'g')) AS text
+            FROM documents
+        """,
+        "extract_title": """
+            SELECT doc_id,
+                   'Doc ' || doc_id || ' & ' || source AS title
+            FROM documents
+        """,
         "anchor_postings": f"""
             WITH {_anchor_postings_sql()}
             SELECT target, term, tf FROM anchor_postings

@@ -240,6 +240,16 @@ def _lemma_counts_batch_arrow(tokens, lang):
         [lg or "english" for lg in lang.to_pylist()], dtype=object
     )
     flat = pc.list_flatten(tokens)
+    if flat.null_count:
+        # a null ELEMENT inside a tokens array would surface as a
+        # null dictionary index, whose to_numpy round-trip silently
+        # turns into INT64_MIN garbage lemma codes — unreachable via
+        # tokens_col (its split never yields nulls) but the UDF
+        # accepts arbitrary array<string>, so refuse loudly instead
+        raise ValueError(
+            "null element inside a tokens array (analyzer tokens "
+            "are never null — pre-filter nulls before lemmatizing)"
+        )
     parent = (
         pc.list_parent_indices(tokens)
         .to_numpy(zero_copy_only=False)

@@ -93,6 +93,11 @@ def query_term_idf(
             for t in missing:
                 # 0 = definitely absent from the dictionary
                 memo[t] = found.get(t, 0)
+            # bound the memo for long-lived serving processes
+            # (insertion-order eviction, like wand._memo_evict)
+            from search_engine_spark.plans.wand import _memo_evict
+
+            _memo_evict(memo)
     lookup = memo if memo is not None else found
     out = {}
     for t in terms:

@@ -38,6 +38,17 @@ from search_engine_spark.plans.search import (
 # current kth score, so equal-score/url-tiebreak candidates survive.
 _EPS = 1e-9
 
+# Per-index-object memo entry cap: a long-lived serving process
+# cycling through a crawl-wide vocabulary must not grow the df/block
+# metadata memos without bound (same rationale as the lemmatizer's
+# _LEMMA_MEMO_CAP).  Eviction is insertion-order (oldest first).
+_MEMO_CAP = 262_144
+
+
+def _memo_evict(memo: dict) -> None:
+    while len(memo) > _MEMO_CAP:
+        memo.pop(next(iter(memo)))
+
 
 def _segs_for_terms(cidx: CompactIndex, terms: list[str]) -> DataFrame:
     """Segment rows for the given terms, with a partition-pruning
@@ -78,6 +89,7 @@ def _block_meta(cidx: CompactIndex, term: str) -> list:
     )
     if memo is not None:
         memo[term] = rows
+        _memo_evict(memo)
     return rows
 
 
@@ -100,6 +112,7 @@ def _term_bounds(cidx: CompactIndex, terms: list[str]) -> dict:
         found = {r["term"]: (r["mx"], r["mn"]) for r in rows}
         if memo is not None:
             memo.update(found)
+            _memo_evict(memo)
     src = memo if memo is not None else found
     return {t: src[t] for t in terms if t in src}
 
