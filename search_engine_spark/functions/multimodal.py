@@ -470,13 +470,41 @@ def sample_frames(
                         )
 
                         frames, fps = decode_avi(data)
+                    elif data[4:8] == b"ftyp":
+                        # ISO-BMFF (MP4): the CONTAINER layer is fully
+                        # parsed (functions/mp4.py — codec id, fps,
+                        # stss keyframes, exact sample byte ranges),
+                        # so sampling is real and fps-aware; only the
+                        # entropy-coded pixel decode stays stubbed —
+                        # each emitted frame is the compressed sync-
+                        # sample payload (PyAV/ffmpeg is the swap-in
+                        # to turn it into pixels).
+                        from search_engine_spark.functions.mp4 import (
+                            keyframe_samples,
+                        )
+
+                        keys = keyframe_samples(data)
+                        next_t = 0.0
+                        fi = 0
+                        for si, t_ms, off, size in keys:
+                            if t_ms + 1e-9 >= next_t:
+                                rows.append(
+                                    {
+                                        "doc_id": int(doc_id),
+                                        "frame_idx": fi,
+                                        "frame": data[off:off + size],
+                                    }
+                                )
+                                fi += 1
+                                next_t = t_ms + every_ms
+                        continue
                     else:
                         raise NotImplementedError(
                             "real video decoding beyond YUV4MPEG2 "
-                            "(.y4m) and MJPG AVI requires "
-                            "PyAV/ffmpeg — not available in this "
-                            "environment; use decoder='fake' or "
-                            "extend sample_frames"
+                            "(.y4m), MJPG AVI and MP4 keyframe "
+                            "sampling requires PyAV/ffmpeg — not "
+                            "available in this environment; use "
+                            "decoder='fake' or extend sample_frames"
                         )
                     step = max(1, int(round(every_ms * fps / 1000.0)))
                     for i, fi in enumerate(range(0, len(frames), step)):
