@@ -150,11 +150,23 @@ def test_sample_frames_real_non_y4m_raises(spark):
         sample_frames,
     )
 
+    # an unknown container (no y4m/AVI/ftyp signature) names the
+    # supported set + swap-in
     media = spark.createDataFrame(
-        [(1, "video", bytearray(b"\x00\x00\x00\x18ftypmp42 etc"),
-          {"mime": "video/mp4", "width": None, "height": None,
+        [(1, "video", bytearray(b"\x1aEdmat webm-ish junk payload"),
+          {"mime": "video/webm", "width": None, "height": None,
            "duration_ms": 1000})],
         MEDIA_SCHEMA,
     )
     with pytest.raises(Exception, match="YUV4MPEG2"):
         sample_frames(media, decoder="real").collect()
+    # a TRUNCATED mp4 takes the ISO-BMFF parser (functions/mp4.py)
+    # and fails loudly on the corrupt box instead of pretending
+    media2 = spark.createDataFrame(
+        [(1, "video", bytearray(b"\x00\x00\x00\x18ftypmp42 etc"),
+          {"mime": "video/mp4", "width": None, "height": None,
+           "duration_ms": 1000})],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="corrupt box"):
+        sample_frames(media2, decoder="real").collect()
