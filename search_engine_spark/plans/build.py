@@ -333,9 +333,14 @@ def build_and_write(
         )
         for b in missing
     ]
-    spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode(
-        "append"
-    ).parquet(_manifest_path(out_dir))
+    # driver-side parquet append (schema-identical to the Spark
+    # writer, falls back to it): ≤ n_buckets tiny rows don't justify
+    # a Spark job's fixed cost
+    from search_engine_spark.plans.incremental import (
+        _append_manifest_rows,
+    )
+
+    _append_manifest_rows(spark, out_dir, rows)
     mark("manifest")
 
     # release build-scoped caches: Spark's SQL cache matches plans

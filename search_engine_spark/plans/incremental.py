@@ -456,6 +456,52 @@ def terms_of_docs(segments: DataFrame, doc_ids: list[int]) -> DataFrame:
     )
 
 
+def _append_manifest_rows(
+    spark: SparkSession, out_dir: str, rows: list[tuple]
+) -> None:
+    """Append lineage rows to ``manifest/`` driver-side (pyarrow): a
+    one-row createDataFrame→parquet append is a whole Spark job
+    (~0.3–0.5 s of fixed orchestration per maintenance op) for a few
+    hundred bytes.  The part-file written here is schema-identical to
+    the Spark writer's (MANIFEST_SCHEMA: int/string/long/long/
+    double/string), so readers (``read_manifest``/``done_buckets``)
+    see one homogeneous table.  Any failure (e.g. a filesystem
+    pyarrow can't reach) falls back to the Spark writer."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from search_engine_spark.plans.local_serve import _fs_path
+
+        fs, root = _fs_path(os.path.join(out_dir, "manifest"))
+        fs.create_dir(root, recursive=True)
+        schema = pa.schema(
+            [
+                pa.field("bucket", pa.int32()),
+                pa.field("status", pa.string()),
+                pa.field("postings", pa.int64()),
+                pa.field("blocks", pa.int64()),
+                pa.field("built_at", pa.float64()),
+                pa.field("build_id", pa.string()),
+            ]
+        )
+        cols = list(zip(*rows))
+        table = pa.table(
+            {
+                f.name: pa.array(list(c), type=f.type)
+                for f, c in zip(schema, cols)
+            },
+            schema=schema,
+        )
+        path = root + f"/part-{uuid.uuid4().hex}-drv.parquet"
+        with fs.open_output_stream(path) as sink:
+            pq.write_table(table, sink)
+    except Exception:
+        spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode(
+            "append"
+        ).parquet(os.path.join(out_dir, "manifest"))
+
+
 def _driver_bloom_probe(
     bloom_dir: str,
     urls: list[str],
@@ -930,10 +976,10 @@ def append_pages(
         retire=[old_ts_rel, old_ss_rel, *bloom_retire],
     )
 
-    spark.createDataFrame(
+    _append_manifest_rows(
+        spark, out_dir,
         [(None, "append", int(n_new), None, time.time(), build_id)],
-        MANIFEST_SCHEMA,
-    ).write.mode("append").parquet(os.path.join(out_dir, "manifest"))
+    )
     _mark_phase("commit")
     return {
         "build_id": build_id,
@@ -1293,11 +1339,11 @@ def merge_delta_epochs(
             new_paths={"index_deltas": deltas_rel},
             retire=(old_deltas_rel,),
         )
-    spark.createDataFrame(
+    _append_manifest_rows(
+        spark, out_dir,
         [(None, "merge_deltas", len(dirs), None, time.time(),
           uuid.uuid4().hex[:12])],
-        MANIFEST_SCHEMA,
-    ).write.mode("append").parquet(os.path.join(out_dir, "manifest"))
+    )
     return {
         "merged_epochs": len(dirs),
         "kept_epochs": len(keep_dirs),

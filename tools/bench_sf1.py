@@ -73,22 +73,35 @@ def main() -> None:
     delta_n = 4000  # SAME absolute delta at both scales (O(delta) story)
     out: dict = {"metric": "sf1_evidence", "cpus": cpus}
 
+    # throwaway warm-up build so the FIRST measured leg doesn't pay
+    # JVM/python-worker/codegen cold start the second leg skips
+    warm_dir = tempfile.mkdtemp(prefix="sf1ev_warm_")
+    build_and_write(
+        spark, pages_df_dist(spark, 4000, n_sites=8, seed=7,
+                             n_partitions=cpus),
+        warm_dir, analyzer="lemma", n_segments=cpus, resume=False,
+    )
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
     for label, n_pages in (("sf0.1", 48_000), ("sf1", 480_000)):
         res: dict = {"pages": n_pages}
-        pages = pages_df_dist(
-            spark, n_pages + delta_n, n_sites=8, seed=42,
+        base = pages_df_dist(
+            spark, n_pages, n_sites=8, seed=42,
             n_partitions=cpus * 2,
         ).cache()
-        pages.count()
-        base = pages.limit(n_pages)
-        # split without limit-ordering ambiguity: hash-partition rows
-        marked = pages.withColumn(
-            "k", F.crc32(F.col("url")) % 100
-        ).cache()
-        marked.count()
-        base = marked.filter(F.col("k") >= 1).drop("k")
-        delta = marked.filter(F.col("k") < 1).drop("k").limit(delta_n)
         n_base = base.count()
+        # SAME absolute delta at both scales (the O(delta) story):
+        # a disjoint second corpus, anti-joined on url
+        delta = (
+            pages_df_dist(
+                spark, delta_n * 2, n_sites=8, seed=77,
+                n_partitions=cpus,
+            )
+            .join(base.select("url"), "url", "left_anti")
+            .limit(delta_n)
+            .cache()
+        )
+        delta.count()
         res["base_pages"] = n_base
 
         idx_dir = tempfile.mkdtemp(prefix=f"sf1ev_{label}_")
@@ -141,8 +154,8 @@ def main() -> None:
         res["vacuum_sec"] = round(time.time() - t0, 2)
 
         out[label] = res
-        pages.unpersist()
-        marked.unpersist()
+        base.unpersist()
+        delta.unpersist()
         shutil.rmtree(idx_dir, ignore_errors=True)
 
     a, b = out["sf0.1"], out["sf1"]
