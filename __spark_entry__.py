@@ -4425,6 +4425,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_wand_topk(spark, sf):  # N5: same oracle as bm25_topk
         return _search_docs_wand(spark, sf, FLAGSHIP_QUERY, limit=10)
 
+    def bm25_topk_local(spark, sf):
+        """Driver-local (no-Spark) serving fast path
+        (plans/local_serve.py) under the SAME oracle as bm25_topk:
+        the documents corpus is persisted once via build_and_write,
+        then the flagship query is answered entirely by pyarrow +
+        the numpy block codec on the driver — the result rows are
+        wrapped back into a DataFrame only for the contract compare.
+        Ranks re-ordered by the oracle's (score desc, doc_id asc)
+        tie-break after mapping the synthetic url back to doc_id
+        (the on-disk index keys by url; same top-k set)."""
+        import tempfile
+
+        from search_engine_spark.plans.build import build_and_write
+        from search_engine_spark.plans.local_serve import (
+            open_local_index,
+        )
+        from search_engine_spark.sources.pages import (
+            documents_as_pages,
+        )
+
+        key = (id(spark), sf, "local_serve")
+        if key not in _INCR_CACHE:
+            out = tempfile.mkdtemp(prefix="local_contract_") + "/idx"
+            build_and_write(
+                spark,
+                documents_as_pages(spark, sf).drop("doc_id"),
+                out, analyzer="tokens", n_segments=8,
+            )
+            _INCR_CACHE[key] = out
+        lidx = open_local_index(_INCR_CACHE[key])
+        pdf = lidx.search(FLAGSHIP_QUERY, limit=10)
+        rows = sorted(
+            (
+                (int(u.rsplit("/", 1)[1]), float(s))
+                for u, s in zip(pdf["url"], pdf["score"])
+            ),
+            key=lambda t: (-t[1], t[0]),  # full-precision sort,
+        )                                 # round only for display
+        return spark.createDataFrame(
+            [
+                (doc_id, round(score, 6), rn)
+                for rn, (doc_id, score) in enumerate(rows, 1)
+            ],
+            "doc_id long, score double, rn int",
+        )
+
     def bm25_wand_pagination(spark, sf):
         return _search_docs_wand(
             spark, sf, FLAGSHIP_QUERY, offset=3, limit=5
@@ -6456,6 +6502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings_lemma": postings_lemma,
         "bm25_topk_lemma": bm25_topk_lemma,
         "bm25_wand_topk": bm25_wand_topk,
+        "bm25_topk_local": bm25_topk_local,
         "bm25_maxscore_topk": bm25_maxscore_topk,
         "bm25_wand_pagination": bm25_wand_pagination,
         "percolate_rarest": percolate_rarest,
@@ -7415,6 +7462,10 @@ SELECT doc_id, score, rn FROM ranked WHERE rn <= 10
         ),
         "ltr_linear_rerank": _LTR_LINEAR_SQL,
         "bm25_wand_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
+        # the no-Spark serving fast path under the same oracle — the
+        # driver-local pyarrow+numpy scorer must reproduce the SQL
+        # BM25 exactly (plans/local_serve.py)
+        "bm25_topk_local": _bm25_sql(FLAGSHIP_TERMS, limit=10),
         "bm25_maxscore_topk": _bm25_sql(
             FLAGSHIP_TERMS, limit=10, mode="union"
         ),
