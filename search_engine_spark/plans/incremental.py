@@ -399,6 +399,7 @@ def _incremental_stoplist(
     meta: dict,
     delta_terms: DataFrame,
     old_stoplist: list[str],
+    ts_df: DataFrame | None = None,
 ) -> dict:
     """Append-only stoplist maintenance (R14): every df delta is
     non-negative, so the new top-K provably lies within old-top-K ∪
@@ -407,8 +408,18 @@ def _incremental_stoplist(
     tie-break is stable under weak increase.  Restricting the top-K
     scan to that candidate set makes it O(delta + K) instead of
     O(vocab); tombstone/vacuum (decrements — any term can be
-    promoted) keep the full :func:`_recompute_stoplist`."""
-    ts = spark.read.parquet(table_path(out_dir, "term_stats", meta))
+    promoted) keep the full :func:`_recompute_stoplist`.
+
+    ``ts_df`` lets the caller pass the NEW term_stats as an in-memory
+    plan so this top-K runs CONCURRENTLY with (instead of after) that
+    table's write — rows identical by construction."""
+    ts = (
+        ts_df
+        if ts_df is not None
+        else spark.read.parquet(
+            table_path(out_dir, "term_stats", meta)
+        )
+    )
     old = spark.createDataFrame(
         [(t,) for t in old_stoplist], "term string"
     )
@@ -424,9 +435,19 @@ def _incremental_stoplist(
 
 
 def _recompute_stoplist(
-    spark: SparkSession, out_dir: str, meta: dict
+    spark: SparkSession, out_dir: str, meta: dict,
+    ts_df: DataFrame | None = None,
 ) -> dict:
-    ts = spark.read.parquet(table_path(out_dir, "term_stats", meta))
+    """Full top-K over term_stats; ``ts_df`` (an in-memory plan of
+    the same rows) lets it run concurrently with that table's
+    write."""
+    ts = (
+        ts_df
+        if ts_df is not None
+        else spark.read.parquet(
+            table_path(out_dir, "term_stats", meta)
+        )
+    )
     meta["stoplist"] = list(
         compute_stoplist(ts, meta["n_docs"], meta["stoplist_size"])
     )
@@ -839,16 +860,19 @@ def append_pages(
         recompute_includes_delta=False,
     )
 
-    def _ts_then_stoplist() -> None:
-        # term_stats' = old + delta, then the candidate-restricted
-        # stoplist top-K — chained because the stoplist reads the
-        # NEW term_stats table through the pending descriptor
+    def _write_term_stats() -> None:
         merged.write.mode("overwrite").parquet(
             os.path.join(out_dir, ts_rel)
         )
+
+    def _stoplist_task() -> None:
+        # candidate-restricted top-K over the NEW df — fed the
+        # in-memory ``merged`` plan, so it runs CONCURRENTLY with
+        # the term_stats write instead of chaining behind it
         _incremental_stoplist(
             spark, out_dir, pending, delta_ts,
             list(meta.get("stoplist") or []),
+            ts_df=merged,
         )
 
     def _write_site_stats() -> None:
@@ -928,8 +952,8 @@ def append_pages(
     # the append would see the delta as empty.
     from concurrent.futures import ThreadPoolExecutor
 
-    tasks = [_write_delta_segments, _ts_then_stoplist,
-             _write_site_stats]
+    tasks = [_write_delta_segments, _write_term_stats,
+             _stoplist_task, _write_site_stats]
     if bloom_task is not None:
         tasks.append(bloom_task)
     if appended_positions:
@@ -1096,14 +1120,19 @@ def tombstone_urls(
         "site string, d long",
     )
 
-    def _ts_then_stoplist() -> None:
-        # df decrement write, then the full stoplist recompute —
-        # chained because a decrement can promote ANY term, and the
-        # recompute reads the NEW term_stats via the pending paths
+    # the decremented df frame feeds BOTH the table write and the
+    # full stoplist recompute (a decrement can promote any term) —
+    # cached so the dead-docs segment decode underneath runs once,
+    # letting the two consumers run concurrently
+    new_ts = new_ts.cache()
+
+    def _write_term_stats() -> None:
         new_ts.write.mode("overwrite").parquet(
             os.path.join(out_dir, ts_rel)
         )
-        _recompute_stoplist(spark, out_dir, pending)
+
+    def _stoplist_task() -> None:
+        _recompute_stoplist(spark, out_dir, pending, ts_df=new_ts)
 
     def _write_tombstones() -> None:
         new_tomb.write.mode("overwrite").parquet(
@@ -1113,16 +1142,18 @@ def tombstone_urls(
     def _write_site_stats() -> None:
         _merge_site_stats(spark, out_dir, meta, delta_counts, ss_rel)
 
-    # the three generation writes are independent (each reads only
+    # the generation writes are independent (each reads only
     # committed tables + the collected dead rows) → concurrent
-    # driver threads, one barrier instead of three sequential ones
+    # driver threads, one barrier instead of four sequential ones
     from concurrent.futures import ThreadPoolExecutor
 
-    tasks = [_ts_then_stoplist, _write_tombstones, _write_site_stats]
+    tasks = [_write_term_stats, _stoplist_task, _write_tombstones,
+             _write_site_stats]
     with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
         futs = [pool.submit(t) for t in tasks]
         for f in futs:
             f.result()
+    new_ts.unpersist()
     meta["n_docs"] = pending["n_docs"]
     meta["sum_len"] = pending["sum_len"]
     meta["avg_len"] = pending["avg_len"]
