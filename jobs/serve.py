@@ -1,0 +1,264 @@
+"""Interactive HTTP serving of a persisted index — NO Spark.
+
+The reference is a web service: ``GET /api/search`` and
+``GET /api/statistics`` (controllers/ApiController.java:42-89,
+dto/SearchResponse.java, dto/statistics/*).  This job serves the
+same endpoints over the driver-local scorer
+(plans/local_serve.LocalIndex — pyarrow + numpy, ~10-45 ms p50), so
+a user switching from the reference gets an actual interactive
+endpoint, not just a batch CLI:
+
+    python jobs/serve.py --index /data/index [--pages corpus.parquet]
+        [--host 127.0.0.1] [--port 8080]
+
+    GET /api/search?query=...&site=https://host&offset=0&limit=20
+        → {result, count, data: [{site, siteName, uri, title,
+           snippet, relevance}]}  (SnippetItem shape; snippet text
+           requires --pages with (url, text, lang); title requires
+           an html-built index)
+    GET /api/statistics
+        → {result, statistics: {total: {sites, pages, lemmas,
+           indexing}, detailed: [{url, name, status, statusTime,
+           pages}]}}
+    POST /api/indexPage → 501 (indexing is a Spark job:
+        jobs/maintain_index.py append/reindex — the serving process
+        stays Spark-free by design)
+
+Freshness: the committed generation is re-checked per request via
+the descriptor's ``gen`` (stats.json is tiny); a maintenance commit
+swaps in a fresh LocalIndex — the same object-lifetime invalidation
+the memos rely on.  stdlib ThreadingHTTPServer; each LocalIndex is
+effectively read-only after warm-up, and the GIL-guarded memo dicts
+are safe for concurrent readers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+class _Server(ThreadingHTTPServer):
+    daemon_threads = True
+
+    def __init__(self, addr, handler, index_dir, pages_path):
+        super().__init__(addr, handler)
+        self.index_dir = index_dir
+        self.pages_path = pages_path
+        self.lidx = None
+        self._pages_ds = None
+
+    def index(self):
+        from search_engine_spark.plans.local_serve import (
+            open_local_index,
+        )
+
+        # freshness probe = one tiny stats.json read (LocalIndex init
+        # is lazy); the warm object with its memos is kept while the
+        # committed generation is unchanged
+        cur = self.lidx
+        probe = open_local_index(self.index_dir)
+        if cur is None or probe.gen != cur.gen:
+            self.lidx = probe
+            return probe
+        return cur
+
+    def pages_dataset(self):
+        if self.pages_path and self._pages_ds is None:
+            import pyarrow.dataset as ds
+
+            self._pages_ds = ds.dataset(self.pages_path)
+        return self._pages_ds
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload, ensure_ascii=False).encode("utf-8")
+        self.send_response(code)
+        self.send_header(
+            "Content-Type", "application/json; charset=utf-8"
+        )
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self):
+        if urlparse(self.path).path == "/api/indexPage":
+            self._json(
+                501,
+                {
+                    "result": False,
+                    "error": "indexing is a Spark job: "
+                             "jobs/maintain_index.py append/reindex",
+                },
+            )
+        else:
+            self._json(404, {"result": False, "error": "not found"})
+
+    def do_GET(self):
+        parsed = urlparse(self.path)
+        if parsed.path == "/api/search":
+            self._search(parse_qs(parsed.query))
+        elif parsed.path == "/api/statistics":
+            self._statistics()
+        else:
+            self._json(404, {"result": False, "error": "not found"})
+
+    # -- endpoints ---------------------------------------------------
+
+    def _search(self, qs: dict) -> None:
+        query = (qs.get("query") or [""])[0].strip()
+        if not query:
+            # ApiController rejects empty queries with result=false
+            self._json(
+                400, {"result": False, "error": "empty search query"}
+            )
+            return
+        try:
+            offset = int((qs.get("offset") or ["0"])[0])
+            limit = int((qs.get("limit") or ["20"])[0])
+            if offset < 0 or limit < 0:
+                raise ValueError
+        except ValueError:
+            self._json(
+                400,
+                {"result": False,
+                 "error": "offset/limit must be >= 0"},
+            )
+            return
+        site_param = (qs.get("site") or [None])[0]
+        sites = None
+        if site_param:
+            # the reference passes the site ROOT url; our site column
+            # is the host
+            host = urlparse(site_param).netloc or site_param
+            sites = [host]
+
+        from search_engine_spark.plans.search import analyze_query
+        from search_engine_spark.plans.snippets import (
+            make_snippet_py,
+            search_response,
+        )
+
+        lidx = self.server.index()
+        out, total = lidx.search(
+            query, sites=sites, offset=offset, limit=limit,
+            with_total=True, include_title=True,
+        )
+        rows = out.to_dict("records")
+
+        pages = self.server.pages_dataset()
+        if pages is not None and rows:
+            import pyarrow.compute as pc
+
+            terms = [
+                t
+                for t in analyze_query(query, analyzer=lidx.analyzer)
+                if t not in set(lidx.stoplist)
+            ]
+            idf = lidx.query_idf(terms, sites)
+            urls = [r[lidx.id_col] for r in rows]
+            tbl = pages.to_table(
+                filter=pc.field(lidx.id_col).isin(urls),
+                columns=[lidx.id_col, "text", "lang"],
+            ).to_pandas()
+            texts = {
+                u: (t, lg)
+                for u, t, lg in zip(
+                    tbl[lidx.id_col], tbl["text"], tbl["lang"]
+                )
+            }
+            for r in rows:
+                t, lg = texts.get(r[lidx.id_col], ("", "english"))
+                r["snippet"] = make_snippet_py(
+                    t or "", lg or "english", idf
+                )
+        self._json(
+            200, search_response(rows, total, id_col=lidx.id_col)
+        )
+
+    def _statistics(self) -> None:
+        import time as _time
+
+        import pyarrow.dataset as ds
+
+        lidx = self.server.index()
+        sites_tbl = ds.dataset(
+            lidx._table_dir("site_stats"), filesystem=lidx._fs
+        ).to_table().to_pandas()
+        n_lemmas = (
+            ds.dataset(
+                lidx._table_dir("term_stats"), filesystem=lidx._fs
+            ).count_rows()
+        )
+        now_ms = int(_time.time() * 1000)
+        detailed = [
+            {
+                "url": f"https://{r.site}",
+                "name": r.site,
+                "status": "INDEXED",
+                "statusTime": now_ms,
+                "pages": int(r.pages),
+            }
+            for r in sites_tbl.itertuples(index=False)
+        ]
+        self._json(
+            200,
+            {
+                "result": True,
+                "statistics": {
+                    "total": {
+                        "sites": int(len(sites_tbl)),
+                        "pages": int(lidx.n_docs),
+                        "lemmas": int(n_lemmas),
+                        "indexing": False,
+                    },
+                    "detailed": detailed,
+                },
+            },
+        )
+
+
+def make_server(
+    index_dir: str,
+    pages: str | None = None,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+) -> _Server:
+    return _Server((host, port), _Handler, index_dir, pages)
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--pages", default=None,
+                    help="corpus parquet (url, text, lang) for real "
+                         "snippets; omit for snippet-less results")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args(argv)
+    srv = make_server(args.index, args.pages, args.host, args.port)
+    print(
+        json.dumps(
+            {
+                "serving": f"http://{args.host}:{args.port}/api/search",
+                "index": args.index,
+                "gen": srv.index().gen,
+            }
+        ),
+        flush=True,
+    )
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

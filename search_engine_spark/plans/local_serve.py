@@ -339,23 +339,27 @@ class LocalIndex:
                 out[t] = self._post_memo[t]
         return out
 
-    def _resolve_docs(self, doc_ids: np.ndarray) -> pd.DataFrame:
-        """(doc_id, <id_col>, site) for the given ids — filtered
-        parquet read; the docs table's row groups carry tight doc_id
-        min/max ranges (one id segment per write partition), so the
-        IN-list predicate prunes to the few row groups that can
-        match."""
+    def _resolve_docs(
+        self, doc_ids: np.ndarray, with_title: bool = False
+    ) -> pd.DataFrame:
+        """(doc_id, <id_col>, site[, title]) for the given ids —
+        filtered parquet read; the docs table's row groups carry
+        tight doc_id min/max ranges (one id segment per write
+        partition), so the IN-list predicate prunes to the few row
+        groups that can match."""
         import pyarrow.compute as pc
 
+        ds_docs = self._docs_dataset()
+        cols = ["doc_id", self.id_col, "site"]
+        if with_title and "title" in ds_docs.schema.names:
+            cols.append("title")
         if doc_ids.size == 0:
-            return pd.DataFrame(
-                columns=["doc_id", self.id_col, "site"]
-            )
-        tbl = self._docs_dataset().to_table(
+            return pd.DataFrame(columns=cols)
+        tbl = ds_docs.to_table(
             filter=pc.field("doc_id").isin(
                 doc_ids.astype(np.int64).tolist()
             ),
-            columns=["doc_id", self.id_col, "site"],
+            columns=cols,
         )
         return tbl.to_pandas()
 
@@ -370,10 +374,18 @@ class LocalIndex:
         lang: str = "english",
         analyzer: str | None = None,
         use_stoplist: bool = True,
+        with_total: bool = False,
+        include_title: bool = False,
     ) -> pd.DataFrame:
         """Top-(offset..offset+limit) BM25 — ``(<id_col>, site,
         score, rn)`` with the same rows and ranks as
-        plans.wand.search_compact on the same generation."""
+        plans.wand.search_compact on the same generation.
+
+        ``with_total=True`` returns ``(frame, total)`` where total is
+        the full candidate-result count (the reference
+        SearchResponse's ``count``).  ``include_title=True`` adds a
+        ``title`` column when the docs table carries one (html-built
+        indexes)."""
         analyzer = analyzer or self.analyzer
         terms = analyze_query(query, lang, analyzer)
         if use_stoplist:
@@ -390,7 +402,7 @@ class LocalIndex:
             }
         )
         if not terms:
-            return empty
+            return (empty, 0) if with_total else empty
 
         rarest = sorted(terms, key=lambda t: (-idf[t], t))[0]
         k = offset + limit
@@ -406,7 +418,7 @@ class LocalIndex:
             pos[pos == tomb.size] = 0
             cand = cand[tomb[pos] != cand]
         if cand.size == 0:
-            return empty
+            return (empty, 0) if with_total else empty
         cand = np.sort(cand)
 
         site_of: pd.DataFrame | None = None
@@ -417,7 +429,7 @@ class LocalIndex:
             site_of = site_of[site_of["site"].isin(sites)]
             cand = np.sort(site_of["doc_id"].to_numpy(np.int64))
             if cand.size == 0:
-                return empty
+                return (empty, 0) if with_total else empty
 
         # score: Σ_t idf_t · u_t over the terms each candidate has,
         # accumulated in ascending-term order (deterministic)
@@ -439,28 +451,33 @@ class LocalIndex:
         pool_ids = cand[pool_mask]
         pool_scores = scores[pool_mask]
 
-        if site_of is not None:
+        if site_of is not None and not include_title:
             docs = site_of[site_of["doc_id"].isin(pool_ids)]
         else:
-            docs = self._resolve_docs(pool_ids)
+            docs = self._resolve_docs(
+                pool_ids, with_title=include_title
+            )
         docs = docs.set_index("doc_id")
-        order = pd.DataFrame(
-            {
-                "doc_id": pool_ids,
-                "score": pool_scores,
-                self.id_col: docs.loc[pool_ids, self.id_col].to_numpy(),
-                "site": docs.loc[pool_ids, "site"].to_numpy(),
-            }
-        ).sort_values(
+        cols = {
+            "doc_id": pool_ids,
+            "score": pool_scores,
+            self.id_col: docs.loc[pool_ids, self.id_col].to_numpy(),
+            "site": docs.loc[pool_ids, "site"].to_numpy(),
+        }
+        if include_title and "title" in docs.columns:
+            cols["title"] = docs.loc[pool_ids, "title"].to_numpy()
+        order = pd.DataFrame(cols).sort_values(
             ["score", self.id_col], ascending=[False, True],
             kind="mergesort",
         )
         top = order.head(k).reset_index(drop=True)
         top["rn"] = np.arange(1, len(top) + 1, dtype=np.int64)
         top = top[top["rn"] > offset]
-        return top[[self.id_col, "site", "score", "rn"]].reset_index(
-            drop=True
-        )
+        keep = [self.id_col, "site", "score", "rn"]
+        if "title" in top.columns:
+            keep.append("title")
+        out = top[keep].reset_index(drop=True)
+        return (out, int(cand.size)) if with_total else out
 
 
 def open_local_index(out_dir: str, gen: int | None = None) -> LocalIndex:
