@@ -72,6 +72,11 @@ TUNING_GRID = [(1.5, 0.75), (1.2, 0.75), (0.9, 0.4), (2.0, 0.9)]
 TAILY_QUERY = "dup"
 TAILY_MULTI_QUERY = "dup fast"
 TAILY_SC = 0.15
+# full-Gamma Taily contract: n_c=2 < f_all on both parity shards, so
+# the fractional-shape fit AND the global-cutoff bisection genuinely
+# fire (k_all ~ 0.26, s_c ~ 0.318 at sf0.01) instead of the n_c>=f_all
+# short-circuit; both shards stay live (est 1.685 / 0.217)
+TAILY_NC = 2
 # percolator (reverse search) registered query set: rare + common
 # terms, an absent-term query and an all-stoplist query (both must
 # match nothing), exercising R13 rarest-membership per query
@@ -2848,6 +2853,152 @@ FROM shards s LEFT JOIN est e USING (shard)
 """
 
 
+def _taily_gamma_p_series(k: str, x: str) -> str:
+    """Regularized lower incomplete gamma P(k, x) as a DuckDB
+    expression: P = e^{-x} Σ_{n≥0} x^{k+n}/Γ(k+n+1) — the exact
+    series plans/federate._gammp sums (and whose continued-fraction
+    branch equals to ~1e-15); truncated at 1200 terms, converged to
+    full double precision for x ≲ 1e3 (the contract's x is O(1))."""
+    return (
+        f"list_sum(list_transform(range(1200), n -> "
+        f"exp(-({x}) + (({k}) + n) * ln({x}) "
+        f"- lgamma(({k}) + n + 1.0))))"
+    )
+
+
+def _taily_gamma_sf(k: str, th: str, s: str) -> str:
+    """Gamma(shape k, scale th) survival P(X > s) — mirrors
+    plans/federate._gamma_sf incl. the s<=0 short-circuit."""
+    ps = _taily_gamma_p_series(k, f"({s}) / ({th})")
+    return f"(CASE WHEN ({s}) <= 0 THEN 1.0 ELSE 1.0 - {ps} END)"
+
+
+def _taily_gamma_sql(terms: list[str], n_c: int) -> str:
+    """DuckDB mirror of the FULL plans/federate.taily_shard_scores
+    broker (fractional Gamma shape + bisected global cutoff) over the
+    doc_id-parity shard split.
+
+    Same per-shard moment CTEs as :func:`_taily_erlang_sql`, then:
+    the moment-merged all-shards Gamma (f_all, E_all, Var_all →
+    k_all = E²/V, θ_all = V/E), the cutoff s_c solving
+    f_all·SF(s_c) = n_c replayed as a recursive CTE running the
+    engine's exact algorithm (hi-doubling while SF(hi) > p capped at
+    1e12, then ≤200 bisection steps with the 1e-12·max(1,hi)
+    early-stop — plans/federate._gamma_isf), and per-shard
+    est = f_i·SF_i(s_c) with v clamped to ≥1e-12.  The incomplete
+    gamma is the exact power series (SQL-expressible after all —
+    this entry carried the contract's only ``no_oracle`` row for
+    four rounds)."""
+    ts = sorted(set(terms))
+    term_list = ", ".join(f"'{t}'" for t in ts)
+    nq = len(ts)
+    sf_all_hi = _taily_gamma_sf("k_all", "th_all", "hi")
+    sf_all_mid = _taily_gamma_sf("k_all", "th_all", "(lo + hi) / 2")
+    sf_shard = _taily_gamma_sf(
+        "(l.e * l.e / l.v)", "(l.v / l.e)", "c.s_c"
+    )
+    return f"""
+WITH RECURSIVE {_TOKS}, {_LENS},
+sh_postings AS (
+  SELECT doc_id % 2 AS shard, term, doc_id, count(*) AS tf
+  FROM toks WHERE term IN ({term_list}) GROUP BY 1, 2, 3),
+sh_stat AS (
+  SELECT doc_id % 2 AS shard, count(*) AS n_docs,
+         CAST(sum(doc_len) AS DOUBLE) / count(*) AS avg_len
+  FROM lens GROUP BY 1),
+sh_df AS (
+  SELECT shard, term, count(*) AS df
+  FROM sh_postings GROUP BY 1, 2),
+scored AS (
+  SELECT p.shard, p.term,
+         ln((ss.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * ((p.tf::DOUBLE / l.doc_len) * ({K1} + 1)
+              / ((p.tf::DOUBLE / l.doc_len)
+                 + {K1} * (1 - {B} + {B} * l.doc_len / ss.avg_len)))
+           AS s
+  FROM sh_postings p
+  JOIN sh_df d ON d.shard = p.shard AND d.term = p.term
+  JOIN lens l ON l.doc_id = p.doc_id
+  JOIN sh_stat ss ON ss.shard = p.shard),
+tmom AS (
+  SELECT shard, term, count(*) AS n,
+         sum(s) AS s1, sum(s * s) AS s2
+  FROM scored GROUP BY 1, 2),
+fit AS (
+  SELECT t.shard,
+         count(*) AS n_terms,
+         exp(sum(ln(CAST(t.n AS DOUBLE))))
+           * pow(CAST(max(ss.n_docs) AS DOUBLE), 1 - {nq}) AS f,
+         sum(t.s1 / t.n) AS e,
+         sum(greatest(
+           t.s2 / t.n - (t.s1 / t.n) * (t.s1 / t.n), 0.0)) AS v_raw
+  FROM tmom t JOIN sh_stat ss USING (shard)
+  GROUP BY t.shard),
+live AS (
+  SELECT shard, f, e, v_raw, greatest(v_raw, 1e-12) AS v
+  FROM fit WHERE n_terms = {nq} AND f > 0 AND e > 0),
+gpar AS (
+  SELECT f_all, e_all,
+         e_all * e_all / var_all AS k_all,
+         var_all / e_all AS th_all
+  FROM (
+    SELECT f_all, e_all,
+           greatest(m2_all - e_all * e_all, 1e-12) AS var_all
+    FROM (
+      SELECT sum(f) AS f_all,
+             sum(f * e) / sum(f) AS e_all,
+             sum(f * (v_raw + e * e)) / sum(f) AS m2_all
+      FROM live))),
+bis AS (
+  SELECT 0 AS step, 'grow' AS ph,
+         CAST(0.0 AS DOUBLE) AS lo,
+         CAST(CASE WHEN greatest(k_all * th_all, th_all) = 0
+              THEN 1.0 ELSE greatest(k_all * th_all, th_all) END
+              AS DOUBLE) AS hi,
+         0 AS it,
+         k_all, th_all, CAST({n_c} AS DOUBLE) / f_all AS p
+  FROM gpar WHERE {n_c} < f_all
+  UNION ALL
+  SELECT step + 1,
+         CASE WHEN ph = 'grow' THEN
+           CASE WHEN {sf_all_hi} > p AND hi * 2 <= 1e12
+                THEN 'grow' ELSE 'bis' END
+         ELSE
+           CASE WHEN it + 1 >= 200
+                     OR (CASE WHEN {sf_all_mid} > p
+                         THEN hi ELSE (lo + hi) / 2 END)
+                      - (CASE WHEN {sf_all_mid} > p
+                         THEN (lo + hi) / 2 ELSE lo END)
+                      <= 1e-12 * greatest(1.0,
+                        CASE WHEN {sf_all_mid} > p
+                        THEN hi ELSE (lo + hi) / 2 END)
+                THEN 'done' ELSE 'bis' END
+         END,
+         CASE WHEN ph = 'grow' THEN lo
+              WHEN {sf_all_mid} > p
+              THEN (lo + hi) / 2 ELSE lo END,
+         CASE WHEN ph = 'grow' THEN
+           CASE WHEN {sf_all_hi} > p THEN hi * 2 ELSE hi END
+              WHEN {sf_all_mid} > p
+              THEN hi ELSE (lo + hi) / 2 END,
+         CASE WHEN ph = 'grow' THEN it ELSE it + 1 END,
+         k_all, th_all, p
+  FROM bis WHERE ph IN ('grow', 'bis')),
+cutoff AS (
+  SELECT CASE
+    WHEN NOT EXISTS (SELECT 1 FROM gpar WHERE {n_c} < f_all) THEN 0.0
+    ELSE (SELECT (lo + hi) / 2 FROM bis ORDER BY step DESC LIMIT 1)
+  END AS s_c),
+est AS (
+  SELECT l.shard, l.f * {sf_shard} AS est_docs
+  FROM live l CROSS JOIN cutoff c),
+shards AS (SELECT DISTINCT doc_id % 2 AS shard FROM documents)
+SELECT CAST(s.shard AS INTEGER) AS shard,
+       round(coalesce(e.est_docs, 0.0), 6) AS est_docs
+FROM shards s LEFT JOIN est e USING (shard)
+"""
+
+
 def _kneser_ney_sql(d: float = 0.75) -> str:
     """DuckDB mirror of operators/curation.kneser_ney_logprob:
     interpolated KN with fixed discount — max(c2−D,0)/c1 +
@@ -3551,14 +3702,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Taily resource selection (plans/federate.taily_shard_scores,
         Aly et al. 2013) over the two parity-split shards — Gamma
         moment-matched estimate of each shard's top-n_c contribution.
-        Rows-only: the fractional-shape incomplete gamma has no SQL
-        counterpart; the Erlang twin below is the hash-checked form
-        and pytest pins the continued fraction against closed forms."""
+        n_c=2 < f_all, so the FULL path runs: fractional-shape fit,
+        moment-merged all-shards Gamma, and the bisected global
+        cutoff.  Hash-checked since r05: the oracle replays the
+        incomplete-gamma power series and the engine's exact
+        bisection as a recursive CTE (_taily_gamma_sql); the Erlang
+        twin below stays as the closed-form cross-check."""
         from search_engine_spark.plans.federate import taily_shard_scores
 
         stats = _taily_parity_stats(spark, sf)
         scores = taily_shard_scores(
-            stats, FLAGSHIP_QUERY, n_c=50, analyzer="tokens"
+            stats, TAILY_MULTI_QUERY, n_c=TAILY_NC, analyzer="tokens"
         )
         return spark.createDataFrame(
             [(int(i), round(float(s), 6)) for i, s in scores],
@@ -7184,6 +7338,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_federated_topk": _bm25_sql(FLAGSHIP_TERMS, limit=10),
         "cori_shard_scores": _cori_sql(FLAGSHIP_TERMS),
         "redde_shard_scores": _redde_sql(FLAGSHIP_TERMS, n_csi=20),
+        "taily_shard_scores": _taily_gamma_sql(
+            TAILY_MULTI_QUERY.split(), TAILY_NC
+        ),
         "taily_shard_scores_erlang": _taily_erlang_sql(
             TAILY_QUERY.split(), TAILY_SC
         ),

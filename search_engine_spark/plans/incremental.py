@@ -514,9 +514,22 @@ def _append_manifest_rows(
             },
             schema=schema,
         )
-        path = root + f"/part-{uuid.uuid4().hex}-drv.parquet"
-        with fs.open_output_stream(path) as sink:
-            pq.write_table(table, sink)
+        # write under a non-parquet temp name and rename into place:
+        # a mid-stream failure must not leave a truncated
+        # part-*.parquet that both corrupts manifest readers AND gets
+        # duplicated by the Spark fallback below (ADVICE r04)
+        name = f"part-{uuid.uuid4().hex}-drv.parquet"
+        tmp = root + f"/.{name}.tmp"
+        try:
+            with fs.open_output_stream(tmp) as sink:
+                pq.write_table(table, sink)
+            fs.move(tmp, root + f"/{name}")
+        except Exception:
+            try:
+                fs.delete_file(tmp)
+            except Exception:
+                pass
+            raise
     except Exception:
         spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode(
             "append"

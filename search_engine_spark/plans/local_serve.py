@@ -54,9 +54,17 @@ from search_engine_spark.operators.compact import bucket_of
 from search_engine_spark.plans.search import analyze_query
 
 # per-index memo caps (serving processes are long-lived; a crawl-wide
-# vocabulary must not accumulate without bound)
+# vocabulary must not accumulate without bound).  Eviction is LRU and
+# the CURRENT call's keys are refreshed to the back and exempted, so a
+# key can never be evicted by the very call that is about to use it.
 _DF_MEMO_CAP = 262_144
 _POSTINGS_MEMO_CAP_ROWS = 4_000_000
+_SITE_N_MEMO_CAP = 1_024
+_DOC_MEMO_CAP = 262_144
+# batches larger than this bypass the doc memo entirely (the
+# site-restriction candidate resolve can be corpus-sized; churning
+# the hot-result memo through it would evict everything useful)
+_DOC_MEMO_MAX_BATCH = 4_096
 
 
 def _fs_path(out_dir: str):
@@ -118,7 +126,8 @@ class LocalIndex:
         self._docs_ds = None
         self._ts_ds = None
         self._tombstones = None
-        self._site_n_memo: dict[frozenset, int] = {}
+        self._site_n_memo: OrderedDict[frozenset, int] = OrderedDict()
+        self._doc_memo: OrderedDict[int, tuple | None] = OrderedDict()
 
     # -- table access -------------------------------------------------
 
@@ -164,10 +173,19 @@ class LocalIndex:
             )
         for ep in epochs or []:
             dirs.append(os.path.join(deltas, ep))
+        gone = [d for d in dirs if not self._dir_exists(d)]
+        if gone:
+            # descriptor-listed segments must exist; silently skipping
+            # them would serve partial results from an expired
+            # time-travel generation (the Spark path fails loudly with
+            # SnapshotExpiredError — match it)
+            raise LocalSnapshotError(
+                f"segment dir(s) missing for generation {self.gen}: "
+                f"{sorted(os.path.relpath(d, self._root) for d in gone)}"
+            )
         self._datasets = [
             ds.dataset(d, filesystem=self._fs, partitioning="hive")
             for d in dirs
-            if self._dir_exists(d)
         ]
         return self._datasets
 
@@ -228,29 +246,39 @@ class LocalIndex:
             )
             for t in missing:
                 self._df_memo[t] = found.get(t, 0)
-            while len(self._df_memo) > _DF_MEMO_CAP:
-                self._df_memo.popitem(last=False)
-        out = {}
+        # refresh the current terms FIRST, then evict only beyond
+        # them — eviction can never take a term this call returns
         for t in terms:
             self._df_memo.move_to_end(t)
-            out[t] = self._df_memo[t]
-        return out
+        floor = len(set(terms))
+        while (
+            len(self._df_memo) > _DF_MEMO_CAP
+            and len(self._df_memo) > floor
+        ):
+            self._df_memo.popitem(last=False)
+        return {t: self._df_memo[t] for t in terms}
 
     def _site_n(self, sites: list[str]) -> int:
         """N restricted to ``sites`` (sum of site_stats pages) — the
         reference's local-N quirk (SearchServiceImpl.java:244-255)."""
         key = frozenset(sites)
-        if key not in self._site_n_memo:
-            import pyarrow.compute as pc
-            import pyarrow.dataset as ds
+        if key in self._site_n_memo:
+            self._site_n_memo.move_to_end(key)
+            return self._site_n_memo[key]
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds
 
-            tbl = ds.dataset(
-                self._table_dir("site_stats"), filesystem=self._fs
-            ).to_table(filter=pc.field("site").isin(sites))
-            self._site_n_memo[key] = int(
-                sum(tbl.column("pages").to_pylist())
-            )
-        return self._site_n_memo[key]
+        tbl = ds.dataset(
+            self._table_dir("site_stats"), filesystem=self._fs
+        ).to_table(filter=pc.field("site").isin(sites))
+        n = int(sum(tbl.column("pages").to_pylist()))
+        # the key comes straight from the HTTP query string — a small
+        # LRU cap keeps a hostile/diverse client from growing the
+        # long-lived server's memory without bound
+        self._site_n_memo[key] = n
+        while len(self._site_n_memo) > _SITE_N_MEMO_CAP:
+            self._site_n_memo.popitem(last=False)
+        return n
 
     def query_idf(
         self, terms: list[str], sites: list[str] | None = None
@@ -326,18 +354,21 @@ class LocalIndex:
                     entry = (ids, tfs, dls)
                 self._post_memo[t] = entry
                 self._post_memo_rows += int(entry[0].size)
-            while (
-                self._post_memo_rows > _POSTINGS_MEMO_CAP_ROWS
-                and len(self._post_memo) > len(terms)
-            ):
-                _, old = self._post_memo.popitem(last=False)
-                self._post_memo_rows -= int(old[0].size)
-        out = {}
-        for t in terms:
-            if t in self._post_memo:
-                self._post_memo.move_to_end(t)
-                out[t] = self._post_memo[t]
-        return out
+        # refresh ALL current-query terms to the back BEFORE evicting:
+        # the old order (evict first, refresh after) could evict a
+        # term memoized by an earlier query that THIS call is about to
+        # return, crashing search() mid-query (ADVICE r04, high)
+        current = [t for t in terms if t in self._post_memo]
+        for t in current:
+            self._post_memo.move_to_end(t)
+        floor = len(set(current))
+        while (
+            self._post_memo_rows > _POSTINGS_MEMO_CAP_ROWS
+            and len(self._post_memo) > floor
+        ):
+            _, old = self._post_memo.popitem(last=False)
+            self._post_memo_rows -= int(old[0].size)
+        return {t: self._post_memo[t] for t in current}
 
     def _resolve_docs(
         self, doc_ids: np.ndarray, with_title: bool = False
@@ -346,22 +377,76 @@ class LocalIndex:
         filtered parquet read; the docs table's row groups carry
         tight doc_id min/max ranges (one id segment per write
         partition), so the IN-list predicate prunes to the few row
-        groups that can match."""
+        groups that can match.
+
+        Small batches (the top-k result pool) go through a per-index
+        LRU memo of doc_id → (id, site, title) so hot result sets
+        skip the parquet read entirely; absent ids are negative-cached
+        as ``None``.  Corpus-sized batches (the site-restriction
+        candidate resolve) bypass the memo — churning the hot-result
+        cache through them would evict everything useful.  The memo
+        needs no invalidation: a LocalIndex is one committed
+        generation, and maintenance hands back fresh objects."""
         import pyarrow.compute as pc
 
         ds_docs = self._docs_dataset()
-        cols = ["doc_id", self.id_col, "site"]
-        if with_title and "title" in ds_docs.schema.names:
-            cols.append("title")
-        if doc_ids.size == 0:
-            return pd.DataFrame(columns=cols)
-        tbl = ds_docs.to_table(
-            filter=pc.field("doc_id").isin(
-                doc_ids.astype(np.int64).tolist()
-            ),
-            columns=cols,
+        has_title = "title" in ds_docs.schema.names
+        read_cols = ["doc_id", self.id_col, "site"] + (
+            ["title"] if has_title else []
         )
-        return tbl.to_pandas()
+        out_cols = ["doc_id", self.id_col, "site"] + (
+            ["title"] if (with_title and has_title) else []
+        )
+        if doc_ids.size == 0:
+            return pd.DataFrame(columns=out_cols)
+        ids64 = doc_ids.astype(np.int64)
+        if ids64.size > _DOC_MEMO_MAX_BATCH:
+            tbl = ds_docs.to_table(
+                filter=pc.field("doc_id").isin(ids64.tolist()),
+                columns=out_cols,
+            )
+            return tbl.to_pandas()
+
+        ids = [int(i) for i in np.unique(ids64)]
+        missing = [i for i in ids if i not in self._doc_memo]
+        if missing:
+            tbl = ds_docs.to_table(
+                filter=pc.field("doc_id").isin(missing),
+                columns=read_cols,
+            )
+            titles = (
+                tbl.column("title").to_pylist()
+                if has_title
+                else [None] * tbl.num_rows
+            )
+            found = {
+                int(d): (v, s, ti)
+                for d, v, s, ti in zip(
+                    tbl.column("doc_id").to_pylist(),
+                    tbl.column(self.id_col).to_pylist(),
+                    tbl.column("site").to_pylist(),
+                    titles,
+                )
+            }
+            for i in missing:
+                self._doc_memo[i] = found.get(i)
+        # refresh current ids first; evict only beyond them
+        for i in ids:
+            self._doc_memo.move_to_end(i)
+        while (
+            len(self._doc_memo) > _DOC_MEMO_CAP
+            and len(self._doc_memo) > len(ids)
+        ):
+            self._doc_memo.popitem(last=False)
+        rows = [
+            (i, *self._doc_memo[i])
+            for i in ids
+            if self._doc_memo[i] is not None
+        ]
+        df = pd.DataFrame(
+            rows, columns=["doc_id", self.id_col, "site", "title"]
+        )
+        return df[out_cols]
 
     # -- search -------------------------------------------------------
 

@@ -93,11 +93,13 @@ def query_term_idf(
             for t in missing:
                 # 0 = definitely absent from the dictionary
                 memo[t] = found.get(t, 0)
-            # bound the memo for long-lived serving processes
-            # (insertion-order eviction, like wand._memo_evict)
+            # bound the memo for long-lived serving processes;
+            # the current query's terms are refreshed and exempt from
+            # eviction so a term can never be silently dropped from
+            # scoring by the very call that inserted it
             from search_engine_spark.plans.wand import _memo_evict
 
-            _memo_evict(memo)
+            _memo_evict(memo, keep=terms)
     lookup = memo if memo is not None else found
     out = {}
     for t in terms:

@@ -41,12 +41,20 @@ _EPS = 1e-9
 # Per-index-object memo entry cap: a long-lived serving process
 # cycling through a crawl-wide vocabulary must not grow the df/block
 # metadata memos without bound (same rationale as the lemmatizer's
-# _LEMMA_MEMO_CAP).  Eviction is insertion-order (oldest first).
+# _LEMMA_MEMO_CAP).  Eviction is insertion-order (oldest first), but
+# the CURRENT query's keys are refreshed to the back and exempted —
+# otherwise a hot key inserted early could be evicted during the very
+# call that needs it, silently dropping it from scoring.
 _MEMO_CAP = 262_144
 
 
-def _memo_evict(memo: dict) -> None:
-    while len(memo) > _MEMO_CAP:
+def _memo_evict(memo: dict, keep=()) -> None:
+    """Bound ``memo``, never evicting a key in ``keep``."""
+    present = [k for k in keep if k in memo]
+    for k in present:
+        memo[k] = memo.pop(k)
+    floor = len(set(present))
+    while len(memo) > _MEMO_CAP and len(memo) > floor:
         memo.pop(next(iter(memo)))
 
 
@@ -89,7 +97,7 @@ def _block_meta(cidx: CompactIndex, term: str) -> list:
     )
     if memo is not None:
         memo[term] = rows
-        _memo_evict(memo)
+        _memo_evict(memo, keep=(term,))
     return rows
 
 
@@ -112,7 +120,7 @@ def _term_bounds(cidx: CompactIndex, terms: list[str]) -> dict:
         found = {r["term"]: (r["mx"], r["mn"]) for r in rows}
         if memo is not None:
             memo.update(found)
-            _memo_evict(memo)
+            _memo_evict(memo, keep=terms)
     src = memo if memo is not None else found
     return {t: src[t] for t in terms if t in src}
 
