@@ -55,15 +55,31 @@ class _Server(ThreadingHTTPServer):
         self._pages_ds = None
 
     def index(self):
+        import time
+
         from search_engine_spark.plans.local_serve import (
             open_local_index,
         )
 
         # freshness probe = one tiny stats.json read (LocalIndex init
         # is lazy); the warm object with its memos is kept while the
-        # committed generation is unchanged
+        # committed generation is unchanged.  A FileNotFoundError is
+        # a commit-window read on stores whose descriptor swap is
+        # delete+rename rather than atomic: retry briefly, and if the
+        # window outlasts the retries keep serving the warm
+        # generation (stale-but-consistent beats a 500).
         cur = self.lidx
-        probe = open_local_index(self.index_dir)
+        probe = None
+        for attempt in range(5):
+            try:
+                probe = open_local_index(self.index_dir)
+                break
+            except FileNotFoundError:
+                if attempt == 4 and cur is None:
+                    raise
+                time.sleep(0.01 * (attempt + 1))
+        if probe is None:
+            return cur
         if cur is None or probe.gen != cur.gen:
             self.lidx = probe
             return probe

@@ -26,6 +26,8 @@ Iceberg-catalog commits are the upgrade path for that, not driver
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 
@@ -121,13 +123,38 @@ def rename_overwrite(
 ) -> None:
     """Atomically replace ``dst`` with ``src`` (both files).
 
-    Uses ``FileContext.rename(..., Options.Rename.OVERWRITE)`` — the
+    Local paths use POSIX ``os.replace`` — genuinely atomic (Hadoop's
+    local FileContext rename is delete-then-rename under the hood, so
+    a concurrent reader could observe a missing file: observed live
+    by the HTTP-serving concurrency test).  Remote stores use
+    ``FileContext.rename(..., Options.Rename.OVERWRITE)`` — the
     HDFS-atomic overwrite primitive (what Iceberg's HadoopCatalog
-    uses for its version-hint commit).  Falls back to delete+rename
+    uses for its version-hint commit) — falling back to delete+rename
     on FileSystems without a FileContext implementation; on such
     stores the window is a missing-file read (a clean retryable
-    failure), never a partial file, because ``src`` is always fully
-    written before the call."""
+    failure — readers like jobs/serve.py retry and keep their warm
+    generation), never a partial file, because ``src`` is always
+    fully written before the call."""
+    if "://" not in src and "://" not in dst:
+        # Hadoop's LocalFileSystem keeps .name.crc checksum sidecars
+        # next to files it wrote; swapping the data behind its back
+        # with a stale sidecar left in place makes every later Hadoop
+        # read fail with ChecksumException.  Order matters: drop the
+        # stale dst sidecar FIRST (readers tolerate a missing
+        # sidecar, never a mismatched one), swap the data atomically,
+        # then install the matching sidecar.
+        sdir, sname = os.path.split(src)
+        ddir, dname = os.path.split(dst)
+        src_crc = os.path.join(sdir, f".{sname}.crc")
+        dst_crc = os.path.join(ddir, f".{dname}.crc")
+        try:
+            os.remove(dst_crc)
+        except FileNotFoundError:
+            pass
+        os.replace(src, dst)
+        if os.path.exists(src_crc):
+            os.replace(src_crc, dst_crc)
+        return
     spark = _session(spark)
     jvm = spark._jvm
     jsrc = jvm.org.apache.hadoop.fs.Path(src)

@@ -69,6 +69,15 @@ from search_engine_spark.sources.pages import enrich_pages
 
 TOMBSTONE_SCHEMA = "doc_id long, url string, removed_at double"
 
+# Latency-sized-op driver fast paths (same rationale as the append's
+# driver bloom probe): below these sizes the data fits comfortably in
+# driver memory and the Spark job's fixed orchestration dominates the
+# actual work, so the op runs via pyarrow/numpy on the driver with the
+# distributed path as the exact fallback.  Both venues compute the
+# same answer by construction (shared codec / layout).
+DRIVER_DELTA_WRITE_CAP = 50_000  # delta docs
+DRIVER_TOMB_DECODE_CAP = 20_000  # newly-dead doc ids
+
 
 def _with_maintenance_conf(fn):
     """Run a maintenance op under AQE partition coalescing (the same
@@ -574,6 +583,137 @@ def _driver_bloom_probe(
     return [u for u, h in zip(urls, hit) if h][: cap + 1]
 
 
+def _driver_write_segments(segs: DataFrame, epoch_dir: str) -> None:
+    """Write a latency-sized delta's compact block rows as the
+    hive-partitioned epoch dir with pyarrow on the driver.
+
+    The Spark writer pays a full repartition shuffle plus an
+    n_buckets-task write stage (~seconds of fixed orchestration) to
+    place a few MB of blocks; driver-side it is ONE Arrow collect of
+    the already-computed ``segs`` plan plus local parquet writes.
+    Layout-identical to the Spark writer: one
+    ``bucket=B/part-*.parquet`` per present bucket, bucket as a hive
+    partition key (not a data column), rows term-sorted so row-group
+    term min/max statistics prune (the property
+    plans/local_serve.py's bucket reads rely on); the Arrow schema
+    comes from the Spark plan itself, so physical parquet types match
+    the Spark writer's.  Files land under temp names and rename into
+    place; any failure raises and the caller's Spark writer
+    (mode=overwrite) takes over."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from search_engine_spark.plans.local_serve import _fs_path
+
+    tbl = segs.toArrow()
+    sort_cols = [
+        c for c in ("bucket", "term", "shard", "block_id")
+        if c in tbl.column_names
+    ]
+    tbl = tbl.sort_by([(c, "ascending") for c in sort_cols])
+    fs, root = _fs_path(epoch_dir)
+    buckets = tbl.column("bucket")
+    data_cols = [c for c in tbl.column_names if c != "bucket"]
+    for b in pc.unique(buckets).to_pylist():
+        part = tbl.filter(pc.equal(buckets, b)).select(data_cols)
+        bdir = f"{root}/bucket={int(b)}"
+        fs.create_dir(bdir, recursive=True)
+        name = f"part-{uuid.uuid4().hex}-drv.parquet"
+        tmp = f"{bdir}/.{name}.tmp"
+        try:
+            with fs.open_output_stream(tmp) as sink:
+                pq.write_table(part, sink)
+            fs.move(tmp, f"{bdir}/{name}")
+        except Exception:
+            try:
+                fs.delete_file(tmp)
+            except Exception:
+                pass
+            raise
+
+
+def _driver_terms_dec(
+    out_dir: str, meta: dict, dead_ids: list[int]
+) -> dict[str, int]:
+    """``{term: #dead docs in its postings}`` computed on the driver
+    — the R24 df decrement for a latency-sized delete, replacing a
+    distributed ``terms_of_docs`` + groupBy job pair.
+
+    Exactly :func:`terms_of_docs`'s access path in pyarrow/numpy:
+    read the same segment dirs ``read_segments`` unions (base
+    ``index/`` + descriptor-visible delta epochs), filtered to block
+    rows whose [first_doc_id, last_doc_id] envelope can contain a
+    dead id (row-group pruned; the exact per-id OR refinement for
+    small batches, like terms_of_docs), then ``decode_doc_ids`` +
+    sorted-array membership per block.  Identical counts by
+    construction — the codec and visibility rules are shared."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as ds
+
+    from search_engine_spark.functions.codec import decode_doc_ids
+    from search_engine_spark.plans.local_serve import _fs_path
+
+    fs, root = _fs_path(out_dir)
+    paths_map = meta.get("paths") or {}
+    dirs = [os.path.join(root, paths_map.get("index", "index"))]
+    deltas_rel = paths_map.get("index_deltas", "index_deltas")
+    if "delta_epochs" in meta:
+        epochs = sorted(
+            meta["delta_epochs"],
+            key=lambda n: int(n.split("=", 1)[1]),
+        )
+    else:
+        from pyarrow import fs as pafs
+
+        base = os.path.join(root, deltas_rel)
+        epochs = []
+        if fs.get_file_info(base).type != pafs.FileType.NotFound:
+            infos = fs.get_file_info(pafs.FileSelector(base))
+            epochs = sorted(
+                (
+                    i.path.rsplit("/", 1)[-1]
+                    for i in infos
+                    if i.path.rsplit("/", 1)[-1].startswith("epoch=")
+                ),
+                key=lambda n: int(n.split("=", 1)[1]),
+            )
+    dirs += [os.path.join(root, deltas_rel, ep) for ep in epochs]
+
+    dead = np.asarray(sorted(set(int(d) for d in dead_ids)), np.int64)
+    lo, hi = int(dead[0]), int(dead[-1])
+    filt = (pc.field("last_doc_id") >= lo) & (
+        pc.field("first_doc_id") <= hi
+    )
+    if dead.size <= 64:
+        sub = None
+        for d in dead.tolist():
+            c = (pc.field("first_doc_id") <= d) & (
+                pc.field("last_doc_id") >= d
+            )
+            sub = c if sub is None else (sub | c)
+        filt = filt & sub
+    from collections import Counter
+
+    dec: Counter = Counter()
+    for d in dirs:
+        tbl = ds.dataset(
+            d, filesystem=fs, partitioning="hive"
+        ).to_table(filter=filt, columns=["term", "count", "doc_ids"])
+        for term_v, cnt, buf in zip(
+            tbl.column("term").to_pylist(),
+            tbl.column("count").to_pylist(),
+            tbl.column("doc_ids").to_pylist(),
+        ):
+            ids = decode_doc_ids(buf, int(cnt)).astype(np.int64)
+            pos = np.searchsorted(dead, ids)
+            pos[pos == dead.size] = 0
+            n = int((dead[pos] == ids).sum())
+            if n:
+                dec[term_v] += n
+    return dict(dec)
+
+
 @_with_maintenance_conf
 def append_pages(
     spark: SparkSession,
@@ -778,16 +918,24 @@ def append_pages(
     # INVISIBLE until commit: readers resolve epochs through the
     # descriptor's delta_epochs list, which doesn't name this one yet.
     def _write_delta_segments() -> None:
+        epoch_dir = os.path.join(
+            table_path(out_dir, "index_deltas", meta),
+            f"epoch={epoch}",
+        )
+        # latency-sized delta: ONE Arrow collect + driver-side
+        # parquet writes instead of a repartition shuffle plus an
+        # n_buckets-task write stage; identical layout either way
+        if n_new <= DRIVER_DELTA_WRITE_CAP:
+            try:
+                _driver_write_segments(segs, epoch_dir)
+                return
+            except Exception:
+                pass  # fall through to the distributed writer
         (
             segs.repartition(n_buckets, F.col("bucket"))
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(
-                os.path.join(
-                    table_path(out_dir, "index_deltas", meta),
-                    f"epoch={epoch}",
-                )
-            )
+            .parquet(epoch_dir)
         )
 
     # positional-index co-maintenance: when the build wrote a
@@ -1058,12 +1206,33 @@ def tombstone_urls(
         return {"tombstoned": 0}
     dead_ids = [r["doc_id"] for r in dead_rows]
 
-    segments = read_segments(spark, out_dir, meta)
-    dec = (
-        terms_of_docs(segments, dead_ids)
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("dec"))
-    )
+    # R24 df decrement: latency-sized deletes decode the dead docs'
+    # term lists on the driver (pyarrow range-filtered block read +
+    # numpy membership — same venue shift as the append's bloom
+    # probe); bulk deletes and any local-read failure use the
+    # distributed decode.  Counts identical by construction.
+    dec_counts = None
+    if len(dead_ids) <= DRIVER_TOMB_DECODE_CAP:
+        try:
+            dec_counts = _driver_terms_dec(out_dir, meta, dead_ids)
+        except Exception:
+            dec_counts = None
+    if dec_counts is not None:
+        dec = F.broadcast(
+            spark.createDataFrame(
+                sorted(
+                    (t, int(c)) for t, c in dec_counts.items()
+                ),
+                "term string, dec long",
+            )
+        )
+    else:
+        segments = read_segments(spark, out_dir, meta)
+        dec = (
+            terms_of_docs(segments, dead_ids)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
     old_ts_rel = (meta.get("paths") or {}).get(
         "term_stats", "term_stats"
     )

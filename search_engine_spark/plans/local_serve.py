@@ -44,6 +44,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import threading
 from collections import OrderedDict
 
 import numpy as np
@@ -128,6 +129,17 @@ class LocalIndex:
         self._tombstones = None
         self._site_n_memo: OrderedDict[frozenset, int] = OrderedDict()
         self._doc_memo: OrderedDict[int, tuple | None] = OrderedDict()
+        # one lock guards ALL memo bookkeeping (jobs/serve.py runs
+        # concurrent request threads over a shared LocalIndex).  The
+        # protocol keeps parquet reads outside the lock: snapshot the
+        # hits (taking references) under the lock, fill misses
+        # unlocked, insert under the lock, and build the return value
+        # only from values already in hand — so a concurrent
+        # eviction can never invalidate what a call returns.  Two
+        # threads missing the same key may both fill it (identical
+        # values; the insert is idempotent and row accounting is
+        # guarded by the presence check).
+        self._memo_lock = threading.Lock()
 
     # -- table access -------------------------------------------------
 
@@ -229,8 +241,17 @@ class LocalIndex:
 
     def term_df(self, terms: list[str]) -> dict[str, int]:
         """Global document frequency per term (0 = not in the
-        dictionary), LRU-memoized per index object."""
-        missing = [t for t in terms if t not in self._df_memo]
+        dictionary), LRU-memoized per index object (thread-safe:
+        see ``_memo_lock``)."""
+        with self._memo_lock:
+            out = {
+                t: self._df_memo[t]
+                for t in terms
+                if t in self._df_memo
+            }
+            for t in out:
+                self._df_memo.move_to_end(t)
+        missing = sorted(set(terms) - out.keys())
         if missing:
             import pyarrow.compute as pc
 
@@ -244,27 +265,35 @@ class LocalIndex:
                     (int(x) for x in tbl.column("df").to_pylist()),
                 )
             )
-            for t in missing:
-                self._df_memo[t] = found.get(t, 0)
-        # refresh the current terms FIRST, then evict only beyond
-        # them — eviction can never take a term this call returns
-        for t in terms:
-            self._df_memo.move_to_end(t)
-        floor = len(set(terms))
-        while (
-            len(self._df_memo) > _DF_MEMO_CAP
-            and len(self._df_memo) > floor
-        ):
-            self._df_memo.popitem(last=False)
-        return {t: self._df_memo[t] for t in terms}
+            filled = {t: found.get(t, 0) for t in missing}
+            with self._memo_lock:
+                for t, v in filled.items():
+                    self._df_memo[t] = v
+                # refresh every current term still present, then
+                # evict only beyond them — eviction can never take a
+                # term this call is returning (the return dict holds
+                # the values directly)
+                floor = 0
+                for t in dict.fromkeys(terms):
+                    if t in self._df_memo:
+                        self._df_memo.move_to_end(t)
+                        floor += 1
+                while (
+                    len(self._df_memo) > _DF_MEMO_CAP
+                    and len(self._df_memo) > floor
+                ):
+                    self._df_memo.popitem(last=False)
+            out.update(filled)
+        return {t: out[t] for t in terms}
 
     def _site_n(self, sites: list[str]) -> int:
         """N restricted to ``sites`` (sum of site_stats pages) — the
         reference's local-N quirk (SearchServiceImpl.java:244-255)."""
         key = frozenset(sites)
-        if key in self._site_n_memo:
-            self._site_n_memo.move_to_end(key)
-            return self._site_n_memo[key]
+        with self._memo_lock:
+            if key in self._site_n_memo:
+                self._site_n_memo.move_to_end(key)
+                return self._site_n_memo[key]
         import pyarrow.compute as pc
         import pyarrow.dataset as ds
 
@@ -275,9 +304,10 @@ class LocalIndex:
         # the key comes straight from the HTTP query string — a small
         # LRU cap keeps a hostile/diverse client from growing the
         # long-lived server's memory without bound
-        self._site_n_memo[key] = n
-        while len(self._site_n_memo) > _SITE_N_MEMO_CAP:
-            self._site_n_memo.popitem(last=False)
+        with self._memo_lock:
+            self._site_n_memo[key] = n
+            while len(self._site_n_memo) > _SITE_N_MEMO_CAP:
+                self._site_n_memo.popitem(last=False)
         return n
 
     def query_idf(
@@ -308,9 +338,15 @@ class LocalIndex:
         doc_lens)}`` (uint64 arrays, sorted by doc_id within each
         segment run).  Bucket-pruned + row-group-pruned parquet read,
         numpy block decode, LRU-memoized by total decoded rows."""
-        need = sorted(
-            {t for t in terms if t not in self._post_memo}
-        )
+        with self._memo_lock:
+            out = {
+                t: self._post_memo[t]
+                for t in terms
+                if t in self._post_memo
+            }
+            for t in out:
+                self._post_memo.move_to_end(t)
+        need = sorted(set(terms) - out.keys())
         if need:
             import pyarrow.compute as pc
 
@@ -339,6 +375,7 @@ class LocalIndex:
                             }
                         )
                     )
+            filled = {}
             for t in need:
                 runs = per_term[t]
                 if not runs:
@@ -352,23 +389,31 @@ class LocalIndex:
                     tfs = np.concatenate([r[1] for r in runs])
                     dls = np.concatenate([r[2] for r in runs])
                     entry = (ids, tfs, dls)
-                self._post_memo[t] = entry
-                self._post_memo_rows += int(entry[0].size)
-        # refresh ALL current-query terms to the back BEFORE evicting:
-        # the old order (evict first, refresh after) could evict a
-        # term memoized by an earlier query that THIS call is about to
-        # return, crashing search() mid-query (ADVICE r04, high)
-        current = [t for t in terms if t in self._post_memo]
-        for t in current:
-            self._post_memo.move_to_end(t)
-        floor = len(set(current))
-        while (
-            self._post_memo_rows > _POSTINGS_MEMO_CAP_ROWS
-            and len(self._post_memo) > floor
-        ):
-            _, old = self._post_memo.popitem(last=False)
-            self._post_memo_rows -= int(old[0].size)
-        return {t: self._post_memo[t] for t in current}
+                filled[t] = entry
+            with self._memo_lock:
+                for t, entry in filled.items():
+                    if t not in self._post_memo:
+                        self._post_memo[t] = entry
+                        self._post_memo_rows += int(entry[0].size)
+                # refresh ALL current-query terms BEFORE evicting,
+                # and never evict below their count: eviction can
+                # never take a term this call is about to return
+                # (ADVICE r04, high — and the return dict holds the
+                # array references directly, so even a concurrent
+                # evictor cannot invalidate them)
+                floor = 0
+                for t in dict.fromkeys(terms):
+                    if t in self._post_memo:
+                        self._post_memo.move_to_end(t)
+                        floor += 1
+                while (
+                    self._post_memo_rows > _POSTINGS_MEMO_CAP_ROWS
+                    and len(self._post_memo) > floor
+                ):
+                    _, old = self._post_memo.popitem(last=False)
+                    self._post_memo_rows -= int(old[0].size)
+            out.update(filled)
+        return out
 
     def _resolve_docs(
         self, doc_ids: np.ndarray, with_title: bool = False
@@ -408,7 +453,15 @@ class LocalIndex:
             return tbl.to_pandas()
 
         ids = [int(i) for i in np.unique(ids64)]
-        missing = [i for i in ids if i not in self._doc_memo]
+        with self._memo_lock:
+            held = {
+                i: self._doc_memo[i]
+                for i in ids
+                if i in self._doc_memo
+            }
+            for i in held:
+                self._doc_memo.move_to_end(i)
+        missing = [i for i in ids if i not in held]
         if missing:
             tbl = ds_docs.to_table(
                 filter=pc.field("doc_id").isin(missing),
@@ -428,20 +481,24 @@ class LocalIndex:
                     titles,
                 )
             }
-            for i in missing:
-                self._doc_memo[i] = found.get(i)
-        # refresh current ids first; evict only beyond them
-        for i in ids:
-            self._doc_memo.move_to_end(i)
-        while (
-            len(self._doc_memo) > _DOC_MEMO_CAP
-            and len(self._doc_memo) > len(ids)
-        ):
-            self._doc_memo.popitem(last=False)
+            with self._memo_lock:
+                for i in missing:
+                    entry = found.get(i)
+                    held[i] = entry
+                    self._doc_memo[i] = entry
+                # refresh current ids first; evict only beyond them
+                floor = 0
+                for i in ids:
+                    if i in self._doc_memo:
+                        self._doc_memo.move_to_end(i)
+                        floor += 1
+                while (
+                    len(self._doc_memo) > _DOC_MEMO_CAP
+                    and len(self._doc_memo) > floor
+                ):
+                    self._doc_memo.popitem(last=False)
         rows = [
-            (i, *self._doc_memo[i])
-            for i in ids
-            if self._doc_memo[i] is not None
+            (i, *held[i]) for i in ids if held[i] is not None
         ]
         df = pd.DataFrame(
             rows, columns=["doc_id", self.id_col, "site", "title"]
