@@ -84,7 +84,66 @@ def _fake_embedding(payload: bytes, dim: int) -> list[float]:
     return (v / np.linalg.norm(v)).astype(np.float32).tolist()
 
 
-def _decode_image_real(payload: bytes) -> np.ndarray:
+# --- pluggable decoder registry (the documented codec swap-in) ------
+#
+# The sandbox has no Pillow/torchaudio/PyAV, so compressed codecs
+# (H.264 pixels, mp3/ogg/aac) stay stubbed — but the integration seam
+# is executable: register a ``(probe, decode)`` pair on the DRIVER
+# before building the plan and the operator snapshots the registry
+# into its UDF closure at plan-build time (module globals would NOT
+# reach executors — workers re-import this module, so closure capture
+# is the only registration that travels with the task).  Registered
+# decoders are consulted BEFORE the built-in ones, so a real
+# ffmpeg-backed plugin can also take over a container the pure-numpy
+# path only partially handles (e.g. MP4: built-in = compressed
+# keyframe payloads; plugin = actual pixels).
+#
+#   register_image_decoder(probe, decode)  decode(bytes) -> HxW[x3] u8
+#   register_audio_decoder(probe, decode)  decode(bytes) -> (mono
+#                                          float64 in [-1,1], rate)
+#   register_video_decoder(probe, decode)  decode(bytes) -> (list of
+#                                          HxW[x3] u8 frames, fps)
+#
+# tests/test_decoder_registry.py drives all three seams end-to-end
+# through Spark with fake codecs.
+
+_IMAGE_DECODERS: list[tuple] = []
+_AUDIO_DECODERS: list[tuple] = []
+_VIDEO_DECODERS: list[tuple] = []
+
+
+def register_image_decoder(probe, decode) -> None:
+    _IMAGE_DECODERS.append((probe, decode))
+
+
+def register_audio_decoder(probe, decode) -> None:
+    _AUDIO_DECODERS.append((probe, decode))
+
+
+def register_video_decoder(probe, decode) -> None:
+    _VIDEO_DECODERS.append((probe, decode))
+
+
+def clear_registered_decoders() -> None:
+    _IMAGE_DECODERS.clear()
+    _AUDIO_DECODERS.clear()
+    _VIDEO_DECODERS.clear()
+
+
+def _registered(extra, payload: bytes):
+    for probe, decode in extra:
+        try:
+            hit = probe(payload)
+        except Exception:
+            hit = False
+        if hit:
+            return decode
+    return None
+
+
+def _decode_image_real(
+    payload: bytes, extra: tuple = ()
+) -> np.ndarray:
     """Real decode path, no external library: binary PPM/PGM
     (``P6``/``P5``) parsed inline, JPEG — baseline sequential AND
     progressive (SOF2) — decoded by
@@ -92,6 +151,9 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
     Huffman + spectral/successive-approximation scans + dequant +
     IDCT + chroma upsample + YCbCr→RGB).  All return ``(H, W, 3)``
     uint8."""
+    dec = _registered(extra, payload)
+    if dec is not None:
+        return np.asarray(dec(bytes(payload)), dtype=np.uint8)
     magic = bytes(payload[:2])
     if magic == b"\xff\xd8":
         from search_engine_spark.functions.jpeg import (
@@ -193,7 +255,9 @@ def _alaw_decode(codes: np.ndarray) -> np.ndarray:
     return np.where((a & 0x80) != 0, t, -t)
 
 
-def _decode_wav_real(payload: bytes) -> tuple[np.ndarray, int]:
+def _decode_wav_real(
+    payload: bytes, extra: tuple = ()
+) -> tuple[np.ndarray, int]:
     """Real audio decode: RIFF/WAVE parsed in pure numpy — no external
     library — returning (mono float64 samples in [-1, 1],
     sample_rate).  Formats: integer PCM 8/16/24/32-bit (fmt=1), IEEE
@@ -202,6 +266,10 @@ def _decode_wav_real(payload: bytes) -> tuple[np.ndarray, int]:
     count (downmixed to mono).  Compressed codecs (mp3/ogg/aac) still
     raise ``NotImplementedError`` (torchaudio/ffmpeg is the swap-in
     there)."""
+    dec = _registered(extra, payload)
+    if dec is not None:
+        x, rate = dec(bytes(payload))
+        return np.asarray(x, dtype=np.float64), int(rate)
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError(
             "real audio decoding beyond RIFF/WAVE PCM requires "
@@ -313,6 +381,7 @@ def audio_features(
     (doc_id, sample_rate, n_samples, duration_ms, rms, zcr,
     embedding).  ``decoder='real'`` parses WAV/PCM in pure numpy;
     ``'fake'`` derives deterministic pseudo-features from the bytes."""
+    extra = tuple(_AUDIO_DECODERS)  # closure snapshot -> executors
 
     def gen(batches):
         for pdf in batches:
@@ -320,7 +389,7 @@ def audio_features(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload)
                 if decoder == "real":
-                    x, rate = _decode_wav_real(data)
+                    x, rate = _decode_wav_real(data, extra)
                     n = len(x)
                     rms = float(np.sqrt((x ** 2).mean())) if n else 0.0
                     zcr = (
@@ -363,6 +432,7 @@ def image_features(
     (doc_id, width, height, n_bytes, embedding).  The heavy work runs
     one batch at a time so a partition of multi-MB payloads never
     materializes fully in worker memory."""
+    extra = tuple(_IMAGE_DECODERS)  # closure snapshot -> executors
 
     def gen(batches):
         for pdf in batches:
@@ -370,7 +440,7 @@ def image_features(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload)
                 if decoder == "real":
-                    img = _decode_image_real(data)
+                    img = _decode_image_real(data, extra)
                     h, w = img.shape[:2]
                     emb = _real_embedding(img, dim)
                 else:
@@ -400,6 +470,7 @@ def resize_images(
     'resized' bytes (fake: truncated+tagged deterministic bytes),
     meta.width/height updated.  Demonstrates the in-place-transform
     batch shape (payload in, payload out)."""
+    extra = tuple(_IMAGE_DECODERS)  # closure snapshot -> executors
 
     def gen(batches):
         for pdf in batches:
@@ -410,7 +481,7 @@ def resize_images(
                 if decoder == "real":
                     # genuine decode → nearest-neighbor downsample →
                     # re-encode (pure numpy, PPM/PGM)
-                    img = _decode_image_real(data)
+                    img = _decode_image_real(data, extra)
                     h, w = img.shape[:2]
                     scale = min(1.0, max_side / max(w, h))
                     nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
@@ -448,6 +519,7 @@ def sample_frames(
     is the swap-in.  ``decoder="fake"`` emits one deterministic
     pseudo-frame per sampled timestamp from duration_ms metadata, for
     pipeline tests without media files."""
+    extra = tuple(_VIDEO_DECODERS)  # closure snapshot -> executors
 
     def gen(batches):
         for pdf in batches:
@@ -457,7 +529,14 @@ def sample_frames(
             ):
                 data = bytes(payload)
                 if decoder == "real":
-                    if data[:9] == b"YUV4MPEG2":
+                    dec = _registered(extra, data)
+                    if dec is not None:
+                        frames, fps = dec(data)
+                        frames = [
+                            np.asarray(f, dtype=np.uint8)
+                            for f in frames
+                        ]
+                    elif data[:9] == b"YUV4MPEG2":
                         from search_engine_spark.functions.y4m import (
                             decode_y4m,
                         )
