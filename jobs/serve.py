@@ -126,6 +126,26 @@ class _Handler(BaseHTTPRequestHandler):
             self._search(parse_qs(parsed.query))
         elif parsed.path == "/api/statistics":
             self._statistics()
+        elif parsed.path in (
+            "/api/startIndexing", "/api/stopIndexing"
+        ):
+            # reference: ApiController.startIndexing/stopIndexing kick
+            # off / halt the live crawl.  The crawl frontier is
+            # descoped (BASELINE input_hint: already-crawled corpus)
+            # and this process is deliberately Spark-free, so the
+            # endpoints answer with the reference's error DTO shape
+            # ({result, error}) pointing at the actual indexing jobs.
+            self._json(
+                501,
+                {
+                    "result": False,
+                    "error": "indexing runs as Spark jobs: "
+                             "jobs/build_index.py (full build), "
+                             "jobs/maintain_index.py append/reindex "
+                             "(incremental); the serving process "
+                             "stays Spark-free by design",
+                },
+            )
         else:
             self._json(404, {"result": False, "error": "not found"})
 

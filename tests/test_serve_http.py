@@ -111,6 +111,19 @@ def test_search_errors(served):
     assert status == 400
 
 
+def test_indexing_endpoints_answer_with_error_dto(served):
+    """start/stopIndexing exist (full ApiController surface) and
+    answer with the reference's {result, error} DTO shape pointing
+    at the Spark indexing jobs (the crawl frontier is descoped and
+    the serving process is Spark-free by design)."""
+    base, _, _ = served
+    for ep in ("startIndexing", "stopIndexing"):
+        status, body = _get(f"{base}/api/{ep}")
+        assert status == 501
+        assert body["result"] is False
+        assert "Spark jobs" in body["error"]
+
+
 def test_statistics_endpoint(served):
     base, out, _ = served
     status, body = _get(f"{base}/api/statistics")
