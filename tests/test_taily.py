@@ -47,7 +47,7 @@ SHARDS = [
     [
         (20, "trains and railways timetable"),
         (21, "station platform departure arrival"),
-        (22, "locomotive engine coal steam"),
+        (22, "freight wagon coal cargo"),
         (23, "rails sleepers gravel track"),
     ],
 ]
@@ -191,7 +191,7 @@ def test_erlang_variant_is_integer_shape_gamma(shard_stats):
 
 def test_erlang_variant_missing_term_scores_zero(shard_stats):
     got = dict(taily_shard_scores_erlang(
-        shard_stats, "apple locomotive", 0.2, analyzer="tokens"
+        shard_stats, "apple freight", 0.2, analyzer="tokens"
     ))
     assert got[0] == 0.0 and got[1] == 0.0  # no shard has both
 
