@@ -371,53 +371,71 @@ def main() -> None:
         n_local += len(lidx.search(q, limit=10))
     local_wall = time.time() - t0
 
-    # HTTP serving under concurrency (jobs/serve.py): a live
-    # ThreadingHTTPServer over the shared LocalIndex (the memo-lock
-    # protocol), hammered by 8 client threads — the reference's
-    # actual GET /api/search shape including JSON encode/decode and
-    # socket overhead.  numpy/pyarrow release the GIL for the heavy
-    # steps, so concurrent qps should beat single-thread qps.
-    import threading
+    # HTTP serving under concurrency (jobs/serve.py as a real CLI
+    # subprocess — the deployment shape): the reference's actual
+    # GET /api/search including JSON encode/decode and socket
+    # overhead.  The scorer is GIL-bound at ms scale, so a single
+    # process tops out near one core regardless of threads; the
+    # measured single-node scaling axis is pre-forked worker
+    # processes sharing the port via SO_REUSEPORT (--workers).  Both
+    # points are reported: 1 worker (the GIL ceiling) and N workers.
+    import os as _os
+    import signal as _signal
+    import subprocess as _sp
     import urllib.parse as _up
     import urllib.request as _ur
 
-    sys.path.insert(
-        0,
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "jobs"),
-    )
-    import serve as serve_mod
+    def http_bench(workers, reqs):
+        proc = _sp.Popen(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "jobs", "serve.py"),
+             "--index", serve_dir, "--port", "0",
+             "--workers", str(workers)],
+            stdout=_sp.PIPE, start_new_session=True,
+        )
+        try:
+            info = json.loads(proc.stdout.readline().decode())
+            base = info["serving"].rsplit("/api", 1)[0]
 
-    srv = serve_mod.make_server(serve_dir, None, "127.0.0.1", 0)
-    srv_t = threading.Thread(target=srv.serve_forever, daemon=True)
-    srv_t.start()
-    http_base = f"http://127.0.0.1:{srv.server_address[1]}"
+            def http_query(q):
+                t0 = time.time()
+                with _ur.urlopen(
+                    f"{base}/api/search?"
+                    f"query={_up.quote(q)}&limit=10",
+                    timeout=60,
+                ) as r:
+                    json.loads(r.read().decode("utf-8"))
+                return time.time() - t0
 
-    def http_query(q):
-        t0 = time.time()
-        with _ur.urlopen(
-            f"{http_base}/api/search?query={_up.quote(q)}&limit=10",
-            timeout=60,
-        ) as r:
-            json.loads(r.read().decode("utf-8"))
-        return time.time() - t0
+            for q in workload * 2:  # warm every worker's memos
+                http_query(q)
+            t0 = time.time()
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                lat = sorted(pool.map(http_query, reqs))
+            wall = time.time() - t0
+            return (
+                round(len(lat) / wall, 1),
+                round(1000 * lat[int(len(lat) * 0.95) - 1], 2),
+            )
+        finally:
+            try:
+                _os.killpg(proc.pid, _signal.SIGTERM)
+            except OSError:
+                proc.terminate()
 
-    for q in workload:  # connection/codepath warmup off the clock
-        http_query(q)
-    http_threads = min(8, cpus)
-    http_work = [q for q, _ in work] * 3  # 120 requests
-    t0 = time.time()
-    with ThreadPoolExecutor(max_workers=http_threads) as pool:
-        http_lat = sorted(pool.map(http_query, http_work))
-    http_wall = time.time() - t0
-    srv.shutdown()
+    http_reqs = [q for q, _ in work] * 3  # 120 requests
+    http_workers = min(6, cpus)
+    qps_1w, p95_1w = http_bench(1, http_reqs)
+    qps_nw, p95_nw = http_bench(http_workers, http_reqs)
 
     qps_extra = {
-        "serve_http_qps": round(len(http_lat) / http_wall, 1),
-        "serve_http_p95_ms": round(
-            1000 * http_lat[int(len(http_lat) * 0.95) - 1], 2
-        ),
-        "serve_http_threads": http_threads,
+        "serve_http_qps": qps_nw,
+        "serve_http_p95_ms": p95_nw,
+        "serve_http_workers": http_workers,
+        "serve_http_qps_1worker": qps_1w,
+        "serve_http_p95_ms_1worker": p95_1w,
+        "serve_http_threads": 8,
         "bm25_serve_p50_sec": round(lat_1[len(lat_1) // 2], 3),
         "bm25_local_p50_ms": round(
             1000 * lat_warm[len(lat_warm) // 2], 2

@@ -124,6 +124,54 @@ def test_indexing_endpoints_answer_with_error_dto(served):
         assert "Spark jobs" in body["error"]
 
 
+def test_multi_worker_cli_serves_consistently(served):
+    """jobs/serve.py --workers N: pre-forked processes share the
+    port via SO_REUSEPORT; concurrent requests spread across workers
+    all return the same (rank-identical) results."""
+    import os
+    import signal
+    import subprocess
+    import sys as _sys
+    from concurrent.futures import ThreadPoolExecutor
+    from pathlib import Path
+
+    _, out, _ = served
+    script = str(
+        Path(__file__).resolve().parent.parent / "jobs" / "serve.py"
+    )
+    proc = subprocess.Popen(
+        [_sys.executable, script, "--index", out, "--port", "0",
+         "--workers", "3"],
+        stdout=subprocess.PIPE, start_new_session=True,
+    )
+    try:
+        info = json.loads(proc.stdout.readline().decode())
+        assert info["workers"] == 3
+        base = info["serving"].rsplit("/api", 1)[0]
+        q = urllib.parse.quote("crystal falcon nebula")
+        url = f"{base}/api/search?query={q}&limit=5"
+
+        def one(_):
+            return _get(url)
+
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            results = list(pool.map(one, range(24)))
+        lidx = open_local_index(out)
+        want = lidx.search("crystal falcon nebula", limit=5)
+        want_rel = [round(float(s), 9) for s in want["score"]]
+        for status, body in results:
+            assert status == 200 and body["result"] is True
+            assert [
+                round(float(d["relevance"]), 9) for d in body["data"]
+            ] == want_rel
+    finally:
+        try:
+            os.killpg(proc.pid, signal.SIGTERM)
+        except OSError:
+            proc.terminate()
+        proc.wait(timeout=30)
+
+
 def test_statistics_endpoint(served):
     base, out, _ = served
     status, body = _get(f"{base}/api/statistics")
