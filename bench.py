@@ -254,17 +254,32 @@ def main() -> None:
     # full maintenance lifecycle (build -> append x2 -> tombstone ->
     # reindex -> LSM merge -> vacuum) — single-shot by design: the
     # entry caches per (spark, sf), so repeats would time a parquet
-    # read, not the maintenance path
+    # read, not the maintenance path.  A throwaway sf0.001 lifecycle
+    # first warms the maintenance-only code paths (append/tombstone
+    # UDFs, codegen) OFF the clock — steady-state maintenance cost is
+    # what the line claims to measure, not one-time JIT (measured
+    # ~3 s of the appends leg alone); reported as its own line
+    tiny_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")),
+                           "sf0.001")
+    lifecycle_warmup_sec = None
+    if os.path.isdir(tiny_sf):
+        _t0 = time.time()
+        qs["incremental_postings"](spark, tiny_sf).collect()
+        # one-time JIT, not suite work: kept OUT of the headline
+        # total (reported as its own field below)
+        lifecycle_warmup_sec = round(time.time() - _t0, 3)
     timed("incremental_lifecycle",
           lambda: qs["incremental_postings"](spark, sf_dir).collect())
     # per-step split of that line: the checkpoint_* steps are full-
     # index decodes materialized ONLY so the DuckDB oracle can
     # hash-check each lifecycle state — contract scaffolding, not
     # engine maintenance cost
-    incr_steps = (
-        next(iter(entrymod._INCR_TIMINGS.values()))
-        if getattr(entrymod, "_INCR_TIMINGS", None) else {}
-    )
+    # pick the TIMED run's steps (the warm-up lifecycle above also
+    # recorded its own entry, keyed by (spark id, sf_dir))
+    incr_steps = {}
+    for k, v in (getattr(entrymod, "_INCR_TIMINGS", None) or {}).items():
+        if not isinstance(k, tuple) or sf_dir in k:
+            incr_steps = v
     for name in bench_queries:
         fn = qs[name]
         timed_best(name, lambda fn=fn: fn(spark, sf_dir).collect())
@@ -478,6 +493,7 @@ def main() -> None:
         "query_runs_median_of": query_runs,
         "query_runs": run_samples,
         "incremental_lifecycle_steps": incr_steps,
+        "incremental_lifecycle_warmup_sec": lifecycle_warmup_sec,
         **qps_extra,
     }
     # full detail line first (humans, BENCH_FULL.json), compact totals
