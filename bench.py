@@ -262,7 +262,10 @@ def main() -> None:
     tiny_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")),
                            "sf0.001")
     lifecycle_warmup_sec = None
-    if os.path.isdir(tiny_sf):
+    if (
+        os.path.isdir(tiny_sf)
+        and os.path.realpath(tiny_sf) != os.path.realpath(sf_dir)
+    ):
         _t0 = time.time()
         qs["incremental_postings"](spark, tiny_sf).collect()
         # one-time JIT, not suite work: kept OUT of the headline
@@ -440,15 +443,23 @@ def main() -> None:
                 _os.killpg(proc.pid, _signal.SIGTERM)
             except OSError:
                 proc.terminate()
+            try:
+                proc.wait(timeout=15)
+            except Exception:
+                proc.kill()
 
     http_reqs = [q for q, _ in work] * 3  # 120 requests
     http_workers = min(6, cpus)
+    # independent try per run: a hiccup in one must neither sink the
+    # suite nor discard the other run's measurement
     try:
         qps_1w, p95_1w = http_bench(1, http_reqs)
+    except Exception:
+        qps_1w = p95_1w = None
+    try:
         qps_nw, p95_nw = http_bench(http_workers, http_reqs)
     except Exception:
-        # a subprocess/port hiccup must not sink the whole suite run
-        qps_1w = p95_1w = qps_nw = p95_nw = None
+        qps_nw = p95_nw = None
 
     qps_extra = {
         "serve_http_qps": qps_nw,

@@ -134,6 +134,25 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _with_index(self, fn):
+        """Run ``fn(lidx)`` against the current index; if the
+        generation expired under us (e.g. a vacuum retired this
+        generation's dirs between the stats probe and the lazy
+        dataset listing — surfaces as LocalSnapshotError or a
+        missing-file read), drop the stale cached object and retry
+        ONCE on a fresh probe; re-raise if the fresh generation
+        fails too (the caller answers 503)."""
+        from search_engine_spark.plans.local_serve import (
+            LocalSnapshotError,
+        )
+
+        lidx = self.server.index()
+        try:
+            return fn(lidx)
+        except (LocalSnapshotError, FileNotFoundError):
+            self.server.lidx = None
+            return fn(self.server.index())
+
     def do_POST(self):
         if urlparse(self.path).path == "/api/indexPage":
             self._json(
@@ -212,11 +231,29 @@ class _Handler(BaseHTTPRequestHandler):
             search_response,
         )
 
-        lidx = self.server.index()
-        out, total = lidx.search(
-            query, sites=sites, offset=offset, limit=limit,
-            with_total=True, include_title=True,
+        from search_engine_spark.plans.local_serve import (
+            LocalSnapshotError,
         )
+
+        try:
+            lidx, (out, total) = self._with_index(
+                lambda l: (
+                    l,
+                    l.search(
+                        query, sites=sites, offset=offset,
+                        limit=limit, with_total=True,
+                        include_title=True,
+                    ),
+                )
+            )
+        except (LocalSnapshotError, FileNotFoundError):
+            self._json(
+                503,
+                {"result": False,
+                 "error": "index generation swapped mid-request; "
+                          "retry"},
+            )
+            return
         rows = out.to_dict("records")
 
         pages = self.server.pages_dataset()
@@ -254,15 +291,29 @@ class _Handler(BaseHTTPRequestHandler):
 
         import pyarrow.dataset as ds
 
-        lidx = self.server.index()
-        sites_tbl = ds.dataset(
-            lidx._table_dir("site_stats"), filesystem=lidx._fs
-        ).to_table().to_pandas()
-        n_lemmas = (
-            ds.dataset(
+        from search_engine_spark.plans.local_serve import (
+            LocalSnapshotError,
+        )
+
+        def read_stats(lidx):
+            sites_tbl = ds.dataset(
+                lidx._table_dir("site_stats"), filesystem=lidx._fs
+            ).to_table().to_pandas()
+            n_lemmas = ds.dataset(
                 lidx._table_dir("term_stats"), filesystem=lidx._fs
             ).count_rows()
-        )
+            return lidx, sites_tbl, n_lemmas
+
+        try:
+            lidx, sites_tbl, n_lemmas = self._with_index(read_stats)
+        except (LocalSnapshotError, FileNotFoundError):
+            self._json(
+                503,
+                {"result": False,
+                 "error": "index generation swapped mid-request; "
+                          "retry"},
+            )
+            return
         now_ms = int(_time.time() * 1000)
         detailed = [
             {
@@ -316,6 +367,20 @@ def main(argv: list[str] | None = None) -> None:
                          "GIL-bound, so processes — not threads — "
                          "are the single-node scaling axis)")
     args = ap.parse_args(argv)
+    import socket as _socket
+
+    if args.workers > 1 and not hasattr(_socket, "SO_REUSEPORT"):
+        # without SO_REUSEPORT every child's bind would fail with
+        # EADDRINUSE and silently die — serve correctly with one
+        # process instead of lying about capacity
+        print(
+            json.dumps({
+                "warning": "SO_REUSEPORT unavailable on this "
+                           "platform; forcing --workers 1",
+            }),
+            file=sys.stderr, flush=True,
+        )
+        args.workers = 1
     srv = make_server(args.index, args.pages, args.host, args.port,
                       reuse_port=args.workers > 1)
     port = srv.server_address[1]
@@ -348,8 +413,33 @@ def main(argv: list[str] | None = None) -> None:
 
     import signal
 
+    def _reap(signum, frame):
+        # reap exited children (no zombies) and make capacity loss
+        # visible — a crashed worker otherwise silently degrades the
+        # advertised parallelism
+        while True:
+            try:
+                pid, status = os.waitpid(-1, os.WNOHANG)
+            except ChildProcessError:
+                return
+            if pid == 0:
+                return
+            if pid in child_pids:
+                child_pids.remove(pid)
+                print(
+                    json.dumps({
+                        "warning": f"worker {pid} exited "
+                                   f"(status {status}); "
+                                   f"{len(child_pids) + 1} of "
+                                   f"{args.workers} workers remain",
+                    }),
+                    file=sys.stderr, flush=True,
+                )
+
     signal.signal(signal.SIGTERM, _shutdown)
     signal.signal(signal.SIGINT, _shutdown)
+    if child_pids:
+        signal.signal(signal.SIGCHLD, _reap)
     print(
         json.dumps(
             {

@@ -135,7 +135,16 @@ def rename_overwrite(
     failure — readers like jobs/serve.py retry and keep their warm
     generation), never a partial file, because ``src`` is always
     fully written before the call."""
-    if "://" not in src and "://" not in dst:
+    # Scheme-less paths are driver-local ONLY when the just-written
+    # source actually exists on the local disk — on a cluster whose
+    # fs.defaultFS is hdfs://, scheme-less paths resolve to HDFS (the
+    # temp file was written there via the Hadoop API and is NOT on
+    # the driver's disk), so those fall through to the Hadoop rename.
+    if (
+        "://" not in src
+        and "://" not in dst
+        and os.path.exists(src)
+    ):
         # Hadoop's LocalFileSystem keeps .name.crc checksum sidecars
         # next to files it wrote; swapping the data behind its back
         # with a stale sidecar left in place makes every later Hadoop

@@ -130,6 +130,16 @@ def clear_registered_decoders() -> None:
     _VIDEO_DECODERS.clear()
 
 
+def _as_rgb(img: np.ndarray) -> np.ndarray:
+    """Promote a registered decoder's 2-D grayscale return to the
+    (H, W, 3) uint8 convention every downstream consumer expects —
+    the same promotion the built-in P5/PGM path applies."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    return img
+
+
 def _registered(extra, payload: bytes):
     for probe, decode in extra:
         try:
@@ -153,7 +163,7 @@ def _decode_image_real(
     uint8."""
     dec = _registered(extra, payload)
     if dec is not None:
-        return np.asarray(dec(bytes(payload)), dtype=np.uint8)
+        return _as_rgb(dec(bytes(payload)))
     magic = bytes(payload[:2])
     if magic == b"\xff\xd8":
         from search_engine_spark.functions.jpeg import (
@@ -532,10 +542,7 @@ def sample_frames(
                     dec = _registered(extra, data)
                     if dec is not None:
                         frames, fps = dec(data)
-                        frames = [
-                            np.asarray(f, dtype=np.uint8)
-                            for f in frames
-                        ]
+                        frames = [_as_rgb(f) for f in frames]
                     elif data[:9] == b"YUV4MPEG2":
                         from search_engine_spark.functions.y4m import (
                             decode_y4m,

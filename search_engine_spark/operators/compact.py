@@ -226,6 +226,14 @@ def compact_postings(
     with_len = postings.join(lookup, id_col).select(
         "term", "doc_id", "tf", "doc_len"
     )
+    if combine is None and n_docs is not None:
+        # decide the physical path WITHOUT a job: total postings ≤
+        # n_docs·avg_len (distinct terms per doc ≤ tokens per doc),
+        # so this upper bound only ever errs toward the combine —
+        # safe at scale, and it keeps plan construction lazy (the
+        # withlen fallback's tiny stats agg is for callers that know
+        # nothing about their size)
+        combine = n_docs * avg_len >= COMBINE_MIN_POSTINGS
     return compact_postings_withlen(
         with_len, term_stats, avg_len, config, postings_per_shard,
         combine,

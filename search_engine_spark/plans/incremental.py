@@ -652,33 +652,13 @@ def _driver_terms_dec(
     import pyarrow.dataset as ds
 
     from search_engine_spark.functions.codec import decode_doc_ids
-    from search_engine_spark.plans.local_serve import _fs_path
+    from search_engine_spark.plans.local_serve import (
+        _fs_path,
+        pyarrow_segment_dirs,
+    )
 
     fs, root = _fs_path(out_dir)
-    paths_map = meta.get("paths") or {}
-    dirs = [os.path.join(root, paths_map.get("index", "index"))]
-    deltas_rel = paths_map.get("index_deltas", "index_deltas")
-    if "delta_epochs" in meta:
-        epochs = sorted(
-            meta["delta_epochs"],
-            key=lambda n: int(n.split("=", 1)[1]),
-        )
-    else:
-        from pyarrow import fs as pafs
-
-        base = os.path.join(root, deltas_rel)
-        epochs = []
-        if fs.get_file_info(base).type != pafs.FileType.NotFound:
-            infos = fs.get_file_info(pafs.FileSelector(base))
-            epochs = sorted(
-                (
-                    i.path.rsplit("/", 1)[-1]
-                    for i in infos
-                    if i.path.rsplit("/", 1)[-1].startswith("epoch=")
-                ),
-                key=lambda n: int(n.split("=", 1)[1]),
-            )
-    dirs += [os.path.join(root, deltas_rel, ep) for ep in epochs]
+    dirs = pyarrow_segment_dirs(fs, root, meta)
 
     dead = np.asarray(sorted(set(int(d) for d in dead_ids)), np.int64)
     lo, hi = int(dead[0]), int(dead[-1])
@@ -882,7 +862,7 @@ def append_pages(
     # racing threads would otherwise each kick off the UDF pass
     # before the first result lands in the block store
     doc_map.count()
-    post.count()
+    n_post = int(post.count())
     delta_ts.count()
     _mark_phase("analysis")
     # block metadata built with blocks_avg_len so every segment in the
@@ -1113,8 +1093,16 @@ def append_pages(
     # the append would see the delta as empty.
     from concurrent.futures import ThreadPoolExecutor
 
-    tasks = [_write_delta_segments, _write_term_stats,
-             _stoplist_task, _write_site_stats]
+    # a delta whose pages carry NO postings (empty/all-stoplisted
+    # text) must not write — or commit — an epoch at all: an epoch
+    # dir with no parquet files breaks every later reader
+    # (spark.read.parquet cannot infer a schema from it, and
+    # LocalIndex raises LocalSnapshotError for a missing dir), and
+    # the docs themselves are fully represented by the docs append +
+    # scalar-stat updates below
+    tasks = [_write_term_stats, _stoplist_task, _write_site_stats]
+    if n_post > 0:
+        tasks.insert(0, _write_delta_segments)
     if bloom_task is not None:
         tasks.append(bloom_task)
     if appended_positions:
@@ -1146,7 +1134,9 @@ def append_pages(
 
     meta["next_id_segment"] = seg_base + delta_segments
     meta["append_epoch"] = epoch
-    meta["delta_epochs"] = list(visible_epochs) + [f"epoch={epoch}"]
+    meta["delta_epochs"] = list(visible_epochs) + (
+        [f"epoch={epoch}"] if n_post > 0 else []
+    )
     meta["n_docs"] = pending["n_docs"]
     meta["sum_len"] = pending["sum_len"]
     meta["avg_len"] = pending["avg_len"]

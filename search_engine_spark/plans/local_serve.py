@@ -81,6 +81,37 @@ class LocalSnapshotError(RuntimeError):
     """Requested generation is not readable from this index dir."""
 
 
+def pyarrow_segment_dirs(fs, root: str, meta: dict) -> list[str]:
+    """Segment directories of ONE committed generation: the base
+    ``index/`` plus every delta epoch the descriptor lists (LSM
+    visibility — an epoch a concurrent append has materialized but
+    not committed does not exist for this reader; directory listing
+    is the fallback for legacy descriptors without ``delta_epochs``).
+
+    The single pyarrow implementation of the visibility rule —
+    shared by :class:`LocalIndex` and the maintenance driver fast
+    paths (plans/incremental._driver_terms_dec), mirroring
+    plans/build.delta_epoch_dirs on the JVM side."""
+    paths_map = meta.get("paths") or {}
+    dirs = [os.path.join(root, paths_map.get("index", "index"))]
+    deltas_rel = paths_map.get("index_deltas", "index_deltas")
+    deltas = os.path.join(root, deltas_rel)
+    epochs = meta.get("delta_epochs")
+    if epochs is None:
+        from pyarrow import fs as pafs
+
+        epochs = []
+        if fs.get_file_info(deltas).type != pafs.FileType.NotFound:
+            infos = fs.get_file_info(pafs.FileSelector(deltas))
+            epochs = [
+                i.path.rsplit("/", 1)[-1]
+                for i in infos
+                if i.path.rsplit("/", 1)[-1].startswith("epoch=")
+            ]
+    epochs = sorted(epochs, key=lambda n: int(n.split("=", 1)[1]))
+    return dirs + [os.path.join(deltas, ep) for ep in epochs]
+
+
 class LocalIndex:
     """One committed generation of a persisted compact index, opened
     for driver-local querying (no SparkSession anywhere).
@@ -171,20 +202,7 @@ class LocalIndex:
             return self._datasets
         import pyarrow.dataset as ds
 
-        from pyarrow import fs as pafs
-
-        dirs = [self._table_dir("index")]
-        deltas = self._table_dir("index_deltas")
-        epochs = self.meta.get("delta_epochs")
-        if epochs is None and self._dir_exists(deltas):
-            infos = self._fs.get_file_info(pafs.FileSelector(deltas))
-            epochs = sorted(
-                (os.path.basename(i.path) for i in infos
-                 if i.path.rsplit("/", 1)[-1].startswith("epoch=")),
-                key=lambda n: int(n.split("=", 1)[1]),
-            )
-        for ep in epochs or []:
-            dirs.append(os.path.join(deltas, ep))
+        dirs = pyarrow_segment_dirs(self._fs, self._root, self.meta)
         gone = [d for d in dirs if not self._dir_exists(d)]
         if gone:
             # descriptor-listed segments must exist; silently skipping

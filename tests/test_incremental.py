@@ -440,3 +440,60 @@ def test_append_url_bloom_guard(spark, corpora, tmp_path):
     assert meta2["url_bloom"]["n_keys"] == meta2["n_docs"]
     # and the guard still rejects a full re-add afterwards
     assert append_pages(spark, out, base.limit(20))["appended"] == 0
+
+
+def test_append_with_zero_postings_delta(spark, corpora, tmp_path):
+    """An appended delta whose pages carry NO indexable text must not
+    write (or commit) an epoch dir: an epoch with no parquet files
+    breaks every later reader.  The docs still count, stats stay
+    consistent, queries and the local scorer keep working, and a
+    later real append lands normally."""
+    import datetime
+
+    from search_engine_spark.plans.build import load_stats
+    from search_engine_spark.plans.local_serve import open_local_index
+
+    base, extra = corpora
+    out = str(tmp_path / "idx_emptyappend")
+    cfg = EngineConfig(block_size=32, index_buckets=8)
+    build_and_write(spark, base, out, analyzer="lemma", config=cfg,
+                    n_segments=8)
+    before = load_stats(spark, out)
+
+    ts = datetime.datetime(2026, 1, 1)
+    empty_pages = spark.createDataFrame(
+        [
+            (f"https://siteempty.example/p{i}", ts, bytearray(b""),
+             "", "english")
+            for i in range(5)
+        ],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    )
+    res = append_pages(spark, out, empty_pages)
+    assert res["appended"] == 5
+
+    after = load_stats(spark, out)
+    assert after["n_docs"] == before["n_docs"] + 5
+    # no epoch committed for the empty delta
+    assert after.get("delta_epochs") == before.get("delta_epochs")
+
+    # every reader still works on the committed generation; the
+    # empty docs ARE corpus members (they shift N and avg_len), so
+    # the logical twin includes them
+    for q, off, lim in QUERIES[:1]:
+        assert _actual(spark, out, q, off, lim) == _expected(
+            spark, base.unionByName(empty_pages), q, off, lim
+        )
+    lidx = open_local_index(out)
+    assert len(lidx.search("crystal", limit=5)) > 0
+
+    # a later REAL append lands in its own epoch and is queryable
+    res2 = append_pages(spark, out, extra.limit(20))
+    assert res2["appended"] == 20
+    final = load_stats(spark, out)
+    assert len(final["delta_epochs"]) == len(
+        before.get("delta_epochs") or []
+    ) + 1
+    lidx2 = open_local_index(out)
+    assert lidx2.n_docs == before["n_docs"] + 25
