@@ -304,6 +304,7 @@ def build_and_write(
                 str(config.term_bloom_ndv),
             )
         writer.parquet(index_path)
+        ensure_segments_readable(spark, segs, index_path)
     finally:
         spark.conf.set(conf_key, prev_mode)
     mark("compact_write")
@@ -359,6 +360,32 @@ def build_and_write(
         "resumed": bool(done),
         "phases": phases,
     }
+
+
+def ensure_segments_readable(
+    spark: SparkSession, segs: DataFrame, path: str
+) -> None:
+    """Guarantee a segment dir a reader can open even when the
+    corpus produced ZERO postings (bootstrap-empty corpora, an
+    all-boilerplate crawl, a vacuum that removed every text-bearing
+    doc): a partitioned write of an empty frame emits only _SUCCESS,
+    and neither Spark (schema inference fails) nor pyarrow (dataset
+    has no fields, so term/bucket filters error) can read that.  If
+    no ``bucket=`` partition landed, write one empty, schema-bearing
+    parquet under ``bucket=0`` — readers then see the real segment
+    schema and zero rows, and later appends/builds proceed
+    normally."""
+    has_bucket = any(
+        p.rstrip("/").rsplit("/", 1)[-1].startswith("bucket=")
+        for p in fsutil.list_dir(path, spark)
+    )
+    if has_bucket:
+        return
+    (
+        segs.drop("bucket").limit(0).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "bucket=0"))
+    )
 
 
 def delta_epoch_dirs(

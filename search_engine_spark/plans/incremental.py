@@ -868,6 +868,20 @@ def append_pages(
     # block metadata built with blocks_avg_len so every segment in the
     # index shares one metadata baseline (WAND gating, plans/wand.py)
     blocks_avg = meta.get("blocks_avg_len", meta["avg_len"])
+    if not blocks_avg or blocks_avg <= 0:
+        # a zero baseline can only come from a zero-postings index
+        # (bootstrap-empty build: no tokens anywhere → avg_len 0), so
+        # there are NO existing blocks to stay consistent with —
+        # re-anchor the shared baseline at the post-append average.
+        # Left at 0, every delta block's max_u would be computed
+        # against avg_len=0 (division by zero; bounds pinned to 0),
+        # and WAND's upper-bound gating could wrongly prune blocks
+        # holding real results once postings grow past min_cand.
+        prev_sum = int(meta.get("sum_len", 0) or 0)
+        prev_n = int(meta.get("n_docs", 0) or 0)
+        denom = prev_n + n_new
+        blocks_avg = (prev_sum + dsum) / denom if denom else 1.0
+        meta["blocks_avg_len"] = blocks_avg
     segs = compact_postings(
         post, doc_map, delta_ts, blocks_avg, "url", config,
         postings_per_shard,
@@ -1622,11 +1636,20 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     live_ts.count()
 
     def _write_index() -> None:
+        from search_engine_spark.plans.build import (
+            ensure_segments_readable,
+        )
+
         (
             rebuilt.repartition(F.col("bucket"))
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(os.path.join(out_dir, idx_rel))
+        )
+        # vacuum-to-zero-postings (every text-bearing doc removed)
+        # must still leave a readable index dir
+        ensure_segments_readable(
+            spark, rebuilt, os.path.join(out_dir, idx_rel)
         )
 
     def _write_ts() -> None:

@@ -497,3 +497,111 @@ def test_append_with_zero_postings_delta(spark, corpora, tmp_path):
     ) + 1
     lidx2 = open_local_index(out)
     assert lidx2.n_docs == before["n_docs"] + 25
+
+
+def test_bootstrap_empty_corpus_build_then_append(
+    spark, corpora, tmp_path
+):
+    """A fresh build whose corpus yields ZERO postings (all-empty
+    text — the bootstrap / all-boilerplate crawl case) must still
+    produce a readable index: searches return empty (not errors),
+    the local scorer opens, and a later real append makes the index
+    live."""
+    import datetime
+
+    from search_engine_spark.plans.local_serve import open_local_index
+
+    base, extra = corpora
+    out = str(tmp_path / "idx_bootstrap")
+    ts = datetime.datetime(2026, 1, 1)
+    empty_pages = spark.createDataFrame(
+        [
+            (f"https://boot.example/p{i}", ts, bytearray(b""), "",
+             "english")
+            for i in range(4)
+        ],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    )
+    cfg = EngineConfig(block_size=32, index_buckets=8)
+    build_and_write(spark, empty_pages, out, analyzer="lemma",
+                    config=cfg, n_segments=4)
+
+    # every reader opens and answers empty, loudly nothing
+    assert _actual(spark, out, "crystal", 0, 5) == []
+    lidx = open_local_index(out)
+    assert len(lidx.search("crystal", limit=5)) == 0
+    assert lidx.n_docs == 4
+
+    # a real append brings the index to life — and re-anchors the
+    # WAND metadata baseline (a zero blocks_avg_len from the empty
+    # build would pin every block's max_u bound to 0, a silent
+    # wrong-pruning hazard at scale)
+    res = append_pages(spark, out, base.limit(30))
+    assert res["appended"] == 30
+    from search_engine_spark.plans.build import load_stats
+
+    assert load_stats(spark, out)["blocks_avg_len"] > 0
+    want = _expected(
+        spark, empty_pages.unionByName(base.limit(30)),
+        "crystal falcon nebula", 0, 5,
+    )
+    assert _actual(
+        spark, out, "crystal falcon nebula", 0, 5, prune=True
+    ) == _actual(
+        spark, out, "crystal falcon nebula", 0, 5, prune=False
+    ) == want
+    lidx2 = open_local_index(out)
+    got = [
+        (u, round(float(s), 9), int(rn))
+        for u, s, rn in zip(*[
+            lidx2.search("crystal falcon nebula", limit=5)[c]
+            for c in ("url", "score", "rn")
+        ])
+    ]
+    assert got == want
+
+
+def test_vacuum_to_zero_postings_stays_readable(
+    spark, corpora, tmp_path
+):
+    """Tombstone every text-bearing doc, then vacuum: the rewritten
+    index has zero postings but must stay readable (and appendable)."""
+    import datetime
+
+    from search_engine_spark.plans.local_serve import open_local_index
+
+    base, extra = corpora
+    out = str(tmp_path / "idx_vacempty")
+    cfg = EngineConfig(block_size=32, index_buckets=8)
+    small = base.limit(10).cache()
+    build_and_write(spark, small, out, analyzer="lemma", config=cfg,
+                    n_segments=4)
+    ts = datetime.datetime(2026, 1, 1)
+    empty_pages = spark.createDataFrame(
+        [(f"https://hollow.example/p{i}", ts, bytearray(b""), "",
+          "english") for i in range(3)],
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string",
+    )
+    append_pages(spark, out, empty_pages)
+    tombstone_urls(
+        spark, out,
+        [r["url"] for r in small.select("url").collect()],
+    )
+    res = vacuum(spark, out)
+    assert res["vacuumed"] == 10
+
+    assert _actual(spark, out, "crystal", 0, 5) == []
+    lidx = open_local_index(out)
+    assert lidx.n_docs == 3
+    assert len(lidx.search("crystal", limit=5)) == 0
+
+    res2 = append_pages(spark, out, extra.limit(15))
+    assert res2["appended"] == 15
+    assert len(open_local_index(out).search("crystal", limit=5)) >= 0
+    want = _expected(
+        spark, empty_pages.unionByName(extra.limit(15)),
+        "crystal falcon nebula", 0, 5,
+    )
+    assert _actual(spark, out, "crystal falcon nebula", 0, 5) == want
