@@ -61,6 +61,7 @@ from search_engine_spark.operators.postings import (
 from search_engine_spark.plans.build import (
     MANIFEST_SCHEMA,
     delta_epoch_dirs,
+    ensure_segments_readable,
     load_compact_index,
     read_segments,
     table_path,
@@ -868,7 +869,12 @@ def append_pages(
     # block metadata built with blocks_avg_len so every segment in the
     # index shares one metadata baseline (WAND gating, plans/wand.py)
     blocks_avg = meta.get("blocks_avg_len", meta["avg_len"])
-    if not blocks_avg or blocks_avg <= 0:
+    if (not blocks_avg or blocks_avg <= 0) and n_post > 0:
+        # gated on n_post: doc_len counts tokens BEFORE the particle
+        # filter, so a delta can carry doc length yet zero postings —
+        # consuming the one-shot re-anchor on it would leave the real
+        # first blocks built against a stale baseline (WAND metadata
+        # drift, pruning silently disabled until vacuum).
         # a zero baseline can only come from a zero-postings index
         # (bootstrap-empty build: no tokens anywhere → avg_len 0), so
         # there are NO existing blocks to stay consistent with —
@@ -1636,10 +1642,6 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
     live_ts.count()
 
     def _write_index() -> None:
-        from search_engine_spark.plans.build import (
-            ensure_segments_readable,
-        )
-
         (
             rebuilt.repartition(F.col("bucket"))
             .write.mode("overwrite")
@@ -1721,6 +1723,10 @@ def vacuum(spark: SparkSession, out_dir: str) -> dict:
                 str(_CFG.term_bloom_ndv),
             )
         writer.parquet(new_dir)
+        # same empty-partitioned-write hazard as the index dir: a
+        # vacuum that keeps zero positional rows would emit only
+        # _SUCCESS and the read-back below could not infer a schema
+        ensure_segments_readable(spark, kept, new_dir)
         stats = (
             spark.read.parquet(new_dir)
             .agg(

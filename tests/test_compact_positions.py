@@ -453,3 +453,56 @@ def test_expired_positions_fail_loudly(spark, tmp_path_factory):
         positions_dir_for(spark, out, gen0)
     # current resolution still fine
     assert positions_dir_for(spark, out).endswith("/positions")
+
+
+def test_vacuum_to_zero_positions_stays_readable(
+    spark, tmp_path_factory
+):
+    """Vacuum that keeps ZERO positional rows (every doc with
+    positions tombstoned) must still leave a readable positions dir
+    (the empty-partitioned-write guard) with refreshed meta."""
+    from datetime import datetime, timezone
+
+    from search_engine_spark.operators.phrases import positional_meta
+    from search_engine_spark.plans.build import build_and_write
+    from search_engine_spark.plans.incremental import (
+        append_pages,
+        tombstone_urls,
+        vacuum,
+    )
+
+    out = str(tmp_path_factory.mktemp("cpos_vac0") / "idx")
+    pages = pages_df(spark, 12, n_sites=2, seed=9).cache()
+    build_and_write(
+        spark, pages, out, analyzer="tokens", n_segments=4
+    )
+    pos_dir = out + "/positions"
+    doc_ids = spark.read.parquet(out + "/docs").select(
+        "doc_id", "url"
+    )
+    write_compact_positional_index(
+        enrich_pages(pages).join(doc_ids, "url"),
+        pos_dir, n_buckets=8, id_col="doc_id",
+    )
+    # two empty-text survivors (no positional rows of their own)
+    empty = spark.createDataFrame(
+        [
+            (f"https://hollow.example/p{i}",
+             datetime(2024, 1, 1, tzinfo=timezone.utc),
+             b"", "", "en")
+            for i in range(2)
+        ],
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string",
+    )
+    append_pages(spark, out, empty)
+    tombstone_urls(
+        spark, out,
+        [r["url"] for r in pages.select("url").collect()],
+    )
+    res = vacuum(spark, out)
+    assert res["vacuumed"] == 12
+
+    # positions dir readable, zero rows, meta refreshed
+    assert spark.read.parquet(pos_dir).count() == 0
+    assert positional_meta(spark, pos_dir)["rows"] == 0

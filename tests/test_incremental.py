@@ -599,9 +599,17 @@ def test_vacuum_to_zero_postings_stays_readable(
 
     res2 = append_pages(spark, out, extra.limit(15))
     assert res2["appended"] == 15
-    assert len(open_local_index(out).search("crystal", limit=5)) >= 0
     want = _expected(
         spark, empty_pages.unionByName(extra.limit(15)),
         "crystal falcon nebula", 0, 5,
     )
     assert _actual(spark, out, "crystal falcon nebula", 0, 5) == want
+    # the local scorer must agree rank-for-rank too
+    lres = open_local_index(out).search(
+        "crystal falcon nebula", limit=5
+    )
+    got_local = [
+        (u, round(float(sc), 9), int(rn))
+        for u, sc, rn in zip(lres["url"], lres["score"], lres["rn"])
+    ]
+    assert got_local == want
